@@ -1,0 +1,28 @@
+"""Model import/export without external runtimes.
+
+- ``onnx_reader``: minimal pure-Python ONNX (protobuf wire format) parser —
+  enough to load graph initializers and topology from the reference's
+  ``best_model.onnx`` artifact for weight import. The environment has no
+  onnx/onnxruntime packages, and we only need tensors + node wiring.
+- ``onnx_writer``: minimal ONNX exporter for our models (opset 11,
+  dynamic batch/H/W axes), mirroring the reference exporter's contract
+  (reference: scripts/export_to_onnx.py:134-161).
+- ``params_import``: map ONNX / torch state-dict weights onto our NHWC
+  Flax parameter pytrees.
+"""
+
+from .onnx_reader import load_onnx, OnnxGraph, OnnxNode
+from .params_import import (
+    lightweight_unet_params_from_onnx,
+    lightweight_unet_params_from_state_dict,
+    load_torch_state_dict,
+)
+
+__all__ = [
+    "load_onnx",
+    "OnnxGraph",
+    "OnnxNode",
+    "lightweight_unet_params_from_onnx",
+    "lightweight_unet_params_from_state_dict",
+    "load_torch_state_dict",
+]

@@ -1,0 +1,106 @@
+"""Weight import: reference .onnx / .pth checkpoints -> our Flax pytrees.
+
+The reference stores torch state dicts either raw or wrapped in a training
+checkpoint (reference: scripts/extract_weights.py:28-37, evaluate.py:62-67);
+its ONNX export keeps torch parameter names for conv weights and lowers
+GroupNorm to InstanceNormalization followed by Mul(scale)/Add(bias) with
+anonymous ``onnx::Mul_N`` initializers (verified by graph inspection).
+
+Layout conversions (torch OIHW -> our HWIO NHWC):
+- Conv2d weight (O, I, kh, kw)          -> transpose (2, 3, 1, 0)
+- ConvTranspose2d weight (I, O, 2, 2)   -> kept as-is (upsample2x_matmul
+  consumes the torch layout directly)
+- GroupNorm weight/bias (C,)            -> kept as-is
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .onnx_reader import load_onnx
+
+_BLOCKS = ["enc1", "enc2", "enc3", "enc4", "bottleneck", "dec4", "dec3", "dec2", "dec1"]
+_UPCONVS = ["upconv4", "upconv3", "upconv2", "upconv1"]
+
+
+def _conv_to_hwio(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)).astype(np.float32))
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Load a torch checkpoint into {name: float32 ndarray}.
+
+    Handles both full training checkpoints ({'model_state_dict': ...}) and
+    raw state dicts, mirroring the reference's loader heuristics
+    (reference: evaluate.py:62-67, scripts/extract_weights.py:28-37).
+    Requires torch (CPU) to unpickle.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
+        sd = ckpt["model_state_dict"]
+    elif isinstance(ckpt, dict) and "state_dict" in ckpt:
+        sd = ckpt["state_dict"]
+    else:
+        sd = ckpt
+    return {k: v.detach().cpu().numpy().astype(np.float32) for k, v in sd.items()}
+
+
+def lightweight_unet_params_from_state_dict(sd: dict[str, np.ndarray]) -> dict:
+    """Torch state dict (LightweightUNet names) -> our Flax params pytree."""
+    params: dict = {}
+    for blk in _BLOCKS:
+        params[blk] = {
+            "conv1": _conv_to_hwio(sd[f"{blk}.0.weight"]),
+            "gn1_scale": sd[f"{blk}.1.weight"].astype(np.float32),
+            "gn1_bias": sd[f"{blk}.1.bias"].astype(np.float32),
+            "conv2": _conv_to_hwio(sd[f"{blk}.3.weight"]),
+            "gn2_scale": sd[f"{blk}.4.weight"].astype(np.float32),
+            "gn2_bias": sd[f"{blk}.4.bias"].astype(np.float32),
+        }
+    for up in _UPCONVS:
+        params[up] = {
+            "weight": sd[f"{up}.weight"].astype(np.float32),
+            "bias": sd[f"{up}.bias"].astype(np.float32),
+        }
+    params["output_conv_weight"] = _conv_to_hwio(sd["output_conv.weight"])
+    params["output_conv_bias"] = sd["output_conv.bias"].astype(np.float32)
+    return params
+
+
+def lightweight_unet_params_from_onnx(path: str) -> dict:
+    """Parse the reference best_model.onnx and build our params pytree.
+
+    Conv / ConvTranspose / output weights carry torch names directly.
+    GroupNorm scale/bias hide behind anonymous initializers; we recover them
+    by walking Mul/Add nodes whose names embed the torch module path
+    (e.g. ``/enc1/enc1.1/Mul_output_0``).
+    """
+    g = load_onnx(path)
+    sd: dict[str, np.ndarray] = {}
+
+    for name, arr in g.initializers.items():
+        if not name.startswith("onnx::"):
+            sd[name] = np.asarray(arr, dtype=np.float32)
+
+    # Recover GN scale/bias: Mul/Add nodes referencing an anonymous initializer,
+    # with output names like /enc1/enc1.1/Mul_output_0.
+    pat = re.compile(r"^/[^/]+/([a-z_0-9]+)\.(\d)/(Mul|Add)_output")
+    for node in g.nodes:
+        if node.op_type not in ("Mul", "Add") or not node.outputs:
+            continue
+        m = pat.match(node.outputs[0])
+        if not m:
+            continue
+        blk, idx, kind = m.group(1), m.group(2), m.group(3)
+        init_name = next((i for i in node.inputs if i in g.initializers), None)
+        if init_name is None:
+            continue
+        arr = np.asarray(g.initializers[init_name], dtype=np.float32).reshape(-1)
+        suffix = "weight" if kind == "Mul" else "bias"
+        sd[f"{blk}.{idx}.{suffix}"] = arr
+
+    return lightweight_unet_params_from_state_dict(sd)

@@ -1,0 +1,17 @@
+"""Flax model zoo: the production LightweightUNet plus the reference's
+capability-parity variants (OptimizedUNet, EnhancedUNet)."""
+
+from .unet import LightweightUNet
+from .optimized_unet import OptimizedUNet
+from .enhanced_unet import EnhancedUNet
+from .model_utils import count_parameters, get_model_size_mb, prune_params, quantize_params_int8
+
+__all__ = [
+    "LightweightUNet",
+    "OptimizedUNet",
+    "EnhancedUNet",
+    "count_parameters",
+    "get_model_size_mb",
+    "prune_params",
+    "quantize_params_int8",
+]

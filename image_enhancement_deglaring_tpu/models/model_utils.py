@@ -1,0 +1,85 @@
+"""Model utilities: parameter counting, size, pruning, int8 quantization.
+
+Capability parity with the reference's model helpers
+(reference: src/model.py:364-486 — count_parameters, get_model_size_mb,
+quantize_model via fbgemm PTQ, prune_model via L1-unstructured pruning).
+On TPU the quantization analogue is symmetric per-tensor int8 with a scale,
+and pruning is magnitude masking on the weight pytrees.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def count_parameters(params) -> int:
+    """Total number of parameters in a pytree (reference: src/model.py:364)."""
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+def get_model_size_mb(params) -> float:
+    """Parameter bytes in MB (reference: src/model.py:377)."""
+    total = sum(
+        int(np.prod(x.shape)) * jnp.asarray(x).dtype.itemsize
+        for x in jax.tree_util.tree_leaves(params)
+    )
+    return total / (1024 * 1024)
+
+
+def prune_params(params, amount: float = 0.3):
+    """Global-per-tensor L1-unstructured pruning: zero out the lowest-magnitude
+    fraction of each weight tensor (reference: src/model.py:442-482).
+
+    Only prunes rank>=2 tensors (conv/linear kernels), leaving norm scales
+    and biases intact, matching the reference's Conv2d/Linear-only rule.
+    """
+
+    def prune_leaf(x):
+        x = jnp.asarray(x)
+        if x.ndim < 2:
+            return x
+        k = int(round(amount * x.size))
+        if k <= 0:
+            return x
+        flat = jnp.abs(x).reshape(-1)
+        threshold = jnp.sort(flat)[k - 1]
+        return jnp.where(jnp.abs(x) <= threshold, jnp.zeros_like(x), x)
+
+    return jax.tree_util.tree_map(prune_leaf, params)
+
+
+def quantize_params_int8(params):
+    """Symmetric per-tensor int8 quantization of rank>=2 weights.
+
+    Returns (quantized_pytree, scales_pytree); dequantize with
+    :func:`dequantize_params_int8`. TPU-native stand-in for the reference's
+    fbgemm static PTQ (reference: src/model.py:399-439).
+    """
+
+    def quant_leaf(x):
+        x = jnp.asarray(x)
+        if x.ndim < 2:
+            return x, jnp.asarray(1.0, jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+        return q, scale
+
+    flat, treedef = jax.tree_util.tree_flatten(params)
+    pairs = [quant_leaf(x) for x in flat]
+    qparams = jax.tree_util.tree_unflatten(treedef, [p[0] for p in pairs])
+    scales = jax.tree_util.tree_unflatten(treedef, [p[1] for p in pairs])
+    return qparams, scales
+
+
+def dequantize_params_int8(qparams, scales):
+    """Inverse of :func:`quantize_params_int8`."""
+
+    def deq(q, s):
+        q = jnp.asarray(q)
+        if q.dtype == jnp.int8:
+            return q.astype(jnp.float32) * s
+        return q
+
+    return jax.tree_util.tree_map(deq, qparams, scales)

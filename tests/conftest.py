@@ -1,0 +1,25 @@
+"""Test config: force CPU backend with 8 virtual devices.
+
+This is the standard JAX trick for exercising multi-device sharding
+(pjit / shard_map over a Mesh) without TPU hardware; numerics tests also
+run faster and deterministically on CPU.
+
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

@@ -1,0 +1,142 @@
+"""Model-level tests: parameter counts, shapes, ONNX weight import, and
+end-to-end forward parity against a torch functional re-execution.
+
+The torch side is built *functionally* from the imported weights (a loop of
+F.conv2d / F.group_norm / F.silu / F.avg_pool2d / F.conv_transpose2d calls),
+so we validate our network against torch's numerics for the exact production
+weights without depending on the reference's code.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from image_enhancement_deglaring_tpu.models import (
+    EnhancedUNet,
+    LightweightUNet,
+    OptimizedUNet,
+    count_parameters,
+    get_model_size_mb,
+)
+from image_enhancement_deglaring_tpu.modelio import lightweight_unet_params_from_onnx
+
+REFERENCE_ONNX = "/root/reference/best_model.onnx"
+
+# Eager per-op dispatch compiles each op separately (~seconds per op in this
+# environment), so every init/apply in tests goes through jit.
+_LW = LightweightUNet()
+_lw_init = jax.jit(_LW.init)
+_lw_apply = jax.jit(_LW.apply)
+
+
+@pytest.fixture(scope="module")
+def lw_params():
+    return _lw_init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))["params"]
+
+
+def test_lightweight_param_count_matches_published(lw_params):
+    # Published: 486,409 trainable params (reference: README.md:10)
+    assert count_parameters(lw_params) == 486409
+    assert 1.8 < get_model_size_mb(lw_params) < 1.92
+
+
+def test_lightweight_forward_shape(lw_params):
+    y = _lw_apply({"params": lw_params}, jnp.zeros((2, 64, 64, 1)))
+    assert y.shape == (2, 64, 64, 1)
+    assert y.dtype == jnp.float32
+
+
+def test_optimized_forward_shape():
+    model = OptimizedUNet()
+    x = jnp.zeros((1, 64, 64, 1))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
+    y = jax.jit(model.apply)({"params": params}, x)
+    assert y.shape == (1, 64, 64, 1)
+
+
+def test_enhanced_forward_shape_and_range():
+    model = EnhancedUNet()
+    x = jnp.zeros((1, 64, 64, 1))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    y = jax.jit(model.apply)(variables, x)
+    assert y.shape == (1, 64, 64, 1)
+    # Sigmoid head: output in [0, 1] (reference: src/model.py:310-313)
+    assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+
+
+@pytest.fixture(scope="module")
+def onnx_params():
+    if not os.path.exists(REFERENCE_ONNX):
+        pytest.skip("reference best_model.onnx not available")
+    return lightweight_unet_params_from_onnx(REFERENCE_ONNX)
+
+
+def test_onnx_import_shapes(onnx_params):
+    assert onnx_params["enc1"]["conv1"].shape == (3, 3, 1, 8)
+    assert onnx_params["bottleneck"]["conv1"].shape == (3, 3, 64, 128)
+    assert onnx_params["upconv4"]["weight"].shape == (128, 64, 2, 2)
+    assert onnx_params["output_conv_weight"].shape == (1, 1, 8, 1)
+    assert count_parameters(onnx_params) == 486409
+    # GN params must have been recovered from the anonymous initializers
+    assert onnx_params["enc1"]["gn1_scale"].shape == (8,)
+    assert not np.allclose(onnx_params["enc1"]["gn1_scale"], 1.0)
+
+
+def _torch_forward_lightweight(params, x_nhwc):
+    """Reference semantics executed with torch functional ops (test-only)."""
+    import torch
+    import torch.nn.functional as F
+
+    def t(a):
+        return torch.from_numpy(np.asarray(a))
+
+    def block(x, p):
+        w1 = t(p["conv1"]).permute(3, 2, 0, 1)  # HWIO -> OIHW
+        x = F.conv2d(x, w1, padding=1)
+        x = F.group_norm(x, 8, t(p["gn1_scale"]), t(p["gn1_bias"]))
+        x = F.silu(x)
+        w2 = t(p["conv2"]).permute(3, 2, 0, 1)
+        x = F.conv2d(x, w2, padding=1)
+        x = F.group_norm(x, 8, t(p["gn2_scale"]), t(p["gn2_bias"]))
+        return F.silu(x)
+
+    x = torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)).copy())
+    enc1 = block(x, params["enc1"])
+    enc2 = block(F.avg_pool2d(enc1, 2), params["enc2"])
+    enc3 = block(F.avg_pool2d(enc2, 2), params["enc3"])
+    enc4 = block(F.avg_pool2d(enc3, 2), params["enc4"])
+    b = block(F.avg_pool2d(enc4, 2), params["bottleneck"])
+
+    d = b
+    for up, dec, skip in (
+        ("upconv4", "dec4", enc4),
+        ("upconv3", "dec3", enc3),
+        ("upconv2", "dec2", enc2),
+        ("upconv1", "dec1", enc1),
+    ):
+        d = F.conv_transpose2d(d, t(params[up]["weight"]), t(params[up]["bias"]), stride=2)
+        d = block(torch.cat([d, skip], dim=1), params[dec])
+
+    wout = t(params["output_conv_weight"]).permute(3, 2, 0, 1)
+    out = F.conv2d(d, wout, t(params["output_conv_bias"]))
+    return np.transpose(out.detach().numpy(), (0, 2, 3, 1))
+
+
+def test_forward_parity_with_torch_on_production_weights(onnx_params, rng):
+    pytest.importorskip("torch")
+    x = rng.random((1, 64, 64, 1), dtype=np.float32)
+    params = jax.tree_util.tree_map(jnp.asarray, onnx_params)
+    got = np.asarray(_lw_apply({"params": params}, x))
+    want = _torch_forward_lightweight(onnx_params, x)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def test_forward_is_deterministic(onnx_params, rng):
+    params = jax.tree_util.tree_map(jnp.asarray, onnx_params)
+    x = jnp.asarray(rng.random((2, 64, 64, 1), dtype=np.float32))
+    y1 = _lw_apply({"params": params}, x)
+    y2 = _lw_apply({"params": params}, x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
