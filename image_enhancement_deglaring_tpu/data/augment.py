@@ -1,0 +1,108 @@
+"""Deterministic host-side augmentations.
+
+Two pipelines mirroring the reference's albumentations stacks:
+
+- ``optimized_augment`` (reference: src/optimized_dataset.py:147-174):
+  HorizontalFlip(p=.5) on image+target, then OneOf(p=.5) of
+  brightness/contrast (w=.8) or gaussian noise (w=.2) on the image only —
+  albumentations applies pixel transforms to 'image' but not 'mask'.
+- ``heavy_augment`` (reference: src/dataset.py:96-116): rotate90 / flips /
+  affine (both), then noise-or-blur and brightness/gamma/CLAHE (image only).
+
+Determinism matches the reference's scheme of seeding per sample index
+(reference: src/optimized_dataset.py:90-95): pass ``np.random.default_rng
+(seed + index)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _brightness_contrast(img: np.ndarray, rng: np.random.Generator,
+                         limit: float = 0.2) -> np.ndarray:
+    alpha = 1.0 + rng.uniform(-limit, limit)  # contrast
+    beta = rng.uniform(-limit, limit)  # brightness (by max, float images)
+    return np.clip(img * alpha + beta, 0.0, 1.0).astype(np.float32)
+
+
+def _gauss_noise(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    # albumentations GaussNoise default var_limit=(10, 50) on the 0-255 scale
+    var = rng.uniform(10.0, 50.0) / (255.0 ** 2)
+    noise = rng.normal(0.0, np.sqrt(var), img.shape).astype(np.float32)
+    return np.clip(img + noise, 0.0, 1.0).astype(np.float32)
+
+
+def optimized_augment(image: np.ndarray, target: np.ndarray,
+                      rng: np.random.Generator):
+    """Light augmentation used by the production training path."""
+    if rng.random() < 0.5:
+        image = image[:, ::-1].copy()
+        target = target[:, ::-1].copy()
+    if rng.random() < 0.5:
+        if rng.random() < 0.8:
+            image = _brightness_contrast(image, rng)
+        else:
+            image = _gauss_noise(image, rng)
+    return image, target
+
+
+def _affine(img: np.ndarray, scale: float, tx: float, ty: float, angle: float):
+    import cv2
+
+    h, w = img.shape[:2]
+    m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, scale)
+    m[0, 2] += tx * w
+    m[1, 2] += ty * h
+    return cv2.warpAffine(img, m, (w, h), borderMode=cv2.BORDER_REFLECT_101)
+
+
+def heavy_augment(image: np.ndarray, target: np.ndarray,
+                  rng: np.random.Generator):
+    """Full augmentation stack (capability parity with the non-optimized
+    dataset, reference: src/dataset.py:96-116). Returns images still in
+    [0,1]; the reference's trailing Normalize(0.5, 0.5) is applied by the
+    caller when requested."""
+    import cv2
+
+    # RandomRotate90(p=.5)
+    if rng.random() < 0.5:
+        k = int(rng.integers(1, 4))
+        image = np.rot90(image, k).copy()
+        target = np.rot90(target, k).copy()
+    # HorizontalFlip(p=.5)
+    if rng.random() < 0.5:
+        image = image[:, ::-1].copy()
+        target = target[:, ::-1].copy()
+    # VerticalFlip(p=.3)
+    if rng.random() < 0.3:
+        image = image[::-1].copy()
+        target = target[::-1].copy()
+    # Affine(scale .9-1.1, translate 6.25%, rotate +-15, p=.5)
+    if rng.random() < 0.5:
+        scale = rng.uniform(0.9, 1.1)
+        tx = rng.uniform(-0.0625, 0.0625)
+        ty = rng.uniform(-0.0625, 0.0625)
+        angle = rng.uniform(-15.0, 15.0)
+        image = _affine(image, scale, tx, ty, angle)
+        target = _affine(target, scale, tx, ty, angle)
+    # OneOf(noise, blur)(p=.5) — image only
+    if rng.random() < 0.5:
+        if rng.random() < 0.5:
+            image = _gauss_noise(image, rng)
+        else:
+            k = int(rng.choice([3]))
+            image = cv2.GaussianBlur(image, (k, k), 0)
+    # OneOf(brightness/contrast, gamma, CLAHE)(p=.5) — image only
+    if rng.random() < 0.5:
+        pick = rng.random()
+        if pick < 1 / 3:
+            image = _brightness_contrast(image, rng)
+        elif pick < 2 / 3:
+            gamma = rng.uniform(0.8, 1.2)
+            image = np.clip(image, 0.0, 1.0) ** gamma
+        else:
+            u8 = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+            clahe = cv2.createCLAHE(clipLimit=4.0, tileGridSize=(8, 8))
+            image = clahe.apply(u8).astype(np.float32) / 255.0
+    return image.astype(np.float32), target.astype(np.float32)

@@ -1,0 +1,168 @@
+"""Dataset + device-feeding loaders.
+
+Replaces the reference's torch DataLoader worker pool
+(reference: src/optimized_dataset.py:264-286) with a TPU-native input
+pipeline: host threads decode/augment (RAM cache optional, like the
+reference's ``cache_images``), batches are assembled as NHWC numpy and
+pushed to device asynchronously with double buffering so the accelerator
+never waits on the host.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from .augment import heavy_augment, optimized_augment
+from .pipeline import decode_triptych, list_image_paths, seeded_split
+
+
+class GlareRemovalDataset:
+    """SD1 triptych dataset with optional in-memory cache and deterministic
+    per-index augmentation (reference: src/optimized_dataset.py:14-144)."""
+
+    def __init__(self, image_paths: list[str], *, image_size: int = 512,
+                 seed: int | None = None, augment: str = "none",
+                 cache_images: bool = False, num_workers: int = 8):
+        self.image_paths = sorted(image_paths)
+        self.image_size = image_size
+        self.seed = seed
+        self.augment = augment
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        if cache_images:
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                for i, pair in enumerate(
+                    pool.map(lambda p: decode_triptych(p, image_size), self.image_paths)
+                ):
+                    self._cache[i] = pair
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    def __getitem__(self, index: int) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (glared, ground_truth) as (H, W, 1) float32 NHWC slices."""
+        if index in self._cache:
+            glared, gt = self._cache[index]
+        else:
+            glared, gt = decode_triptych(self.image_paths[index], self.image_size)
+        if self.augment != "none":
+            rng = np.random.default_rng(
+                (self.seed or 0) + index if self.seed is not None else None
+            )
+            fn = optimized_augment if self.augment == "optimized" else heavy_augment
+            glared, gt = fn(glared, gt, rng)
+        return glared[..., None], gt[..., None]
+
+
+class _Loader:
+    """Epoch iterator yielding fixed-shape NHWC numpy batches."""
+
+    def __init__(self, dataset: GlareRemovalDataset, batch_size: int, *,
+                 shuffle: bool, drop_last: bool, seed: int | None,
+                 num_workers: int = 8):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_workers = num_workers
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    @property
+    def num_samples(self) -> int:
+        return len(self.dataset)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(
+                None if self.seed is None else self.seed + self._epoch
+            )
+            rng.shuffle(order)
+        limit = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        order = order[:limit]
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            for start in range(0, len(order), self.batch_size):
+                idx = order[start : start + self.batch_size]
+                samples = list(pool.map(self.dataset.__getitem__, idx))
+                x = np.stack([s[0] for s in samples])
+                y = np.stack([s[1] for s in samples])
+                yield x, y
+
+
+class DevicePrefetcher:
+    """Wraps a loader: decodes/augments ahead on a background thread and
+    transfers batches to device (sharded if given a Sharding) so step N+1's
+    data is already in HBM while step N computes."""
+
+    def __init__(self, loader, *, sharding=None, prefetch: int = 2):
+        self.loader = loader
+        self.sharding = sharding
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import jax
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    if self.sharding is not None:
+                        batch = jax.device_put(batch, self.sharding)
+                    else:
+                        batch = jax.device_put(batch)
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+
+
+def make_dataloaders(data_dir: str, *, batch_size: int = 32, val_split: float = 0.2,
+                     seed: int | None = 42, image_size: int = 512,
+                     cache_images: bool = False, num_workers: int = 8,
+                     augment: str = "optimized"):
+    """Train/val loaders with the reference's split semantics
+    (reference: src/optimized_dataset.py:177-288)."""
+    paths = list_image_paths(data_dir)
+    if not paths:
+        raise ValueError(f"No images found in {data_dir}")
+    train_paths, val_paths = seeded_split(paths, val_split, seed)
+
+    train_ds = GlareRemovalDataset(
+        train_paths, image_size=image_size, seed=seed, augment=augment,
+        cache_images=cache_images, num_workers=num_workers,
+    )
+    val_ds = GlareRemovalDataset(
+        val_paths, image_size=image_size, seed=seed, augment="none",
+        cache_images=cache_images, num_workers=num_workers,
+    )
+    train_loader = _Loader(train_ds, batch_size, shuffle=True, drop_last=True,
+                           seed=seed, num_workers=num_workers)
+    val_loader = _Loader(val_ds, batch_size, shuffle=False, drop_last=False,
+                         seed=seed, num_workers=max(2, num_workers // 2))
+    return train_loader, val_loader

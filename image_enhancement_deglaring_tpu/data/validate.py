@@ -1,0 +1,79 @@
+"""Dataset contract validator (reference: scripts/check_png.py:9-132).
+
+Checks every PNG under {data_dir}/train and {data_dir}/val for:
+- dimensions == required (1536x512 by default),
+- RGBA mode (4 channels),
+- grayscale pixel values within [0, 255].
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def check_png_dimensions(data_dir: str = "SD1", required_width: int = 1536,
+                         required_height: int = 512):
+    """Returns (incorrect_dimensions, invalid_channels, invalid_pixels, total)."""
+    from PIL import Image
+
+    data_path = Path(data_dir)
+    if not data_path.is_dir():
+        raise FileNotFoundError(f"Directory '{data_dir}' does not exist")
+
+    incorrect_dimensions: list[tuple[str, int, int]] = []
+    invalid_channels: list[tuple[str, str]] = []
+    invalid_pixels: list[str] = []
+    total = 0
+
+    for subdir in ("train", "val"):
+        sub = data_path / subdir
+        if not sub.is_dir():
+            continue
+        for png in sorted(sub.glob("*.png")):
+            total += 1
+            rel = f"{subdir}/{png.name}"
+            with Image.open(png) as img:
+                w, h = img.size
+                if (w, h) != (required_width, required_height):
+                    incorrect_dimensions.append((rel, w, h))
+                if img.mode != "RGBA":
+                    invalid_channels.append((rel, img.mode))
+                gray = np.asarray(img.convert("L"))
+                if gray.min() < 0 or gray.max() > 255:
+                    invalid_pixels.append(rel)
+    return incorrect_dimensions, invalid_channels, invalid_pixels, total
+
+
+def main(data_dir: str = "SD1") -> int:
+    bad_dims, bad_chan, bad_pix, total = check_png_dimensions(data_dir)
+    print(f"Checked {total} PNG files in {data_dir}/train and {data_dir}/val")
+    ok = True
+    if bad_dims:
+        ok = False
+        print(f"✗ {len(bad_dims)} files with incorrect dimensions:")
+        for rel, w, h in bad_dims:
+            print(f"  {data_dir}/{rel}: {w}x{h} (should be 1536x512)")
+    else:
+        print("✓ All PNG files have the correct dimensions (1536x512)")
+    if bad_chan:
+        ok = False
+        print(f"✗ {len(bad_chan)} files with incorrect format:")
+        for rel, mode in bad_chan:
+            print(f"  {data_dir}/{rel}: {mode} (should be RGBA)")
+    else:
+        print("✓ All PNG files have the correct format (RGBA)")
+    if bad_pix:
+        ok = False
+        print(f"✗ {len(bad_pix)} files with invalid pixel values")
+    else:
+        print("✓ All PNG files have valid grayscale pixel values [0-255]")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "SD1"))

@@ -1,0 +1,138 @@
+"""Unified dataclass config shared by train / eval / serve / sweep.
+
+The reference scatters configuration over per-script argparse + .env +
+wandb.config (reference: optimized_train.py:35-60, sweep.py:23-38,
+evaluate.py:18-37). Here one set of dataclasses backs every entry point;
+each CLI builds its config with :func:`from_args` so flags keep the
+reference's names and defaults (including the sweep-tuned lr/wd baked into
+reference: optimized_train.py:42,52).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass
+class DataConfig:
+    data_dir: str = "SD1/train"
+    image_size: int = 512
+    val_split: float = 0.2
+    cache_images: bool = False
+    num_workers: int = 8  # host prefetch threads
+    augment: str = "optimized"  # "optimized" | "heavy" | "none"
+
+
+@dataclass
+class TrainConfig:
+    output_dir: str = "./models_out"
+    batch_size: int = 32
+    epochs: int = 50
+    # Best sweep hyperparameters (reference: optimized_train.py:42,52)
+    lr: float = 0.002362532125818593
+    weight_decay: float = 6.753784966611083e-05
+    clip_grad_norm: float = 1.0
+    patience: int = 10
+    save_every: int = 10
+    seed: int = 42
+    log_images_every: int = 5
+    validation_metrics_every: int = 5
+    # ReduceLROnPlateau equivalent (reference: optimized_train.py:449-451)
+    plateau_factor: float = 0.5
+    plateau_patience: int = 5
+    # TPU-native knobs
+    compute_dtype: str = "bfloat16"  # AMP analogue: bf16 on MXU, f32 params
+    model: str = "basic"  # basic | enhanced | optimized
+    use_wandb: bool = False
+    wandb_project: str = "image-deglaring"
+    data: DataConfig = field(default_factory=DataConfig)
+
+
+@dataclass
+class EvalConfig:
+    data_dir: str = "SD1/val"
+    model_path: str = "./best_model.ckpt"
+    model: str = "lightweight"  # lightweight | optimized
+    batch_size: int = 16
+    image_size: int = 512
+    seed: int = 42
+    save_visualizations: bool = False
+    visualizations_dir: str = "./eval_visualizations"
+    max_vis_samples: int = 10
+    compute_dtype: str = "float32"
+
+
+@dataclass
+class ServeConfig:
+    host: str = "0.0.0.0"
+    port: int = 4000
+    model_path: str = "/root/reference/best_model.onnx"
+    image_size: int = 512
+    # micro-batching engine
+    max_batch_size: int = 8
+    batch_timeout_ms: float = 3.0
+    compute_dtype: str = "bfloat16"
+    # tiled full-resolution mode ("resize" reproduces the reference API's
+    # downsample-to-512 behavior; "tile" runs every 512^2 tile)
+    mode: str = "resize"
+    tile_overlap: int = 32
+
+
+@dataclass
+class SweepConfig:
+    sweep_count: int = 20
+    max_epochs: int = 50
+    early_stop_patience: int = 10
+    seed: int = 42
+    # search space bounds (reference: sweep.py:54-88)
+    batch_sizes: tuple = (4, 8, 16, 32)
+    lr_min: float = 1e-4
+    lr_max: float = 1e-2
+    wd_min: float = 1e-6
+    wd_max: float = 1e-3
+    # Hyperband-style early termination
+    hyperband_min_iter: int = 10
+    hyperband_s: int = 2
+    # how many trials run concurrently (vmapped across mesh devices)
+    parallel_trials: int = 0  # 0 = one per local device
+
+
+def add_dataclass_args(parser: argparse.ArgumentParser, cfg, prefix: str = "") -> None:
+    """Register every dataclass field as a --flag (nested via dots)."""
+    for f in dataclasses.fields(cfg):
+        val = getattr(cfg, f.name)
+        if dataclasses.is_dataclass(val):
+            add_dataclass_args(parser, val, prefix=f"{prefix}{f.name}.")
+            continue
+        name = f"--{prefix}{f.name}"
+        if isinstance(val, bool):
+            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=val)
+        elif isinstance(val, tuple):
+            parser.add_argument(name, type=lambda s: tuple(int(x) for x in s.split(",")),
+                                default=val)
+        else:
+            parser.add_argument(name, type=type(val), default=val)
+
+
+def from_args(cfg_cls, argv=None, parser: argparse.ArgumentParser | None = None):
+    """Build a config dataclass from CLI args (nested fields via dots)."""
+    cfg = cfg_cls()
+    parser = parser or argparse.ArgumentParser()
+    add_dataclass_args(parser, cfg)
+    ns, _ = parser.parse_known_args(argv)
+
+    def apply(obj, prefix=""):
+        for f in dataclasses.fields(obj):
+            val = getattr(obj, f.name)
+            if dataclasses.is_dataclass(val):
+                apply(val, prefix=f"{prefix}{f.name}.")
+            else:
+                arg_name = f"{prefix}{f.name}".replace(".", "_")
+                if hasattr(ns, arg_name):
+                    setattr(obj, f.name, getattr(ns, arg_name))
+        return obj
+
+    return apply(cfg)

@@ -1,0 +1,100 @@
+"""Experiment logging: W&B-compatible API with an offline JSONL backend.
+
+The reference logs scalars, images, and run summaries to Weights & Biases
+(reference: optimized_train.py:292-305, :125-159, :334-339). This logger
+keeps the same call surface (``log``, ``log_images``, ``summary``,
+``save``) but writes newline-delimited JSON + PNGs locally, so training and
+sweeps run without network. If the real ``wandb`` package is importable and
+``use_wandb=True``, calls are mirrored to it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import numpy as np
+
+
+class ExperimentLogger:
+    def __init__(self, run_dir: str, *, run_name: str | None = None,
+                 config: dict | None = None, use_wandb: bool = False,
+                 project: str | None = None):
+        self.run_dir = run_dir
+        os.makedirs(run_dir, exist_ok=True)
+        self.run_name = run_name or f"run-{int(time.time())}"
+        self._metrics_path = os.path.join(run_dir, "metrics.jsonl")
+        self._summary: dict[str, Any] = {}
+        self._step = 0
+
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb  # noqa: F811
+
+                self._wandb = wandb
+                wandb.init(project=project, name=self.run_name, config=config or {})
+            except Exception:
+                self._wandb = None
+
+        if config is not None:
+            with open(os.path.join(run_dir, "config.json"), "w") as f:
+                json.dump(_jsonable(config), f, indent=2)
+
+    def log(self, metrics: dict[str, Any], step: int | None = None) -> None:
+        step = self._step if step is None else step
+        self._step = step + 1
+        rec = {"_step": step, "_time": time.time(), **_jsonable(metrics)}
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
+
+    def log_images(self, tag: str, images: dict[str, np.ndarray], step: int | None = None) -> None:
+        """Save a dict of [H,W] float [0,1] or uint8 images as PNGs."""
+        from PIL import Image
+
+        step = self._step if step is None else step
+        img_dir = os.path.join(self.run_dir, "images", f"step_{step:06d}")
+        os.makedirs(img_dir, exist_ok=True)
+        for name, arr in images.items():
+            a = np.asarray(arr)
+            if a.dtype != np.uint8:
+                a = (np.clip(a, 0.0, 1.0) * 255).astype(np.uint8)
+            if a.ndim == 3 and a.shape[-1] == 1:
+                a = a[..., 0]
+            Image.fromarray(a, mode="L" if a.ndim == 2 else None).save(
+                os.path.join(img_dir, f"{tag}_{name}.png")
+            )
+
+    def set_summary(self, **kwargs) -> None:
+        self._summary.update(_jsonable(kwargs))
+        with open(os.path.join(self.run_dir, "summary.json"), "w") as f:
+            json.dump(self._summary, f, indent=2)
+        if self._wandb is not None:
+            for k, v in kwargs.items():
+                self._wandb.run.summary[k] = v
+
+    @property
+    def summary(self) -> dict:
+        return dict(self._summary)
+
+    def finish(self) -> None:
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    if hasattr(obj, "item") and getattr(obj, "ndim", None) == 0:
+        return obj.item()
+    if isinstance(obj, (str, int, float, bool)) or obj is None:
+        return obj
+    return str(obj)
