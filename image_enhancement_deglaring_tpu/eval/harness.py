@@ -1,0 +1,192 @@
+"""Evaluation harness: L1 / PSNR / SSIM over a validation set, on device.
+
+Reproduces the reference's evaluation semantics exactly
+(reference: evaluate.py:207-324):
+
+- L1 on the raw model output (NOT clipped)          (evaluate.py:251)
+- PSNR/SSIM on the clipped output, per image        (evaluate.py:259-272)
+- avg L1  = sum of per-batch means / num_batches    (evaluate.py:309)
+- avg PSNR/SSIM = sum over images / num_samples     (evaluate.py:310-311)
+
+TPU-native design: one jitted eval step computes batch L1 and per-image
+PSNR/SSIM entirely on device; ragged final batches are padded to the
+static batch shape and masked (XLA needs static shapes), preserving the
+reference's batch-mean weighting bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.metrics import psnr as psnr_fn
+from ..ops.metrics import ssim as ssim_fn
+
+
+@partial(jax.jit, static_argnums=0)
+def _eval_step(apply_fn, params, x, y, mask):
+    """Returns (masked batch-mean L1, per-image PSNR, per-image SSIM).
+
+    mask: (B,) 1.0 for real samples, 0.0 for padding.
+    """
+    out = apply_fn({"params": params}, x)
+    out = out.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+
+    per_el = jnp.abs(out - y)
+    # batch-mean L1 over real samples only (matches criterion(outputs, targets)
+    # on the unpadded batch)
+    denom = jnp.sum(mask) * np.prod(x.shape[1:])
+    l1 = jnp.sum(per_el * mask[:, None, None, None]) / denom
+
+    clipped = jnp.clip(out[..., 0], 0.0, 1.0)
+    target = y[..., 0]
+    psnrs = jax.vmap(psnr_fn)(clipped, target) * mask
+    ssims = jax.vmap(ssim_fn)(clipped, target) * mask
+    return l1, psnrs, ssims
+
+
+@partial(jax.jit, static_argnums=0)
+def _jit_apply(apply_fn, params, x):
+    return apply_fn({"params": params}, x)
+
+
+def evaluate(apply_fn, params, val_loader, *, save_visualizations: bool = False,
+             visualizations_dir: str | None = None, max_vis_samples: int = 10,
+             batch_size: int | None = None, progress: bool = True) -> dict:
+    """Evaluate a model over ``val_loader`` (yields NHWC numpy batches).
+
+    Returns {'l1_loss', 'psnr', 'ssim'} with the reference's averaging.
+    """
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    total_loss = 0.0
+    total_psnr = 0.0
+    total_ssim = 0.0
+    num_batches = 0
+    total_samples = 0
+    vis_count = 0
+
+    static_b = batch_size
+    iterator = val_loader
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            iterator = tqdm(val_loader, desc="Evaluating")
+        except ImportError:
+            pass
+
+    for x, y in iterator:
+        b = x.shape[0]
+        if static_b is None:
+            static_b = b
+        if b < static_b:  # pad ragged final batch to the compiled shape
+            pad = static_b - b
+            x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            y = np.concatenate([y, np.zeros((pad,) + y.shape[1:], y.dtype)])
+        mask = np.zeros((static_b,), np.float32)
+        mask[:b] = 1.0
+
+        l1, psnrs, ssims = _eval_step(apply_fn, params, jnp.asarray(x),
+                                      jnp.asarray(y), jnp.asarray(mask))
+        total_loss += float(l1)
+        total_psnr += float(jnp.sum(psnrs))
+        total_ssim += float(jnp.sum(ssims))
+        num_batches += 1
+        total_samples += b
+
+        if save_visualizations and visualizations_dir and vis_count < max_vis_samples:
+            vis_count = _save_visualizations(
+                x, y, apply_fn, params, b, visualizations_dir, vis_count,
+                max_vis_samples, np.asarray(psnrs), np.asarray(ssims),
+            )
+
+    return {
+        "l1_loss": total_loss / max(num_batches, 1),
+        "psnr": total_psnr / max(total_samples, 1),
+        "ssim": total_ssim / max(total_samples, 1),
+        "num_samples": total_samples,
+    }
+
+
+def _save_visualizations(x, y, apply_fn, params, b, out_dir, vis_count,
+                         max_vis, psnrs, ssims) -> int:
+    """3-panel input/prediction/target figures (reference: evaluate.py:275-305)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    pred = np.asarray(_jit_apply(apply_fn, params, jnp.asarray(x)))
+    for i in range(b):
+        if vis_count >= max_vis:
+            break
+        fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+        panels = [
+            (x[i, ..., 0], "Input"),
+            (np.clip(pred[i, ..., 0], 0, 1),
+             f"Prediction\nPSNR: {psnrs[i]:.2f}, SSIM: {ssims[i]:.4f}"),
+            (y[i, ..., 0], "Ground Truth"),
+        ]
+        for ax, (img, title) in zip(axes, panels):
+            ax.imshow(img, cmap="gray")
+            ax.set_title(f"{title}\nRange: [{img.min():.2f}, {img.max():.2f}]")
+            ax.axis("off")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, f"sample_{vis_count}.png"))
+        plt.close(fig)
+        vis_count += 1
+    return vis_count
+
+
+def load_model_for_eval(model_path: str, *, model_arch: str = "lightweight",
+                        compute_dtype=jnp.float32):
+    """Load (apply_fn, params) from .onnx / .pth / orbax checkpoint dir.
+
+    Extension-based autodetect mirrors reference: evaluate.py:338-345.
+    """
+    from ..models import LightweightUNet, OptimizedUNet
+
+    if model_arch == "optimized":
+        model = OptimizedUNet(dtype=compute_dtype)
+    else:
+        model = LightweightUNet(dtype=compute_dtype)
+
+    lower = model_path.lower()
+    if lower.endswith(".onnx"):
+        from ..modelio import lightweight_unet_params_from_onnx
+
+        params = lightweight_unet_params_from_onnx(model_path)
+    elif lower.endswith((".pth", ".pt")):
+        from ..modelio import (
+            lightweight_unet_params_from_state_dict,
+            load_torch_state_dict,
+        )
+
+        params = lightweight_unet_params_from_state_dict(load_torch_state_dict(model_path))
+    else:  # orbax checkpoint directory
+        from ..train.checkpoint import restore_params
+
+        params = restore_params(model_path)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return model.apply, params
+
+
+def write_results_file(metrics: dict, model_path: str, data_dir: str,
+                       model_type: str, out_dir: str | None = None) -> str:
+    """evaluation_results.txt in the reference's format (reference: evaluate.py:372-379)."""
+    out_dir = out_dir if out_dir is not None else (os.path.dirname(model_path) or ".")
+    path = os.path.join(out_dir, "evaluation_results.txt")
+    with open(path, "w") as f:
+        f.write(f"Evaluation results on {data_dir}:\n")
+        f.write(f"Model type: {model_type.upper()}\n")
+        f.write(f"Model path: {model_path}\n")
+        f.write(f"L1 Loss: {metrics['l1_loss']:.4f}\n")
+        f.write(f"PSNR: {metrics['psnr']:.2f} dB\n")
+        f.write(f"SSIM: {metrics['ssim']:.4f}\n")
+    return path

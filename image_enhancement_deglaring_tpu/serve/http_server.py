@@ -1,0 +1,247 @@
+"""HTTP serving API — request/response compatible with the reference
+FastAPI app (reference: api/app.py):
+
+- ``GET /ping``  -> 200 ``{"message":"pong"}``            (api/app.py:104-107)
+- ``POST /infer`` multipart field "image" -> 200
+  ``{"image": "<base64 PNG>"}``                            (api/app.py:109-213)
+- missing image -> 400 ``{"detail":"No image provided"}``; any processing
+  error -> 500 ``{"detail": "..."}`` (FastAPI HTTPException body shape)
+
+The environment has no FastAPI/uvicorn, so this is a stdlib asyncio
+HTTP/1.1 server with hand-rolled multipart parsing. Image decode and the
+LANCZOS resizes stay on host PIL for byte parity with the reference
+(api/app.py:150,203); normalization, the U-Net forward, clipping, and the
+uint8 conversion all run on TPU inside the engine.
+
+Logging mirrors the reference: named logger, 10MB x 5 rotating file +
+console handlers, per-request IDs (api/app.py:16-42,112).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import io
+import json
+import logging
+import os
+from logging.handlers import RotatingFileHandler
+
+import numpy as np
+
+
+def make_api_logger(log_dir: str | None = None, name: str = "image_enhancement_api"):
+    logger = logging.getLogger(name)
+    if logger.handlers:
+        return logger
+    logger.setLevel(logging.DEBUG)
+    log_dir = log_dir or os.path.join(os.getcwd(), "logs")
+    os.makedirs(log_dir, exist_ok=True)
+    fh = RotatingFileHandler(os.path.join(log_dir, "api.log"),
+                             maxBytes=10485760, backupCount=5)
+    fh.setLevel(logging.DEBUG)
+    fh.setFormatter(logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s"))
+    ch = logging.StreamHandler()
+    ch.setLevel(logging.INFO)
+    ch.setFormatter(logging.Formatter("%(levelname)s: %(message)s"))
+    logger.addHandler(fh)
+    logger.addHandler(ch)
+    return logger
+
+
+def parse_multipart(body: bytes, content_type: str) -> dict[str, bytes]:
+    """Extract form fields from a multipart/form-data body."""
+    boundary = None
+    for part in content_type.split(";"):
+        part = part.strip()
+        if part.startswith("boundary="):
+            boundary = part[len("boundary="):].strip('"')
+    if not boundary:
+        return {}
+    delim = b"--" + boundary.encode()
+    fields: dict[str, bytes] = {}
+    for chunk in body.split(delim):
+        chunk = chunk.strip(b"\r\n")
+        if not chunk or chunk == b"--":
+            continue
+        header_blob, _, data = chunk.partition(b"\r\n\r\n")
+        name = None
+        for line in header_blob.split(b"\r\n"):
+            line_l = line.lower()
+            if line_l.startswith(b"content-disposition"):
+                for item in line.decode(errors="replace").split(";"):
+                    item = item.strip()
+                    if item.startswith("name="):
+                        name = item[len("name="):].strip('"')
+        if name is not None:
+            fields[name] = data
+    return fields
+
+
+class DeglareServer:
+    def __init__(self, engine, *, host: str = "0.0.0.0", port: int = 4000,
+                 image_size: int = 512, mode: str = "resize",
+                 tiler=None, log_dir: str | None = None):
+        """Args:
+            engine: InferenceEngine (512^2 path).
+            mode: "resize" reproduces the reference API exactly (downsample
+                any input to 512^2, upsample back); "tile" uses ``tiler``
+                for true full-resolution inference.
+        """
+        self.engine = engine
+        self.host = host
+        self.port = port
+        self.image_size = image_size
+        self.mode = mode
+        self.tiler = tiler
+        self.logger = make_api_logger(log_dir)
+        self._server: asyncio.AbstractServer | None = None
+
+    # ------------------------------------------------------------ handlers
+    def _ping(self):
+        return 200, {"message": "pong"}
+
+    def _infer(self, body: bytes, content_type: str):
+        from PIL import Image
+
+        request_id = base64.urlsafe_b64encode(os.urandom(6)).decode("ascii")
+        log = self.logger
+        fields = parse_multipart(body, content_type)
+        contents = fields.get("image")
+        if contents is None or len(contents) == 0:
+            log.warning(f"[{request_id}] No image provided")
+            return 400, {"detail": "No image provided"}
+        try:
+            img = Image.open(io.BytesIO(contents))
+            original_size = img.size
+            log.info(
+                f"[{request_id}] Original image dimensions: "
+                f"{original_size[0]}x{original_size[1]}, mode: {img.mode}"
+            )
+            img_np = np.array(img)
+            if img_np.ndim == 3 and img_np.shape[2] >= 3:
+                img_gray = np.array(Image.fromarray(img_np).convert("L"))
+            else:
+                img_gray = img_np
+
+            if self.mode == "tile" and self.tiler is not None:
+                log.info(f"[{request_id}] Tiled full-resolution inference "
+                         f"({self.tiler.num_tiles(*img_gray.shape)} tiles)")
+                enhanced_u8 = self.tiler(img_gray.astype(np.uint8))
+                enhanced_img = Image.fromarray(enhanced_u8, mode="L")
+            else:
+                # reference behavior: LANCZOS down to 512^2, infer, LANCZOS back
+                # (api/app.py:150,203)
+                s = self.image_size
+                resized = np.array(
+                    Image.fromarray(img_gray).resize((s, s), Image.LANCZOS)
+                )
+                enhanced_u8 = self.engine.infer_one(resized.astype(np.uint8))
+                enhanced_img = Image.fromarray(enhanced_u8, mode="L").resize(
+                    original_size, Image.LANCZOS
+                )
+
+            buf = io.BytesIO()
+            enhanced_img.save(buf, format="PNG")
+            log.info(f"[{request_id}] Successfully processed image")
+            return 200, {"image": base64.b64encode(buf.getvalue()).decode("utf-8")}
+        except Exception as e:
+            import traceback
+
+            log.error(f"[{request_id}] Error: {e}\n{traceback.format_exc()}")
+            return 500, {"detail": str(e)}
+
+    # ------------------------------------------------------------ plumbing
+    async def _handle(self, reader: asyncio.StreamReader,
+                      writer: asyncio.StreamWriter) -> None:
+        try:
+            request_line = await reader.readline()
+            if not request_line:
+                writer.close()
+                return
+            try:
+                method, path, _version = request_line.decode().split()
+            except ValueError:
+                await self._respond(writer, 400, {"detail": "Bad request"})
+                return
+
+            headers: dict[str, str] = {}
+            while True:
+                line = await reader.readline()
+                if line in (b"\r\n", b"\n", b""):
+                    break
+                k, _, v = line.decode(errors="replace").partition(":")
+                headers[k.strip().lower()] = v.strip()
+
+            body = b""
+            length = int(headers.get("content-length", "0") or 0)
+            if length:
+                body = await reader.readexactly(length)
+
+            if method == "GET" and path == "/ping":
+                status, payload = self._ping()
+            elif method == "POST" and path == "/infer":
+                loop = asyncio.get_running_loop()
+                status, payload = await loop.run_in_executor(
+                    None, self._infer, body, headers.get("content-type", "")
+                )
+            else:
+                status, payload = 404, {"detail": "Not Found"}
+            await self._respond(writer, status, payload)
+        except (asyncio.IncompleteReadError, ConnectionResetError):
+            pass
+        finally:
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except Exception:
+                pass
+
+    async def _respond(self, writer, status: int, payload: dict) -> None:
+        reasons = {200: "OK", 400: "Bad Request", 404: "Not Found",
+                   500: "Internal Server Error"}
+        body = json.dumps(payload, separators=(",", ":")).encode()
+        head = (
+            f"HTTP/1.1 {status} {reasons.get(status, 'OK')}\r\n"
+            f"Content-Type: application/json\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            f"Connection: close\r\n\r\n"
+        ).encode()
+        writer.write(head + body)
+        await writer.drain()
+
+    # ------------------------------------------------------------- control
+    async def serve_forever(self) -> None:
+        self._server = await asyncio.start_server(self._handle, self.host, self.port)
+        self.logger.info(f"Serving on {self.host}:{self.port}")
+        async with self._server:
+            await self._server.serve_forever()
+
+    def run(self) -> None:
+        asyncio.run(self.serve_forever())
+
+
+def create_server(model_path: str, *, host: str = "0.0.0.0", port: int = 4000,
+                  mode: str = "resize", max_batch_size: int = 8,
+                  batch_timeout_ms: float = 3.0, compute_dtype=None,
+                  tile_overlap: int = 32, log_dir: str | None = None) -> DeglareServer:
+    """Build engine + (optional) tiler + server from a model artifact path."""
+    import jax.numpy as jnp
+
+    from ..eval.harness import load_model_for_eval
+    from .engine import InferenceEngine
+
+    dtype = compute_dtype or jnp.bfloat16
+    apply_fn, params = load_model_for_eval(model_path, compute_dtype=dtype)
+    engine = InferenceEngine(
+        apply_fn, params, max_batch_size=max_batch_size,
+        batch_timeout_ms=batch_timeout_ms, compute_dtype=dtype,
+    )
+    tiler = None
+    if mode == "tile":
+        from .tiling import TiledInference
+
+        tiler = TiledInference(apply_fn, params, overlap=tile_overlap,
+                               compute_dtype=dtype)
+    return DeglareServer(engine, host=host, port=port, mode=mode, tiler=tiler,
+                         log_dir=log_dir)

@@ -1,0 +1,60 @@
+"""Eval harness tests: averaging semantics (batch-mean L1, per-sample
+PSNR/SSIM), ragged-batch masking, and results-file format."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from image_enhancement_deglaring_tpu.eval import evaluate, write_results_file
+
+
+def _identityish_apply(variables, x):
+    # a fake "model": slightly biased identity so metrics are non-trivial
+    return x + variables["params"]["bias"]
+
+
+def _numpy_reference_eval(batches, bias):
+    from tests.test_metrics import _psnr_np, _ssim_np
+
+    total_loss, total_psnr, total_ssim, n_img = 0.0, 0.0, 0.0, 0
+    for x, y in batches:
+        out = x + bias
+        total_loss += np.mean(np.abs(out - y))
+        for i in range(x.shape[0]):
+            o = np.clip(out[i, ..., 0], 0, 1).astype(np.float64)
+            t = y[i, ..., 0].astype(np.float64)
+            total_psnr += _psnr_np(o, t)
+            total_ssim += _ssim_np(o, t)
+            n_img += 1
+    return {
+        "l1_loss": total_loss / len(batches),
+        "psnr": total_psnr / n_img,
+        "ssim": total_ssim / n_img,
+    }
+
+
+def test_evaluate_matches_reference_averaging(rng):
+    # 2 full batches of 4 + ragged batch of 2 (pads + masks internally)
+    batches = []
+    for b in (4, 4, 2):
+        x = rng.random((b, 32, 32, 1)).astype(np.float32)
+        y = np.clip(x + rng.normal(0, 0.05, x.shape), 0, 1).astype(np.float32)
+        batches.append((x, y))
+    params = {"bias": jnp.asarray(0.03, jnp.float32)}
+    got = evaluate(_identityish_apply, params, batches, batch_size=4, progress=False)
+    want = _numpy_reference_eval(batches, 0.03)
+    assert got["num_samples"] == 10
+    np.testing.assert_allclose(got["l1_loss"], want["l1_loss"], rtol=1e-4)
+    np.testing.assert_allclose(got["psnr"], want["psnr"], rtol=1e-4)
+    np.testing.assert_allclose(got["ssim"], want["ssim"], rtol=1e-3)
+
+
+def test_write_results_file(tmp_path):
+    metrics = {"l1_loss": 0.0168, "psnr": 32.57, "ssim": 0.975}
+    path = write_results_file(metrics, str(tmp_path / "model.ckpt"), "SD1/val",
+                              "onnx", out_dir=str(tmp_path))
+    text = open(path).read()
+    # format parity with reference: evaluate.py:372-379
+    assert "L1 Loss: 0.0168" in text
+    assert "PSNR: 32.57 dB" in text
+    assert "SSIM: 0.9750" in text
+    assert "Model type: ONNX" in text

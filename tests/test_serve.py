@@ -1,0 +1,193 @@
+"""Serving tests: engine semantics, micro-batching, tiled inference, and
+byte-level HTTP API parity (/ping body, /infer request/response contract)."""
+
+import base64
+import http.client
+import io
+import json
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from image_enhancement_deglaring_tpu.models import LightweightUNet
+from image_enhancement_deglaring_tpu.serve import (
+    DeglareServer,
+    InferenceEngine,
+    TiledInference,
+)
+from image_enhancement_deglaring_tpu.serve.http_server import parse_multipart
+
+SIZE = 64  # small images keep CPU-test compiles fast
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = LightweightUNet()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, SIZE, SIZE, 1)))["params"]
+    return model.apply, params
+
+
+@pytest.fixture(scope="module")
+def engine(small_model):
+    apply_fn, params = small_model
+    eng = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=4,
+                          batch_timeout_ms=5.0, compute_dtype=jnp.float32)
+    yield eng
+    eng.stop()
+
+
+def test_engine_uint8_semantics(engine, rng):
+    img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    out = engine.infer_one(img)
+    assert out.shape == (SIZE, SIZE) and out.dtype == np.uint8
+
+
+def test_engine_batch_matches_single(engine, rng):
+    imgs = (rng.random((3, SIZE, SIZE)) * 255).astype(np.uint8)
+    batch_out = engine.infer_batch(imgs)
+    singles = np.stack([engine.infer_one(imgs[i]) for i in range(3)])
+    np.testing.assert_array_equal(batch_out, singles)
+
+
+def test_engine_async_micro_batching(engine, rng):
+    imgs = (rng.random((6, SIZE, SIZE)) * 255).astype(np.uint8)
+    futs = [engine.submit(im) for im in imgs]
+    outs = [f.result(timeout=30) for f in futs]
+    want = engine.infer_batch(imgs)
+    np.testing.assert_array_equal(np.stack(outs), want)
+
+
+def test_tiled_inference_matches_direct_on_interior(small_model, rng):
+    apply_fn, params = small_model
+    tiler = TiledInference(apply_fn, params, tile=SIZE, overlap=8,
+                           compute_dtype=jnp.float32)
+    # image exactly one tile: tiled == direct forward
+    img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    eng = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=1,
+                          compute_dtype=jnp.float32, warmup=False)
+    np.testing.assert_array_equal(tiler(img), eng.infer_one(img))
+    # larger image: runs a real grid and returns the right shape
+    big = (rng.random((SIZE + 24, SIZE * 2)) * 255).astype(np.uint8)
+    assert tiler.num_tiles(*big.shape) >= 4
+    out = tiler(big)
+    assert out.shape == big.shape and out.dtype == np.uint8
+
+
+def test_parse_multipart_roundtrip():
+    boundary = "XBOUND"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="image"; filename="x.png"\r\n'
+        "Content-Type: image/png\r\n\r\n"
+    ).encode() + b"\x89PNGdata" + f"\r\n--{boundary}--\r\n".encode()
+    fields = parse_multipart(body, f"multipart/form-data; boundary={boundary}")
+    assert fields["image"] == b"\x89PNGdata"
+
+
+# --------------------------------------------------------------- HTTP layer
+
+
+@pytest.fixture(scope="module")
+def live_server(engine, tmp_path_factory):
+    logdir = str(tmp_path_factory.mktemp("apilogs"))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = DeglareServer(engine, host="127.0.0.1", port=port,
+                           image_size=SIZE, log_dir=logdir)
+    t = threading.Thread(target=server.run, daemon=True)
+    t.start()
+    for _ in range(100):
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=1)
+            conn.request("GET", "/ping")
+            conn.getresponse().read()
+            break
+        except OSError:
+            time.sleep(0.1)
+    return "127.0.0.1", port
+
+
+def _request(host, port, method, path, body=None, headers=None):
+    conn = http.client.HTTPConnection(host, port, timeout=60)
+    conn.request(method, path, body=body, headers=headers or {})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+def test_ping_byte_identical(live_server):
+    status, data = _request(*live_server, "GET", "/ping")
+    assert status == 200
+    # exact body the reference API emits (reference: api/app.py:104-107,
+    # asserted by its client test api/test_api.py:31-32)
+    assert data == b'{"message":"pong"}'
+
+
+def _multipart_png(img_u8: np.ndarray):
+    buf = io.BytesIO()
+    Image.fromarray(img_u8).save(buf, format="PNG")
+    boundary = "testboundary123"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="image"; filename="test.png"\r\n'
+        "Content-Type: image/png\r\n\r\n"
+    ).encode() + buf.getvalue() + f"\r\n--{boundary}--\r\n".encode()
+    return body, {"Content-Type": f"multipart/form-data; boundary={boundary}"}
+
+
+def test_infer_roundtrip_grayscale(live_server, rng):
+    img = (rng.random((40, 52)) * 255).astype(np.uint8)  # non-square input
+    body, headers = _multipart_png(img)
+    status, data = _request(*live_server, "POST", "/infer", body, headers)
+    assert status == 200
+    payload = json.loads(data)
+    out = Image.open(io.BytesIO(base64.b64decode(payload["image"])))
+    # response restores the original dimensions (reference: api/app.py:203)
+    assert out.size == (52, 40)
+    assert out.mode == "L"
+
+
+def test_infer_rgb_input_converted(live_server, rng):
+    img = (rng.random((SIZE, SIZE, 3)) * 255).astype(np.uint8)
+    body, headers = _multipart_png(img)
+    status, data = _request(*live_server, "POST", "/infer", body, headers)
+    assert status == 200
+    out = Image.open(io.BytesIO(base64.b64decode(json.loads(data)["image"])))
+    assert out.mode == "L" and out.size == (SIZE, SIZE)
+
+
+def test_infer_missing_image_400(live_server):
+    boundary = "emptyb"
+    body = f"--{boundary}--\r\n".encode()
+    status, data = _request(
+        *live_server, "POST", "/infer", body,
+        {"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    assert status == 400
+    assert json.loads(data) == {"detail": "No image provided"}
+
+
+def test_infer_bad_image_500(live_server):
+    body, headers = (
+        b"--b\r\n"
+        b'Content-Disposition: form-data; name="image"\r\n\r\n'
+        b"not-a-png\r\n--b--\r\n",
+        {"Content-Type": "multipart/form-data; boundary=b"},
+    )
+    status, data = _request(*live_server, "POST", "/infer", body, headers)
+    assert status == 500
+    assert "detail" in json.loads(data)
+
+
+def test_unknown_route_404(live_server):
+    status, _ = _request(*live_server, "GET", "/nope")
+    assert status == 404
