@@ -1,0 +1,282 @@
+"""Jitted, data-parallel training loop.
+
+Feature parity with the reference trainer (reference: optimized_train.py:162-369):
+L1 loss, AdamW (betas .9/.999, eps 1e-8, decoupled weight decay), global-norm
+grad clipping at 1.0, ReduceLROnPlateau, periodic val PSNR/SSIM on a <=4-image
+subset per batch, early stopping by patience, periodic + best-model
+checkpoints, best-weights restore at the end, experiment logging.
+
+TPU-native design:
+- one jitted ``train_step`` (donated state) fuses forward, backward, clip,
+  and the optimizer update; compute runs in the model's dtype (bfloat16 by
+  default — the MXU-native AMP analogue; no loss scaling needed, matching
+  SURVEY's plan for torch.amp parity), params/optimizer in float32;
+- data parallelism via a 1-D mesh: params replicated, batch sharded on the
+  ``data`` axis; XLA inserts the gradient all-reduce over ICI;
+- the LR reaches the compiled step through optax.inject_hyperparams, so
+  plateau reductions never trigger recompilation;
+- host->HBM transfers are overlapped by DevicePrefetcher double-buffering.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.dataset import DevicePrefetcher
+from ..ops.metrics import l1_loss, psnr as psnr_fn, ssim as ssim_fn
+from ..parallel.mesh import batch_sharding, replicate
+from .checkpoint import save_checkpoint
+from .lr_control import ReduceLROnPlateau
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(lr: float, weight_decay: float, clip_grad_norm: float = 1.0):
+    """clip-by-global-norm -> AdamW, with the LR injectable at runtime
+    (reference optimizer config: optimized_train.py:439-451, :213-215)."""
+
+    def opt_fn(learning_rate):
+        txs = []
+        if clip_grad_norm > 0:
+            txs.append(optax.clip_by_global_norm(clip_grad_norm))
+        txs.append(
+            optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                        weight_decay=weight_decay)
+        )
+        return optax.chain(*txs)
+
+    return optax.inject_hyperparams(opt_fn)(learning_rate=lr)
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Return state with a new LR injected (no recompilation)."""
+    hp = dict(state.opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state.replace(opt_state=state.opt_state._replace(hyperparams=hp))
+
+
+def make_train_step(apply_fn, optimizer):
+    @partial(jax.jit, donate_argnums=0)
+    def train_step(state: TrainState, x, y):
+        def loss_fn(params):
+            out = apply_fn({"params": params}, x)
+            return l1_loss(out, y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def make_val_step(apply_fn, metric_subset: int = 4):
+    """Returns jitted (params, x, y) -> (batch L1, subset psnr mean, subset
+    ssim mean, prediction) — metrics on the first <=4 images like the
+    reference (reference: optimized_train.py:92-122)."""
+
+    @jax.jit
+    def val_step(params, x, y):
+        out = apply_fn({"params": params}, x).astype(jnp.float32)
+        loss = l1_loss(out, y)
+        k = min(metric_subset, x.shape[0])
+        pred = out[:k, ..., 0]
+        tgt = y[:k, ..., 0].astype(jnp.float32)
+        psnr = jnp.mean(jax.vmap(psnr_fn)(pred, tgt))
+        ssim = jnp.mean(jax.vmap(ssim_fn)(pred, tgt))
+        return loss, psnr, ssim, out
+
+    return val_step
+
+
+def train_model(model, train_loader, val_loader, *, epochs: int,
+                lr: float = 0.002362532125818593,
+                weight_decay: float = 6.753784966611083e-05,
+                clip_grad_norm: float = 1.0, patience: int = 10,
+                output_dir: str = "./models_out", save_every: int = 10,
+                plateau_factor: float = 0.5, plateau_patience: int = 5,
+                validation_metrics_every: int = 5, log_images_every: int = 5,
+                mesh=None, seed: int = 42, logger=None, init_params=None,
+                progress: bool = True, start_epoch: int = 0,
+                resume_state: TrainState | None = None,
+                lr_controller: ReduceLROnPlateau | None = None):
+    """Train ``model`` (a Flax module); returns (best_params, best_val_loss,
+    final_state).
+
+    ``mesh``: optional 1-D jax.sharding.Mesh for data parallelism; batches
+    are sharded on its axis, state replicated.
+    """
+    os.makedirs(output_dir, exist_ok=True)
+
+    sample_x, sample_y = next(iter(val_loader if len(val_loader) else train_loader))
+    if init_params is None:
+        init_params = jax.jit(model.init)(
+            jax.random.PRNGKey(seed), jnp.zeros((1,) + sample_x.shape[1:])
+        )["params"]
+    init_params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), init_params
+    )
+
+    optimizer = make_optimizer(lr, weight_decay, clip_grad_norm)
+    if resume_state is not None:
+        state = resume_state
+    else:
+        state = TrainState(
+            params=init_params,
+            opt_state=optimizer.init(init_params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    sharding = None
+    if mesh is not None:
+        state = replicate(state, mesh)
+        sharding = batch_sharding(mesh)
+
+    train_step = make_train_step(model.apply, optimizer)
+    val_step = make_val_step(model.apply)
+
+    scheduler = lr_controller or ReduceLROnPlateau(
+        lr, factor=plateau_factor, patience=plateau_patience
+    )
+    state = set_learning_rate(state, scheduler.lr)
+
+    best_val_loss = float("inf")
+    best_params = None
+    epochs_without_improvement = 0
+    history = {"train_loss": [], "val_loss": []}
+
+    for epoch in range(start_epoch, epochs):
+        # ---------------------------------------------------------- train
+        t0 = time.time()
+        if hasattr(train_loader, "set_epoch"):
+            train_loader.set_epoch(epoch)
+        train_iter = DevicePrefetcher(train_loader, sharding=sharding)
+        running, n_seen = 0.0, 0
+        it = train_iter
+        if progress:
+            try:
+                from tqdm import tqdm
+
+                it = tqdm(train_iter, total=len(train_loader),
+                          desc=f"Epoch {epoch + 1}/{epochs} [Train]")
+            except ImportError:
+                pass
+        for x, y in it:
+            state, loss = train_step(state, x, y)
+            b = x.shape[0]
+            running += float(loss) * b
+            n_seen += b
+        train_loss = running / max(n_seen, 1)
+        history["train_loss"].append(train_loss)
+
+        # ------------------------------------------------------------ val
+        calc_metrics = (
+            (epoch + 1) % validation_metrics_every == 0
+            or epoch == 0
+            or epoch == epochs - 1
+        )
+        log_images = logger is not None and (
+            (epoch + 1) % log_images_every == 0 or epoch == 0 or epoch == epochs - 1
+        )
+        val_running, val_seen = 0.0, 0
+        val_psnr_sum, val_ssim_sum, val_batches = 0.0, 0.0, 0
+        for batch_idx, (x, y) in enumerate(
+            DevicePrefetcher(val_loader, sharding=None)
+        ):
+            loss, psnr, ssim, out = val_step(state.params, x, y)
+            b = x.shape[0]
+            val_running += float(loss) * b
+            val_seen += b
+            val_batches += 1
+            if calc_metrics:
+                val_psnr_sum += float(psnr)
+                val_ssim_sum += float(ssim)
+            if log_images and batch_idx == 0:
+                k = min(2, b)
+                imgs = {}
+                out_np = np.asarray(out)
+                for i in range(k):
+                    imgs[f"input_{i}"] = np.asarray(x)[i, ..., 0]
+                    imgs[f"prediction_{i}"] = np.clip(out_np[i, ..., 0], 0, 1)
+                    imgs[f"target_{i}"] = np.asarray(y)[i, ..., 0]
+                logger.log_images("val", imgs, step=epoch + 1)
+        val_loss = val_running / max(val_seen, 1)
+        history["val_loss"].append(val_loss)
+        val_psnr = val_psnr_sum / max(val_batches, 1)
+        val_ssim = val_ssim_sum / max(val_batches, 1)
+
+        # --------------------------------------------- schedule / log / save
+        new_lr = scheduler.step(val_loss)
+        state = set_learning_rate(state, new_lr)
+
+        msg = (f"Epoch {epoch + 1}/{epochs}: Train Loss: {train_loss:.4f}, "
+               f"Val Loss: {val_loss:.4f}")
+        if calc_metrics:
+            msg += f", PSNR: {val_psnr:.2f}, SSIM: {val_ssim:.4f}"
+        msg += f", LR: {new_lr:.6f} ({time.time() - t0:.1f}s)"
+        print(msg)
+
+        if logger is not None:
+            rec = {"epoch": epoch + 1, "train_loss": train_loss,
+                   "val_loss": val_loss, "learning_rate": new_lr}
+            if calc_metrics:
+                rec["val_psnr"] = val_psnr
+                rec["val_ssim"] = val_ssim
+            logger.log(rec, step=epoch + 1)
+
+        if (epoch + 1) % save_every == 0:
+            save_checkpoint(
+                os.path.join(output_dir, f"checkpoint_epoch_{epoch + 1}"),
+                params=state.params, opt_state=state.opt_state, epoch=epoch,
+                val_loss=val_loss, extra={"lr_state": scheduler.state_dict()},
+            )
+
+        if val_loss < best_val_loss:
+            epochs_without_improvement = 0
+            best_val_loss = val_loss
+            best_params = jax.tree_util.tree_map(np.asarray, state.params)
+            save_checkpoint(
+                os.path.join(output_dir, "best_model"),
+                params=state.params, opt_state=state.opt_state, epoch=epoch,
+                val_loss=val_loss, extra={"lr_state": scheduler.state_dict()},
+            )
+            print(f"New best model with validation loss: {val_loss:.4f}")
+            if logger is not None:
+                summary = {"best_val_loss": best_val_loss, "best_epoch": epoch + 1}
+                if calc_metrics:
+                    summary["best_val_psnr"] = val_psnr
+                    summary["best_val_ssim"] = val_ssim
+                logger.set_summary(**summary)
+        else:
+            epochs_without_improvement += 1
+            print(f"No improvement for {epochs_without_improvement} epochs "
+                  f"(best: {best_val_loss:.4f}, current: {val_loss:.4f})")
+            if logger is not None:
+                logger.log({"epochs_without_improvement": epochs_without_improvement},
+                           step=epoch + 1)
+
+        if epochs_without_improvement >= patience:
+            print(f"Early stopping triggered after {patience} epochs "
+                  f"without improvement")
+            if logger is not None:
+                logger.set_summary(early_stopped=True,
+                                   early_stopping_epoch=epoch + 1)
+            break
+
+    if best_params is None:
+        best_params = jax.tree_util.tree_map(np.asarray, state.params)
+    return best_params, best_val_loss, state

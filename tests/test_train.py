@@ -1,0 +1,175 @@
+"""Training loop tests: loss decreases, data-parallel == single-device,
+LR plateau semantics, checkpoint save/restore round-trip."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from image_enhancement_deglaring_tpu.models import LightweightUNet
+from image_enhancement_deglaring_tpu.parallel import make_mesh, replicate, shard_batch
+from image_enhancement_deglaring_tpu.train import (
+    ReduceLROnPlateau,
+    TrainState,
+    make_optimizer,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from image_enhancement_deglaring_tpu.train.loop import set_learning_rate, train_model
+
+SIZE = 32
+
+
+class _ArrayLoader:
+    """Minimal loader over fixed arrays (NHWC)."""
+
+    def __init__(self, x, y, batch_size):
+        self.x, self.y, self.batch_size = x, y, batch_size
+
+    def __len__(self):
+        return len(self.x) // self.batch_size
+
+    @property
+    def num_samples(self):
+        return len(self.x)
+
+    def set_epoch(self, epoch):
+        pass
+
+    def __iter__(self):
+        for i in range(len(self)):
+            s = slice(i * self.batch_size, (i + 1) * self.batch_size)
+            yield self.x[s], self.y[s]
+
+
+@pytest.fixture(scope="module")
+def toy_data(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    y = rng.random((16, SIZE, SIZE, 1)).astype(np.float32)
+    x = np.clip(y + rng.normal(0, 0.15, y.shape), 0, 1).astype(np.float32)
+    return x, y
+
+
+def _fresh_state(model, optimizer, seed=0):
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed),
+                                 jnp.zeros((1, SIZE, SIZE, 1)))["params"]
+    return TrainState(params=params, opt_state=optimizer.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def test_train_step_reduces_loss(toy_data):
+    x, y = toy_data
+    model = LightweightUNet()
+    opt = make_optimizer(1e-3, 1e-5)
+    state = _fresh_state(model, opt)
+    step = make_train_step(model.apply, opt)
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, jnp.asarray(x[:8]), jnp.asarray(y[:8]))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_data_parallel_matches_single_device(toy_data):
+    x, y = toy_data
+    model = LightweightUNet()
+    opt = make_optimizer(1e-3, 1e-5)
+
+    # single device
+    state1 = _fresh_state(model, opt, seed=1)
+    step1 = make_train_step(model.apply, opt)
+    for i in range(2):
+        state1, loss1 = step1(state1, jnp.asarray(x[:8]), jnp.asarray(y[:8]))
+
+    # 8-device data parallel on the virtual CPU mesh
+    mesh = make_mesh(8)
+    state8 = _fresh_state(model, opt, seed=1)
+    state8 = replicate(state8, mesh)
+    step8 = make_train_step(model.apply, opt)
+    for i in range(2):
+        bx, by = shard_batch((jnp.asarray(x[:8]), jnp.asarray(y[:8])), mesh)
+        state8, loss8 = step8(state8, bx, by)
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(state1.params)
+    flat8 = jax.tree_util.tree_leaves(state8.params)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_set_learning_rate_no_recompile(toy_data):
+    x, y = toy_data
+    model = LightweightUNet()
+    opt = make_optimizer(1e-3, 1e-5)
+    state = _fresh_state(model, opt)
+    step = make_train_step(model.apply, opt)
+    state, _ = step(state, jnp.asarray(x[:8]), jnp.asarray(y[:8]))
+    compiles_before = step._cache_size()
+    state = set_learning_rate(state, 5e-4)
+    state, _ = step(state, jnp.asarray(x[:8]), jnp.asarray(y[:8]))
+    assert step._cache_size() == compiles_before
+    assert float(state.opt_state.hyperparams["learning_rate"]) == pytest.approx(5e-4)
+
+
+def test_reduce_lr_on_plateau_torch_semantics():
+    s = ReduceLROnPlateau(1.0, factor=0.5, patience=2)
+    assert s.step(1.0) == 1.0  # first value becomes best
+    assert s.step(0.5) == 1.0  # improvement
+    # plateau: reduction happens on the (patience+1)-th bad epoch
+    assert s.step(0.5) == 1.0   # bad 1 (not better by rel threshold)
+    assert s.step(0.51) == 1.0  # bad 2
+    assert s.step(0.52) == 0.5  # bad 3 -> reduce
+    assert s.step(0.4999) == 0.5  # within rel threshold of best -> still bad
+    # 0.4 is a real improvement -> resets counter
+    assert s.step(0.4) == 0.5
+
+
+def test_checkpoint_roundtrip(tmp_path, toy_data):
+    x, y = toy_data
+    model = LightweightUNet()
+    opt = make_optimizer(1e-3, 1e-5)
+    state = _fresh_state(model, opt)
+    step = make_train_step(model.apply, opt)
+    state, _ = step(state, jnp.asarray(x[:8]), jnp.asarray(y[:8]))
+
+    path = save_checkpoint(str(tmp_path / "ckpt"), params=state.params,
+                           opt_state=state.opt_state, epoch=3, val_loss=0.12,
+                           extra={"lr_state": {"lr": 1e-3, "best": 0.12,
+                                               "num_bad_epochs": 0}})
+    item, meta = restore_checkpoint(path)
+    assert meta["epoch"] == 3 and meta["val_loss"] == 0.12
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(item["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resume: one more identical step from restored state == from live state
+    restored = TrainState(
+        params=jax.tree_util.tree_map(jnp.asarray, item["params"]),
+        opt_state=jax.tree_util.tree_map(jnp.asarray, item["opt_state"]),
+        step=jnp.asarray(1, jnp.int32),
+    )
+    # opt_state restored as plain pytree loses the NamedTuple types; rebuild
+    # through the canonical structure instead
+    ref_struct = jax.tree_util.tree_structure(state.opt_state)
+    restored_opt = jax.tree_util.tree_unflatten(
+        ref_struct, jax.tree_util.tree_leaves(item["opt_state"])
+    )
+    restored = restored.replace(opt_state=jax.tree_util.tree_map(jnp.asarray, restored_opt))
+    s_live, l_live = step(state, jnp.asarray(x[8:]), jnp.asarray(y[8:]))
+    s_rest, l_rest = step(restored, jnp.asarray(x[8:]), jnp.asarray(y[8:]))
+    np.testing.assert_allclose(float(l_live), float(l_rest), rtol=1e-6)
+
+
+def test_train_model_end_to_end(tmp_path, toy_data):
+    x, y = toy_data
+    model = LightweightUNet()
+    train_loader = _ArrayLoader(x[:8], y[:8], 4)
+    val_loader = _ArrayLoader(x[8:], y[8:], 4)
+    best_params, best_val, state = train_model(
+        model, train_loader, val_loader, epochs=2, lr=1e-3,
+        output_dir=str(tmp_path), save_every=10, progress=False,
+    )
+    assert np.isfinite(best_val)
+    assert (tmp_path / "best_model").exists()
+    n_leaves = len(jax.tree_util.tree_leaves(best_params))
+    assert n_leaves == 64  # 9 blocks * 6 + 4 upconvs * 2 + output w/b
