@@ -1,0 +1,115 @@
+"""Headline benchmark: /infer serving throughput on one TPU chip.
+
+Measures the serving engine's device path (uint8 in -> normalize -> bf16
+U-Net forward -> clip -> uint8 out) at 512x512 on the production weights,
+at the engine's steady-state batch size, and compares against the
+reference serving baseline: single-image CPU forwards, which is what the
+reference's ONNX-Runtime CPU ExecutionProvider does per /infer request
+(reference: api/app.py:84,170-171). onnxruntime is not available in this
+environment, so the CPU baseline is the same computation via torch CPU —
+the ONNX graph is a direct export of that torch model.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = 128  # throughput-serving batch; amortizes per-dispatch overhead
+SIZE = 512
+WARMUP_ITERS = 2
+BENCH_ITERS = 10
+BASELINE_IMAGES = 4
+
+
+def _tpu_throughput(params) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from image_enhancement_deglaring_tpu.models import LightweightUNet
+    from image_enhancement_deglaring_tpu.serve.engine import InferenceEngine
+
+    model = LightweightUNet(dtype=jnp.bfloat16)
+    engine = InferenceEngine(
+        model.apply, params, image_size=SIZE, max_batch_size=BATCH,
+        compute_dtype=jnp.bfloat16, warmup=False,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.random((BATCH, SIZE, SIZE, 1)) * 255).astype(np.uint8))
+    step = engine._step
+
+    # On some backends block_until_ready returns before execution completes;
+    # fetching a device-reduced scalar is the reliable execution barrier.
+    @jax.jit
+    def checksum(y):
+        return jnp.sum(y.astype(jnp.int32))
+
+    for _ in range(WARMUP_ITERS):
+        float(checksum(step(engine._params, x)))
+    t0 = time.perf_counter()
+    for _ in range(BENCH_ITERS):
+        out = step(engine._params, x)
+    float(checksum(out))
+    dt = time.perf_counter() - t0
+    return BATCH * BENCH_ITERS / dt
+
+
+def _cpu_baseline_throughput(params) -> float | None:
+    """Single-image torch-CPU forwards (the reference's serving pattern)."""
+    try:
+        from image_enhancement_deglaring_tpu.modelio.torch_reference import (
+            torch_forward_lightweight,
+        )
+    except Exception:
+        return None
+    try:
+        rng = np.random.default_rng(0)
+        x = rng.random((1, SIZE, SIZE, 1)).astype(np.float32)
+        torch_forward_lightweight(params, x)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(BASELINE_IMAGES):
+            torch_forward_lightweight(params, x)
+        dt = time.perf_counter() - t0
+        return BASELINE_IMAGES / dt
+    except Exception:
+        return None
+
+
+def main() -> int:
+    from image_enhancement_deglaring_tpu.modelio import (
+        lightweight_unet_params_from_onnx,
+    )
+
+    onnx_path = "/root/reference/best_model.onnx"
+    if os.path.exists(onnx_path):
+        params = lightweight_unet_params_from_onnx(onnx_path)
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        from image_enhancement_deglaring_tpu.models import LightweightUNet
+
+        params = jax.jit(LightweightUNet().init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 1))
+        )["params"]
+
+    tpu_ips = _tpu_throughput(params)
+    cpu_ips = _cpu_baseline_throughput(params)
+    vs_baseline = (tpu_ips / cpu_ips) if cpu_ips else None
+
+    print(json.dumps({
+        "metric": "infer_throughput_512x512_bf16",
+        "value": round(tpu_ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -4,17 +4,15 @@ This is the standard JAX trick for exercising multi-device sharding
 (pjit / shard_map over a Mesh) without TPU hardware; numerics tests also
 run faster and deterministically on CPU.
 
-Must run before jax is imported anywhere.
+Note: this environment's sitecustomize force-registers a remote TPU PJRT
+plugin and pins JAX_PLATFORMS=axon, so the env var alone is not enough —
+we must override via jax.config before any backend is initialized.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -85,44 +85,9 @@ def test_onnx_import_shapes(onnx_params):
     assert not np.allclose(onnx_params["enc1"]["gn1_scale"], 1.0)
 
 
-def _torch_forward_lightweight(params, x_nhwc):
-    """Reference semantics executed with torch functional ops (test-only)."""
-    import torch
-    import torch.nn.functional as F
-
-    def t(a):
-        return torch.from_numpy(np.asarray(a))
-
-    def block(x, p):
-        w1 = t(p["conv1"]).permute(3, 2, 0, 1)  # HWIO -> OIHW
-        x = F.conv2d(x, w1, padding=1)
-        x = F.group_norm(x, 8, t(p["gn1_scale"]), t(p["gn1_bias"]))
-        x = F.silu(x)
-        w2 = t(p["conv2"]).permute(3, 2, 0, 1)
-        x = F.conv2d(x, w2, padding=1)
-        x = F.group_norm(x, 8, t(p["gn2_scale"]), t(p["gn2_bias"]))
-        return F.silu(x)
-
-    x = torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)).copy())
-    enc1 = block(x, params["enc1"])
-    enc2 = block(F.avg_pool2d(enc1, 2), params["enc2"])
-    enc3 = block(F.avg_pool2d(enc2, 2), params["enc3"])
-    enc4 = block(F.avg_pool2d(enc3, 2), params["enc4"])
-    b = block(F.avg_pool2d(enc4, 2), params["bottleneck"])
-
-    d = b
-    for up, dec, skip in (
-        ("upconv4", "dec4", enc4),
-        ("upconv3", "dec3", enc3),
-        ("upconv2", "dec2", enc2),
-        ("upconv1", "dec1", enc1),
-    ):
-        d = F.conv_transpose2d(d, t(params[up]["weight"]), t(params[up]["bias"]), stride=2)
-        d = block(torch.cat([d, skip], dim=1), params[dec])
-
-    wout = t(params["output_conv_weight"]).permute(3, 2, 0, 1)
-    out = F.conv2d(d, wout, t(params["output_conv_bias"]))
-    return np.transpose(out.detach().numpy(), (0, 2, 3, 1))
+from image_enhancement_deglaring_tpu.modelio.torch_reference import (  # noqa: E402
+    torch_forward_lightweight as _torch_forward_lightweight,
+)
 
 
 def test_forward_parity_with_torch_on_production_weights(onnx_params, rng):

@@ -53,7 +53,11 @@ def test_engine_batch_matches_single(engine, rng):
     imgs = (rng.random((3, SIZE, SIZE)) * 255).astype(np.uint8)
     batch_out = engine.infer_batch(imgs)
     singles = np.stack([engine.infer_one(imgs[i]) for i in range(3)])
-    np.testing.assert_array_equal(batch_out, singles)
+    # different batch buckets compile to different fusions; a last-ulp float
+    # difference may cross the floor() boundary -> allow 1 uint8 level
+    diff = np.abs(batch_out.astype(np.int16) - singles.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-3
 
 
 def test_engine_async_micro_batching(engine, rng):
