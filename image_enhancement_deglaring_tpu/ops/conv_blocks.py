@@ -65,6 +65,18 @@ def conv2d(
         w: (kh, kw, Cin, Cout)
         b: optional (Cout,) bias
     """
+    if w.shape[0] == 1 and w.shape[1] == 1 and stride == 1 and padding == 0:
+        # 1x1 conv as a plain channel matmul: maps straight onto the MXU and
+        # sidesteps a jax vmap-batching defect for 1-output-channel convs.
+        y = jnp.einsum(
+            "nhwc,co->nhwo",
+            x,
+            w[0, 0].astype(x.dtype),
+            precision=lax.Precision.HIGHEST,
+        )
+        if b is not None:
+            y = y + b.astype(y.dtype)
+        return y
     pad = ((padding, padding), (padding, padding))
     y = lax.conv_general_dilated(
         x,

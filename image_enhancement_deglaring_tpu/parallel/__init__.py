@@ -1,4 +1,13 @@
 from .mesh import make_mesh, replicate, shard_batch, batch_sharding, replicated_sharding
+from .sweep import (
+    SearchSpace,
+    Trial,
+    VmappedTrialGroup,
+    hyperband_rungs,
+    run_sweep,
+    sample_random,
+    sample_tpe,
+)
 
 __all__ = [
     "make_mesh",
@@ -6,4 +15,11 @@ __all__ = [
     "shard_batch",
     "batch_sharding",
     "replicated_sharding",
+    "SearchSpace",
+    "Trial",
+    "VmappedTrialGroup",
+    "hyperband_rungs",
+    "run_sweep",
+    "sample_random",
+    "sample_tpe",
 ]

@@ -1,0 +1,365 @@
+"""Hyperparameter sweeps, fanned out across TPU chips.
+
+The reference runs a W&B Bayesian sweep with Hyperband early termination,
+one trial at a time in one process (reference: sweep.py:41-91, :241 —
+search space: batch_size in {4,8,16,32}, lr ~ logU[1e-4,1e-2],
+wd ~ logU[1e-6,1e-3]; fixed AMP, grad-clip 1.0, image 512, 'basic' model).
+
+TPU-native redesign:
+- trials with the same batch size are **vmapped into one lock-step group**:
+  parameter/optimizer pytrees gain a leading trial axis that is **sharded
+  across the device mesh**, so N trials train simultaneously, one per chip,
+  from a single jitted step (hyperparameters lr/wd enter the compiled step
+  as traced per-trial arrays — no recompilation between trials);
+- every trial sees the same data stream, matching the reference's
+  same-seed-per-trial behavior (reference: sweep.py:103);
+- search: random sampling or a TPE-style sampler (good/bad kernel density
+  split, the same family of estimator W&B's bayes uses) over log-uniform
+  lr/wd and categorical batch size;
+- early termination: successive halving at Hyperband rungs — after each
+  rung only the top 1/eta trials (by val loss) continue.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops.metrics import l1_loss
+from ..train.lr_control import ReduceLROnPlateau
+
+# --------------------------------------------------------------------- space
+
+
+@dataclass
+class SearchSpace:
+    batch_sizes: tuple = (4, 8, 16, 32)
+    lr_min: float = 1e-4
+    lr_max: float = 1e-2
+    wd_min: float = 1e-6
+    wd_max: float = 1e-3
+
+
+@dataclass
+class Trial:
+    trial_id: int
+    batch_size: int
+    lr: float
+    wd: float
+    val_losses: list = field(default_factory=list)
+    stopped_at: int | None = None  # rung epoch where halving dropped it
+
+    @property
+    def best_val_loss(self) -> float:
+        return min(self.val_losses) if self.val_losses else float("inf")
+
+
+def sample_random(rng: np.random.Generator, n: int, space: SearchSpace) -> list[Trial]:
+    trials = []
+    for i in range(n):
+        trials.append(Trial(
+            trial_id=i,
+            batch_size=int(rng.choice(space.batch_sizes)),
+            lr=float(np.exp(rng.uniform(np.log(space.lr_min), np.log(space.lr_max)))),
+            wd=float(np.exp(rng.uniform(np.log(space.wd_min), np.log(space.wd_max)))),
+        ))
+    return trials
+
+
+def sample_tpe(rng: np.random.Generator, n: int, space: SearchSpace,
+               history: list[Trial], gamma: float = 0.25,
+               n_candidates: int = 64) -> list[Trial]:
+    """TPE-style sampling: fit 'good' vs 'bad' KDEs over log(lr), log(wd) of
+    completed trials, draw candidates from the good density, keep those
+    maximizing good/bad likelihood ratio. Falls back to random until enough
+    history exists."""
+    done = [t for t in history if t.val_losses]
+    if len(done) < 4:
+        return sample_random(rng, n, space)
+    done = sorted(done, key=lambda t: t.best_val_loss)
+    n_good = max(1, int(math.ceil(gamma * len(done))))
+    good, bad = done[:n_good], done[n_good:] or done[:n_good]
+
+    def kde_logpdf(x, samples, lo, hi):
+        samples = np.asarray(samples)
+        bw = max((hi - lo) / 6.0, 1e-3) / max(len(samples) ** 0.2, 1.0)
+        d = (x[:, None] - samples[None, :]) / bw
+        return np.log(np.mean(np.exp(-0.5 * d * d), axis=1) / (bw * np.sqrt(2 * np.pi)) + 1e-12)
+
+    lo_lr, hi_lr = np.log(space.lr_min), np.log(space.lr_max)
+    lo_wd, hi_wd = np.log(space.wd_min), np.log(space.wd_max)
+    out = []
+    base_id = (max((t.trial_id for t in history), default=-1)) + 1
+    for i in range(n):
+        cand_lr = rng.uniform(lo_lr, hi_lr, n_candidates)
+        cand_wd = rng.uniform(lo_wd, hi_wd, n_candidates)
+        score = (
+            kde_logpdf(cand_lr, [np.log(t.lr) for t in good], lo_lr, hi_lr)
+            - kde_logpdf(cand_lr, [np.log(t.lr) for t in bad], lo_lr, hi_lr)
+            + kde_logpdf(cand_wd, [np.log(t.wd) for t in good], lo_wd, hi_wd)
+            - kde_logpdf(cand_wd, [np.log(t.wd) for t in bad], lo_wd, hi_wd)
+        )
+        k = int(np.argmax(score))
+        # categorical batch size: sample proportional to good-trial counts
+        counts = np.array([
+            sum(1 for t in good if t.batch_size == b) + 0.5
+            for b in space.batch_sizes
+        ])
+        bs = int(rng.choice(space.batch_sizes, p=counts / counts.sum()))
+        out.append(Trial(trial_id=base_id + i, batch_size=bs,
+                         lr=float(np.exp(cand_lr[k])), wd=float(np.exp(cand_wd[k]))))
+    return out
+
+
+# --------------------------------------------------------------- trial group
+
+
+class VmappedTrialGroup:
+    """Train N same-batch-size trials in lock step via vmap, trial axis
+    sharded over the mesh."""
+
+    def __init__(self, model, trials: list[Trial], *, clip_grad_norm: float = 1.0,
+                 mesh=None, seed: int = 42, plateau_patience: int = 5,
+                 plateau_factor: float = 0.5):
+        self.model = model
+        self.trials = trials
+        self.mesh = mesh
+        n = len(trials)
+
+        base_params = jax.jit(model.init)(
+            jax.random.PRNGKey(seed), jnp.zeros((1, 16, 16, 1))
+        )["params"]
+        # same init for every trial (reference seeds every trial identically,
+        # sweep.py:103)
+        stacked = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (n,) + x.shape), base_params
+        )
+        tx_proto = optax.chain(
+            optax.clip_by_global_norm(clip_grad_norm),
+            optax.adamw(1e-3, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0),
+        )
+        opt_state = jax.vmap(tx_proto.init)(stacked)
+
+        self.lrs = jnp.asarray([t.lr for t in trials], jnp.float32)
+        self.wds = jnp.asarray([t.wd for t in trials], jnp.float32)
+        self.params = stacked
+        self.opt_state = opt_state
+        self.clip = clip_grad_norm
+        self.schedulers = [
+            ReduceLROnPlateau(t.lr, factor=plateau_factor, patience=plateau_patience)
+            for t in trials
+        ]
+
+        if mesh is not None and n % mesh.devices.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            tsh = NamedSharding(mesh, P(axis))
+            rep = NamedSharding(mesh, P())
+            put_t = lambda x: jax.device_put(x, tsh) if x.shape[0] == n else x
+            self.params = jax.tree_util.tree_map(put_t, self.params)
+            self.opt_state = jax.tree_util.tree_map(
+                lambda x: put_t(x) if hasattr(x, "shape") and x.ndim and x.shape[0] == n
+                else jax.device_put(x, rep),
+                self.opt_state,
+            )
+            self.lrs = jax.device_put(self.lrs, tsh)
+            self.wds = jax.device_put(self.wds, tsh)
+
+        apply_fn = model.apply
+        clip = self.clip
+
+        def one_trial_step(params, opt_state, lr, wd, x, y):
+            def loss_fn(p):
+                return l1_loss(apply_fn({"params": p}, x), y)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            tx = optax.chain(
+                optax.clip_by_global_norm(clip),
+                optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd),
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        def one_trial_val(params, x, y):
+            return l1_loss(apply_fn({"params": params}, x), y)
+
+        # Broadcast the shared data batch across the trial axis inside the
+        # compiled step (XLA keeps it lazy) and vmap over everything —
+        # jax's batched-kernel/shared-input conv rule mis-handles
+        # 1-output-channel convs, so in_axes=None on data is not an option.
+        def group_train_step(params, opt_state, lrs, wds, x, y):
+            k = lrs.shape[0]  # trial count (shrinks after halving)
+            xb = jnp.broadcast_to(x[None], (k,) + x.shape)
+            yb = jnp.broadcast_to(y[None], (k,) + y.shape)
+            return jax.vmap(one_trial_step)(params, opt_state, lrs, wds, xb, yb)
+
+        def group_val_step(params, x, y):
+            k = jax.tree_util.tree_leaves(params)[0].shape[0]
+            xb = jnp.broadcast_to(x[None], (k,) + x.shape)
+            yb = jnp.broadcast_to(y[None], (k,) + y.shape)
+            return jax.vmap(one_trial_val)(params, xb, yb)
+
+        self._train_step = jax.jit(group_train_step)
+        self._val_step = jax.jit(group_val_step)
+
+    def train_epoch(self, train_loader, epoch: int) -> np.ndarray:
+        if hasattr(train_loader, "set_epoch"):
+            train_loader.set_epoch(epoch)
+        running = np.zeros(len(self.trials))
+        n = 0
+        for x, y in train_loader:
+            self.params, self.opt_state, losses = self._train_step(
+                self.params, self.opt_state, self.lrs, self.wds,
+                jnp.asarray(x), jnp.asarray(y),
+            )
+            running += np.asarray(losses)
+            n += 1
+        return running / max(n, 1)
+
+    def val_epoch(self, val_loader) -> np.ndarray:
+        total = np.zeros(len(self.trials))
+        seen = 0
+        for x, y in val_loader:
+            losses = self._val_step(self.params, jnp.asarray(x), jnp.asarray(y))
+            b = x.shape[0]
+            total += np.asarray(losses) * b
+            seen += b
+        return total / max(seen, 1)
+
+    def step_schedulers(self, val_losses: np.ndarray) -> None:
+        new = [s.step(float(v)) for s, v in zip(self.schedulers, val_losses)]
+        self.lrs = jnp.asarray(new, jnp.float32)
+
+    def keep(self, indices: list[int]) -> None:
+        """Drop all but ``indices`` (successive halving compaction)."""
+        idx = jnp.asarray(indices)
+        take = lambda x: jnp.take(x, idx, axis=0)
+        self.params = jax.tree_util.tree_map(take, self.params)
+        self.opt_state = jax.tree_util.tree_map(
+            lambda x: take(x)
+            if hasattr(x, "shape") and x.ndim and x.shape[0] == len(self.trials)
+            else x,
+            self.opt_state,
+        )
+        self.lrs = take(self.lrs)
+        self.wds = take(self.wds)
+        self.trials = [self.trials[i] for i in indices]
+        self.schedulers = [self.schedulers[i] for i in indices]
+
+    def params_of(self, i: int):
+        return jax.tree_util.tree_map(lambda x: np.asarray(x[i]), self.params)
+
+
+# --------------------------------------------------------------------- sweep
+
+
+def hyperband_rungs(min_iter: int, max_epochs: int, eta: int = 3) -> list[int]:
+    """Rung epochs: min_iter, min_iter*eta, ... capped at max_epochs."""
+    rungs = []
+    r = min_iter
+    while r < max_epochs:
+        rungs.append(r)
+        r *= eta
+    rungs.append(max_epochs)
+    return rungs
+
+
+def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
+              max_epochs: int = 50, min_iter: int = 10, eta: int = 3,
+              method: str = "tpe", seed: int = 42, mesh=None,
+              output_dir: str = "./sweep_out", space: SearchSpace | None = None,
+              logger=None) -> dict:
+    """Run a sweep; returns {'best': Trial-dict, 'trials': [...]}.
+
+    Args:
+        model_factory: () -> Flax module.
+        loader_factory: (batch_size) -> (train_loader, val_loader).
+        mesh: optional Mesh; trial groups shard their trial axis over it.
+    """
+    space = space or SearchSpace()
+    rng = np.random.default_rng(seed)
+    sampler = sample_tpe if method == "tpe" else sample_random
+    history: list[Trial] = []
+    trials = sampler(rng, n_trials, space, history) if method == "tpe" else \
+        sample_random(rng, n_trials, space)
+    os.makedirs(output_dir, exist_ok=True)
+
+    rungs = hyperband_rungs(min_iter, max_epochs, eta)
+    by_bs: dict[int, list[Trial]] = {}
+    for t in trials:
+        by_bs.setdefault(t.batch_size, []).append(t)
+
+    all_trials: list[Trial] = []
+    best: Trial | None = None
+    for bs, group_trials in sorted(by_bs.items()):
+        train_loader, val_loader = loader_factory(bs)
+        group = VmappedTrialGroup(model_factory(), group_trials, mesh=mesh, seed=seed)
+        epoch = 0
+        for rung_idx, rung in enumerate(rungs):
+            while epoch < rung and group.trials:
+                group.train_epoch(train_loader, epoch)
+                val_losses = group.val_epoch(val_loader)
+                group.step_schedulers(val_losses)
+                for t, v in zip(group.trials, val_losses):
+                    t.val_losses.append(float(v))
+                    if logger is not None:
+                        logger.log({f"trial_{t.trial_id}/val_loss": float(v),
+                                    f"trial_{t.trial_id}/lr": t.lr}, step=epoch)
+                epoch += 1
+            if rung_idx < len(rungs) - 1 and len(group.trials) > 1:
+                order = np.argsort([t.best_val_loss for t in group.trials])
+                n_keep = max(1, len(group.trials) // eta)
+                dropped = [group.trials[i] for i in order[n_keep:]]
+                for t in dropped:
+                    t.stopped_at = epoch
+                    all_trials.append(t)
+                group.keep([int(i) for i in order[:n_keep]])
+        all_trials.extend(group.trials)
+        for i, t in enumerate(group.trials):
+            if best is None or t.best_val_loss < best.best_val_loss:
+                best = t
+                np.savez(
+                    os.path.join(output_dir, "best_trial_params.npz"),
+                    **{"/".join(map(str, k)): v for k, v in
+                       _flatten(group.params_of(i)).items()},
+                )
+
+    result = {
+        "best": _trial_dict(best),
+        "trials": [_trial_dict(t) for t in sorted(all_trials, key=lambda t: t.trial_id)],
+    }
+    with open(os.path.join(output_dir, "sweep_results.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    return result
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def _trial_dict(t: Trial | None) -> dict | None:
+    if t is None:
+        return None
+    return {
+        "trial_id": t.trial_id,
+        "batch_size": t.batch_size,
+        "lr": t.lr,
+        "wd": t.wd,
+        "best_val_loss": t.best_val_loss,
+        "epochs_run": len(t.val_losses),
+        "stopped_at": t.stopped_at,
+    }

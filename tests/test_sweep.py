@@ -1,0 +1,125 @@
+"""Sweep tests: sampling bounds, Hyperband rungs, vmapped trial groups
+(sharded over the 8-device mesh), and a tiny end-to-end sweep."""
+
+import json
+
+import numpy as np
+import pytest
+import jax
+
+from image_enhancement_deglaring_tpu.models import LightweightUNet
+from image_enhancement_deglaring_tpu.parallel import (
+    SearchSpace,
+    Trial,
+    VmappedTrialGroup,
+    hyperband_rungs,
+    make_mesh,
+    run_sweep,
+    sample_random,
+    sample_tpe,
+)
+
+SIZE = 16
+SPACE = SearchSpace()
+
+
+class _ArrayLoader:
+    def __init__(self, x, y, batch_size):
+        self.x, self.y, self.batch_size = x, y, batch_size
+
+    def __len__(self):
+        return max(1, len(self.x) // self.batch_size)
+
+    def set_epoch(self, epoch):
+        pass
+
+    def __iter__(self):
+        for i in range(len(self)):
+            s = slice(i * self.batch_size, (i + 1) * self.batch_size)
+            yield self.x[s], self.y[s]
+
+
+@pytest.fixture(scope="module")
+def toy():
+    rng = np.random.default_rng(0)
+    y = rng.random((16, SIZE, SIZE, 1)).astype(np.float32)
+    x = np.clip(y + rng.normal(0, 0.1, y.shape), 0, 1).astype(np.float32)
+    return x, y
+
+
+def _tiny_model():
+    return LightweightUNet(features_start=2, num_groups=2)
+
+
+def test_sample_random_within_space():
+    rng = np.random.default_rng(0)
+    trials = sample_random(rng, 50, SPACE)
+    for t in trials:
+        assert t.batch_size in SPACE.batch_sizes
+        assert SPACE.lr_min <= t.lr <= SPACE.lr_max
+        assert SPACE.wd_min <= t.wd <= SPACE.wd_max
+
+
+def test_sample_tpe_prefers_good_region():
+    rng = np.random.default_rng(0)
+    # synthetic history: low lr ~1e-3 is good, high lr is bad
+    history = []
+    for i in range(20):
+        lr = float(np.exp(rng.uniform(np.log(1e-4), np.log(1e-2))))
+        t = Trial(trial_id=i, batch_size=8, lr=lr, wd=1e-5)
+        t.val_losses = [abs(np.log(lr) - np.log(1e-3))]
+        history.append(t)
+    new = sample_tpe(rng, 20, SPACE, history)
+    median_dist = np.median([abs(np.log(t.lr) - np.log(1e-3)) for t in new])
+    rand = sample_random(rng, 200, SPACE)
+    rand_dist = np.median([abs(np.log(t.lr) - np.log(1e-3)) for t in rand])
+    assert median_dist < rand_dist  # TPE concentrates near the optimum
+
+
+def test_hyperband_rungs():
+    assert hyperband_rungs(10, 50, eta=3) == [10, 30, 50]
+    assert hyperband_rungs(10, 9, eta=3) == [9]
+
+
+def test_vmapped_group_trains_and_halves(toy):
+    x, y = toy
+    mesh = make_mesh(8)
+    trials = sample_random(np.random.default_rng(1), 8, SPACE)
+    for t in trials:
+        t.batch_size = 8
+    group = VmappedTrialGroup(_tiny_model(), trials, mesh=mesh, seed=0)
+    loader = _ArrayLoader(x, y, 8)
+    l0 = group.train_epoch(loader, 0)
+    assert l0.shape == (8,)
+    val = group.val_epoch(loader)
+    assert np.isfinite(val).all()
+    # different lr/wd must give different trajectories
+    l1 = group.train_epoch(loader, 1)
+    assert len(np.unique(np.round(l1, 7))) > 1
+    # halve: keep the best 4
+    order = np.argsort(val)
+    group.keep([int(i) for i in order[:4]])
+    assert len(group.trials) == 4
+    l2 = group.train_epoch(loader, 2)
+    assert l2.shape == (4,)
+
+
+def test_run_sweep_end_to_end(tmp_path, toy):
+    x, y = toy
+
+    def loader_factory(bs):
+        return _ArrayLoader(x, y, bs), _ArrayLoader(x[:8], y[:8], bs)
+
+    result = run_sweep(
+        _tiny_model, loader_factory, n_trials=4, max_epochs=3, min_iter=1,
+        eta=2, method="random", seed=0, output_dir=str(tmp_path),
+        space=SearchSpace(batch_sizes=(8,)),
+    )
+    assert result["best"] is not None
+    assert len(result["trials"]) == 4
+    # halving must have stopped some trials early
+    stopped = [t for t in result["trials"] if t["stopped_at"] is not None]
+    assert len(stopped) >= 1
+    saved = json.load(open(tmp_path / "sweep_results.json"))
+    assert saved["best"]["trial_id"] == result["best"]["trial_id"]
+    assert (tmp_path / "best_trial_params.npz").exists()
