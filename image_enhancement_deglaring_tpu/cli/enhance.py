@@ -1,0 +1,100 @@
+"""Batch de-glaring CLI (reference: main.py:13-136 — file-or-directory
+input, PNG outputs, optional side-by-side visualization)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="De-glare images using the trained model")
+    p.add_argument("--input", type=str, required=True,
+                   help="Path to input image or directory")
+    p.add_argument("--output_dir", type=str, default="./results")
+    p.add_argument("--model_path", type=str, default="./models/best_model")
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--visualize", action="store_true")
+    p.add_argument("--mode", type=str, default="resize", choices=["resize", "tile"])
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import numpy as np
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..data.pipeline import decode_inference_image
+    from ..eval import load_model_for_eval
+    from ..serve import InferenceEngine, TiledInference
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    apply_fn, params = load_model_for_eval(args.model_path,
+                                           compute_dtype=jnp.float32)
+    from ..models import get_model_size_mb
+
+    print(f"Model loaded successfully - Size: {get_model_size_mb(params):.2f} MB")
+
+    if args.mode == "tile":
+        tiler = TiledInference(apply_fn, params, tile=args.image_size,
+                               compute_dtype=jnp.float32)
+        run = lambda u8: tiler(u8)
+    else:
+        engine = InferenceEngine(apply_fn, params, image_size=args.image_size,
+                                 max_batch_size=1, compute_dtype=jnp.float32,
+                                 warmup=False)
+        run = engine.infer_one
+
+    if os.path.isfile(args.input):
+        files = [args.input]
+    elif os.path.isdir(args.input):
+        files = sorted(
+            os.path.join(args.input, f) for f in os.listdir(args.input)
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        print(f"Found {len(files)} images to process")
+    else:
+        raise SystemExit(f"Input path not found: {args.input}")
+
+    for path in files:
+        print(f"Processing image: {path}")
+        if args.mode == "tile":
+            img = np.asarray(Image.open(path).convert("L"))
+            out = run(img.astype(np.uint8))
+        else:
+            x = decode_inference_image(path, args.image_size)  # float [0,1]
+            out = run((x * 255).astype(np.uint8))
+        out_path = os.path.join(args.output_dir, os.path.basename(path))
+        Image.fromarray(out, mode="L").save(out_path)
+        print(f"Output saved to: {out_path}")
+        if args.visualize:
+            _visualize(path, out, out_path)
+
+    print(f"All images processed and saved to: {args.output_dir}")
+
+
+def _visualize(input_path, output_image, output_path):
+    """Side-by-side figure (reference: main.py:40-59)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+    from PIL import Image
+
+    input_image = np.array(Image.open(input_path).convert("L"))
+    fig, ax = plt.subplots(1, 2, figsize=(10, 5))
+    ax[0].imshow(input_image, cmap="gray")
+    ax[0].set_title("Input Image (with glare)")
+    ax[0].axis("off")
+    ax[1].imshow(output_image, cmap="gray")
+    ax[1].set_title("De-glared Image")
+    ax[1].axis("off")
+    fig.tight_layout()
+    fig.savefig(output_path.replace(".png", "_comparison.png"))
+    plt.close(fig)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""Serving CLI: run the HTTP API backed by the batched TPU engine
+(replaces `uvicorn api.app:app`, reference: api/app.py:221-222)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Serve the de-glaring model over HTTP")
+    p.add_argument("--host", type=str, default="0.0.0.0")
+    p.add_argument("--port", type=int, default=4000)
+    p.add_argument("--model_path", type=str, default="/root/reference/best_model.onnx")
+    p.add_argument("--mode", type=str, default="resize", choices=["resize", "tile"],
+                   help="resize = reference-parity 512^2; tile = full-res tiled")
+    p.add_argument("--max_batch_size", type=int, default=8)
+    p.add_argument("--batch_timeout_ms", type=float, default=3.0)
+    p.add_argument("--tile_overlap", type=int, default=32)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--log_dir", type=str, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax.numpy as jnp
+
+    from ..serve import create_server
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    server = create_server(
+        args.model_path, host=args.host, port=args.port, mode=args.mode,
+        max_batch_size=args.max_batch_size,
+        batch_timeout_ms=args.batch_timeout_ms, compute_dtype=dtype,
+        tile_overlap=args.tile_overlap, log_dir=args.log_dir,
+    )
+    server.run()
+
+
+if __name__ == "__main__":
+    main()

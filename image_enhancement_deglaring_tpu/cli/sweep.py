@@ -1,0 +1,65 @@
+"""Sweep CLI (reference: sweep.py:23-38 flags; search space sweep.py:54-88)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Run a hyperparameter sweep for glare removal model")
+    p.add_argument("--data_dir", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="./models")
+    p.add_argument("--sweep_count", type=int, default=20)
+    p.add_argument("--val_split", type=float, default=0.2)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--max_epochs", type=int, default=50)
+    p.add_argument("--early_stop_min_iter", type=int, default=10,
+                   help="Hyperband min_iter (reference sweep.py:51)")
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--method", type=str, default="tpe", choices=["tpe", "random"])
+    p.add_argument("--cache_images", action="store_true")
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="trial-parallel devices (0 = all local)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    from ..data import make_dataloaders
+    from ..models import LightweightUNet
+    from ..parallel import make_mesh, run_sweep
+    from ..utils import ExperimentLogger, set_seed
+
+    set_seed(args.seed)
+    n_dev = args.n_devices or len(jax.devices())
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+
+    loaders_cache = {}
+
+    def loader_factory(batch_size):
+        if batch_size not in loaders_cache:
+            loaders_cache[batch_size] = make_dataloaders(
+                args.data_dir, batch_size=batch_size, val_split=args.val_split,
+                seed=args.seed, image_size=args.image_size,
+                num_workers=args.num_workers, cache_images=args.cache_images,
+            )
+        return loaders_cache[batch_size]
+
+    logger = ExperimentLogger(f"{args.output_dir}/sweep_logs", config=vars(args))
+    result = run_sweep(
+        LightweightUNet, loader_factory, n_trials=args.sweep_count,
+        max_epochs=args.max_epochs, min_iter=args.early_stop_min_iter,
+        method=args.method, seed=args.seed, mesh=mesh,
+        output_dir=args.output_dir, logger=logger,
+    )
+    best = result["best"]
+    print(f"Sweep completed. Best trial: id={best['trial_id']} "
+          f"batch_size={best['batch_size']} lr={best['lr']:.6g} "
+          f"wd={best['wd']:.6g} val_loss={best['best_val_loss']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

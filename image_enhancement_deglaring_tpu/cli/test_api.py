@@ -1,0 +1,64 @@
+"""API smoke-test CLI (reference: api/test_api.py:25-92 — ping/infer tests
+with --test ping|infer|all, --url, --image flags)."""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import os
+
+
+def test_ping(url: str) -> bool:
+    import requests
+
+    resp = requests.get(f"{url}/ping", timeout=10)
+    ok = resp.status_code == 200 and resp.json() == {"message": "pong"}
+    print(f"Ping test: {'PASSED' if ok else 'FAILED'} "
+          f"(status {resp.status_code}, body {resp.text})")
+    return ok
+
+
+def test_infer(url: str, image_path: str, out_dir: str = "test_output") -> bool:
+    import requests
+    from PIL import Image
+
+    with open(image_path, "rb") as f:
+        resp = requests.post(
+            f"{url}/infer",
+            files={"image": (os.path.basename(image_path), f, "image/png")},
+            timeout=120,
+        )
+    if resp.status_code != 200:
+        print(f"Infer test: FAILED (status {resp.status_code}: {resp.text[:200]})")
+        return False
+    img = Image.open(io.BytesIO(base64.b64decode(resp.json()["image"])))
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, f"enhanced_{os.path.basename(image_path)}")
+    img.save(out)
+    print(f"Infer test: PASSED (output {img.size} {img.mode} saved to {out})")
+    return True
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Test the de-glaring API")
+    p.add_argument("--test", choices=["ping", "infer", "all"], default="all")
+    p.add_argument("--url", default="http://localhost:4000")
+    p.add_argument("--image", default=None)
+    args = p.parse_args(argv)
+
+    ok = True
+    if args.test in ("ping", "all"):
+        ok &= test_ping(args.url)
+    if args.test in ("infer", "all"):
+        if not args.image:
+            print("Infer test skipped: provide --image path")
+        else:
+            ok &= test_infer(args.url, args.image)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

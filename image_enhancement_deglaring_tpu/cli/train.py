@@ -1,0 +1,132 @@
+"""Training CLI (reference: optimized_train.py:35-60 flags and defaults)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train glare removal model")
+    p.add_argument("--data_dir", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="./models")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--lr", type=float, default=0.002362532125818593)
+    p.add_argument("--val_split", type=float, default=0.2)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--save_every", type=int, default=10)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--model", type=str, default="basic",
+                   choices=["basic", "enhanced", "optimized"])
+    p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--wandb_project", type=str, default="image-deglaring")
+    p.add_argument("--weight_decay", type=float, default=0.00006753784966611083)
+    p.add_argument("--clip_grad_norm", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--log_images_every", type=int, default=5)
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--validation_metrics_every", type=int, default=5)
+    p.add_argument("--cache_images", action="store_true")
+    p.add_argument("--augment", type=str, default="optimized",
+                   choices=["optimized", "heavy", "none"])
+    # TPU-native additions
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="data-parallel devices (0 = all local)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint directory to resume from")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax.numpy as jnp
+
+    from ..data import make_dataloaders
+    from ..models import EnhancedUNet, LightweightUNet, OptimizedUNet, count_parameters
+    from ..parallel import make_mesh
+    from ..train import train_model
+    from ..utils import ExperimentLogger, set_seed
+
+    set_seed(args.seed)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    train_loader, val_loader = make_dataloaders(
+        args.data_dir, batch_size=args.batch_size, val_split=args.val_split,
+        seed=args.seed, image_size=args.image_size, num_workers=args.num_workers,
+        cache_images=args.cache_images, augment=args.augment,
+    )
+    print(f"Training samples: {train_loader.num_samples}, "
+          f"Validation samples: {val_loader.num_samples}")
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    if args.model == "enhanced":
+        model = EnhancedUNet(dtype=dtype)
+    elif args.model == "optimized":
+        model = OptimizedUNet(dtype=dtype)
+    else:
+        model = LightweightUNet(dtype=dtype)
+
+    import jax
+
+    n_dev = args.n_devices or len(jax.devices())
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    if mesh is not None and args.batch_size % n_dev != 0:
+        raise SystemExit(f"--batch_size {args.batch_size} must divide by "
+                         f"{n_dev} devices")
+
+    logger = ExperimentLogger(
+        os.path.join(args.output_dir, "logs"), use_wandb=args.use_wandb,
+        project=args.wandb_project, config=vars(args),
+    )
+
+    resume_state = None
+    start_epoch = 0
+    if args.resume:
+        from ..train import restore_checkpoint
+        item, meta = restore_checkpoint(args.resume)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        print(f"Resuming from {args.resume} at epoch {start_epoch}")
+
+    best_params, best_val, _state = train_model(
+        model, train_loader, val_loader, epochs=args.epochs, lr=args.lr,
+        weight_decay=args.weight_decay, clip_grad_norm=args.clip_grad_norm,
+        patience=args.patience, output_dir=args.output_dir,
+        save_every=args.save_every,
+        validation_metrics_every=args.validation_metrics_every,
+        log_images_every=args.log_images_every, mesh=mesh, seed=args.seed,
+        logger=logger, start_epoch=start_epoch,
+        init_params=item["params"] if args.resume else None,  # noqa: F821
+    )
+
+    from ..train import save_checkpoint
+
+    save_checkpoint(os.path.join(args.output_dir, "final_model"),
+                    params=best_params, val_loss=best_val)
+    import numpy as np
+
+    np.savez(os.path.join(args.output_dir, "model_weights.npz"),
+             **{"/".join(map(str, k)): v for k, v in _flatten(best_params).items()})
+    from ..models import get_model_size_mb
+
+    size_mb = get_model_size_mb(best_params)
+    print(f"Training completed. Best validation loss: {best_val:.4f}")
+    print(f"Final model size: {size_mb:.2f} MB "
+          f"({count_parameters(best_params):,} parameters)")
+    logger.finish()
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -55,11 +55,11 @@ def lightweight_unet_params_from_state_dict(sd: dict[str, np.ndarray]) -> dict:
     for blk in _BLOCKS:
         params[blk] = {
             "conv1": _conv_to_hwio(sd[f"{blk}.0.weight"]),
-            "gn1_scale": sd[f"{blk}.1.weight"].astype(np.float32),
-            "gn1_bias": sd[f"{blk}.1.bias"].astype(np.float32),
+            "gn1_scale": sd[f"{blk}.1.weight"].astype(np.float32).reshape(-1),
+            "gn1_bias": sd[f"{blk}.1.bias"].astype(np.float32).reshape(-1),
             "conv2": _conv_to_hwio(sd[f"{blk}.3.weight"]),
-            "gn2_scale": sd[f"{blk}.4.weight"].astype(np.float32),
-            "gn2_bias": sd[f"{blk}.4.bias"].astype(np.float32),
+            "gn2_scale": sd[f"{blk}.4.weight"].astype(np.float32).reshape(-1),
+            "gn2_bias": sd[f"{blk}.4.bias"].astype(np.float32).reshape(-1),
         }
     for up in _UPCONVS:
         params[up] = {

@@ -1,0 +1,105 @@
+"""CLI smoke tests over synthetic data: train -> evaluate -> export ->
+extract -> enhance -> split/check round trips."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from image_enhancement_deglaring_tpu.data import generate_synthetic_sd1
+
+
+@pytest.fixture(scope="module")
+def sd1(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sd1cli")
+    generate_synthetic_sd1(str(d), n_train=8, n_val=2, size=64, seed=0)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def trained(sd1, tmp_path_factory):
+    out = tmp_path_factory.mktemp("train_out")
+    from image_enhancement_deglaring_tpu.cli.train import main
+
+    main([
+        "--data_dir", f"{sd1}/train", "--output_dir", str(out),
+        "--batch_size", "4", "--epochs", "1", "--image_size", "64",
+        "--num_workers", "2", "--compute_dtype", "float32", "--n_devices", "1",
+    ])
+    return str(out)
+
+
+def test_train_cli_outputs(trained):
+    assert os.path.isdir(os.path.join(trained, "best_model"))
+    assert os.path.isdir(os.path.join(trained, "final_model"))
+    assert os.path.exists(os.path.join(trained, "model_weights.npz"))
+    metrics = [json.loads(l) for l in
+               open(os.path.join(trained, "logs", "metrics.jsonl"))]
+    assert any("val_loss" in m for m in metrics)
+
+
+def test_evaluate_cli(trained, sd1, capsys):
+    from image_enhancement_deglaring_tpu.cli.evaluate import main
+
+    main([
+        "--data_dir", f"{sd1}/val", "--model_path",
+        os.path.join(trained, "best_model"), "--batch_size", "2",
+        "--image_size", "64", "--num_workers", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "L1 Loss:" in out and "PSNR:" in out and "SSIM:" in out
+    results = open(os.path.join(trained, "evaluation_results.txt")).read()
+    assert "Model type: CKPT" in results
+
+
+def test_export_and_extract_cli(trained, tmp_path):
+    from image_enhancement_deglaring_tpu.cli.export_onnx import main as export_main
+    from image_enhancement_deglaring_tpu.cli.extract_weights import main as extract_main
+
+    onnx_path = str(tmp_path / "exported.onnx")
+    export_main(["--model_path", os.path.join(trained, "best_model"),
+                 "--output", onnx_path])
+    assert os.path.getsize(onnx_path) > 1_900_000  # ~486K f32 params
+
+    npz_path = str(tmp_path / "weights.npz")
+    extract_main([onnx_path, npz_path])
+    data = np.load(npz_path)
+    assert sum(v.size for v in data.values()) == 486409
+
+
+def test_enhance_cli(trained, tmp_path, rng):
+    from image_enhancement_deglaring_tpu.cli.enhance import main
+
+    img = (rng.random((80, 100)) * 255).astype(np.uint8)
+    inp = str(tmp_path / "in.png")
+    Image.fromarray(img).save(inp)
+    out_dir = str(tmp_path / "results")
+    main(["--input", inp, "--output_dir", out_dir, "--model_path",
+          os.path.join(trained, "best_model"), "--image_size", "64",
+          "--visualize"])
+    out = Image.open(os.path.join(out_dir, "in.png"))
+    assert out.mode == "L"
+    assert os.path.exists(os.path.join(out_dir, "in_comparison.png"))
+
+
+def test_split_image_cli(sd1, tmp_path):
+    from image_enhancement_deglaring_tpu.cli.split_image import main
+
+    src = os.path.join(sd1, "train")
+    first = sorted(os.listdir(src))[0]
+    rc = main([os.path.join(src, first), "-o", str(tmp_path)])
+    assert rc == 0
+    base = os.path.splitext(first)[0]
+    for suffix in ("ground_truth", "glared", "mask"):
+        img = Image.open(tmp_path / f"{base}_{suffix}.png")
+        assert img.size == (64, 64)
+
+
+def test_check_dataset_validator(sd1, capsys):
+    from image_enhancement_deglaring_tpu.data.validate import main
+
+    rc = main(sd1)  # synthetic 64px -> wrong dims for the 1536x512 contract
+    out = capsys.readouterr().out
+    assert rc == 1 and "incorrect dimensions" in out
