@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..ops.conv_blocks import (
     avg_pool_2x2,
     conv2d,
+    conv_block_dual,
     group_norm,
     resolve_group_count,
     silu,
@@ -81,6 +82,33 @@ class ConvBlock(nn.Module):
         return y
 
 
+class DualConvBlock(nn.Module):
+    """Decoder ConvBlock fed by (upsampled, skip) pairs without a concat.
+
+    Parameter names/shapes are identical to ConvBlock over the
+    concatenated input (conv1: (3,3,2f,f)), so checkpoints and ONNX/torch
+    imports are interchangeable; only the compute schedule differs (see
+    ops.conv_blocks.conv_block_dual).
+    """
+
+    features: int
+    num_groups: int = 8
+
+    @nn.compact
+    def __call__(self, x_up: jax.Array, x_skip: jax.Array) -> jax.Array:
+        f = self.features
+        g = resolve_group_count(f, self.num_groups)
+        params = {
+            "conv1": self.param("conv1", torch_conv_kernel_init, (3, 3, 2 * f, f)),
+            "gn1_scale": self.param("gn1_scale", nn.initializers.ones, (f,)),
+            "gn1_bias": self.param("gn1_bias", nn.initializers.zeros, (f,)),
+            "conv2": self.param("conv2", torch_conv_kernel_init, (3, 3, f, f)),
+            "gn2_scale": self.param("gn2_scale", nn.initializers.ones, (f,)),
+            "gn2_bias": self.param("gn2_bias", nn.initializers.zeros, (f,)),
+        }
+        return conv_block_dual(x_up, x_skip, params, num_groups=g)
+
+
 class UpConv2x(nn.Module):
     """ConvTranspose2d(k=2, s=2) equivalent (reference: src/model.py:47-53)."""
 
@@ -126,13 +154,13 @@ class LightweightUNet(nn.Module):
         bottleneck = ConvBlock(f[4], g, name="bottleneck")(avg_pool_2x2(enc4))
 
         d4 = UpConv2x(f[4], f[3], name="upconv4")(bottleneck)
-        d4 = ConvBlock(f[3], g, name="dec4")(jnp.concatenate([d4, enc4], axis=-1))
+        d4 = DualConvBlock(f[3], g, name="dec4")(d4, enc4)
         d3 = UpConv2x(f[3], f[2], name="upconv3")(d4)
-        d3 = ConvBlock(f[2], g, name="dec3")(jnp.concatenate([d3, enc3], axis=-1))
+        d3 = DualConvBlock(f[2], g, name="dec3")(d3, enc3)
         d2 = UpConv2x(f[2], f[1], name="upconv2")(d3)
-        d2 = ConvBlock(f[1], g, name="dec2")(jnp.concatenate([d2, enc2], axis=-1))
+        d2 = DualConvBlock(f[1], g, name="dec2")(d2, enc2)
         d1 = UpConv2x(f[1], f[0], name="upconv1")(d2)
-        d1 = ConvBlock(f[0], g, name="dec1")(jnp.concatenate([d1, enc1], axis=-1))
+        d1 = DualConvBlock(f[0], g, name="dec1")(d1, enc1)
 
         wout = self.param("output_conv_weight", torch_conv_kernel_init, (1, 1, f[0], self.out_channels))
         bout = self.param("output_conv_bias", _uniform_bias_init(f[0]), (self.out_channels,))

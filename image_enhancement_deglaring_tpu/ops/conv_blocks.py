@@ -139,6 +139,37 @@ def conv_block(
     return y
 
 
+def conv_block_dual(
+    x_up: jax.Array,
+    x_skip: jax.Array,
+    params: dict,
+    *,
+    num_groups: int,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """Decoder block: conv_block(concat([x_up, x_skip]), ...) computed
+    WITHOUT materializing the concatenation.
+
+    conv1's kernel (3,3,2f,f) splits along its input-channel axis into the
+    up-path and skip-path halves; conv(concat(a,b), w) == conv(a, w_a) +
+    conv(b, w_b) exactly. Skipping the concat avoids writing (and
+    re-reading) a doubled-width activation to HBM at every decoder level —
+    the widest tensors in the network (channel order matches the reference
+    torch.cat((dec, enc), dim=1), reference: src/model.py:116).
+    """
+    f = x_up.shape[-1]
+    w1 = params["conv1"]
+    y = conv2d(x_up, w1[:, :, :f, :], padding=1) + conv2d(
+        x_skip, w1[:, :, f:, :], padding=1
+    )
+    y = group_norm(y, params["gn1_scale"], params["gn1_bias"], num_groups=num_groups, eps=eps)
+    y = silu(y)
+    y = conv2d(y, params["conv2"], padding=1)
+    y = group_norm(y, params["gn2_scale"], params["gn2_bias"], num_groups=num_groups, eps=eps)
+    y = silu(y)
+    return y
+
+
 def avg_pool_2x2(x: jax.Array) -> jax.Array:
     """AvgPool2d(kernel=2, stride=2) on NHWC."""
     y = lax.reduce_window(

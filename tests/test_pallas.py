@@ -1,0 +1,50 @@
+"""Fused Pallas GroupNorm+SiLU: numerical equivalence with the XLA path
+(kernel runs in interpret mode on the CPU test backend)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from image_enhancement_deglaring_tpu.ops.conv_blocks import group_norm, silu
+from image_enhancement_deglaring_tpu.ops.pallas_kernels import (
+    _fused_gn_silu_pallas,
+    fused_group_norm_silu,
+)
+
+
+@pytest.mark.parametrize("shape,groups", [
+    ((2, 16, 16, 8), 8),
+    ((1, 8, 8, 32), 8),
+    ((3, 4, 4, 16), 4),
+])
+def test_fused_matches_xla(rng, shape, groups):
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 2 + 0.5)
+    c = shape[-1]
+    scale = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    want = silu(group_norm(x, scale, bias, num_groups=groups))
+    got = _fused_gn_silu_pallas(x, scale, bias, num_groups=groups, eps=1e-5,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_bf16_io(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8)).astype(np.float32))
+    scale = jnp.ones(8)
+    bias = jnp.zeros(8)
+    got = _fused_gn_silu_pallas(x.astype(jnp.bfloat16), scale, bias,
+                                num_groups=8, eps=1e-5, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    want = silu(group_norm(x, scale, bias, num_groups=8))
+    np.testing.assert_allclose(
+        np.asarray(got).astype(np.float32), np.asarray(want), atol=0.05
+    )
+
+
+def test_dispatcher_falls_back_on_cpu(rng):
+    # on the CPU test backend, auto mode must use the XLA path
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8)).astype(np.float32))
+    got = fused_group_norm_silu(x, jnp.ones(8), jnp.zeros(8), num_groups=8)
+    want = silu(group_norm(x, jnp.ones(8), jnp.zeros(8), num_groups=8))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
