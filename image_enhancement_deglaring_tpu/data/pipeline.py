@@ -70,16 +70,29 @@ def _resize_uint8(img: np.ndarray, size: int) -> np.ndarray:
         return np.asarray(Image.fromarray(img).resize((size, size), Image.BILINEAR))
 
 
-def decode_triptych(path: str, image_size: int = 512, *, with_mask: bool = False):
+def decode_triptych(path: str, image_size: int = 512, *, with_mask: bool = False,
+                    use_native: bool | None = None):
     """Decode one SD1 sample -> (glared, ground_truth[, mask]) float32 [0,1],
     each (H, W) at ``image_size``.
 
     Mirrors reference: src/optimized_dataset.py:56-79 (split thirds, gray,
-    resize, /255).
+    resize, /255). After PIL's entropy decode, the per-pixel work runs in
+    the native C++ library when it is available (see ``native/``), with
+    this numpy path as fallback.
     """
     from PIL import Image
 
     img = np.asarray(Image.open(path))
+
+    if not with_mask:
+        if use_native is None or use_native:
+            from .. import native
+
+            if native.native_available():
+                return native.triptych_preprocess(img, image_size)
+            if use_native:
+                raise RuntimeError("native library unavailable")
+
     third = img.shape[1] // 3
     gt = _to_gray_uint8(img[:, :third])
     glared = _to_gray_uint8(img[:, third : 2 * third])

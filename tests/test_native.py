@@ -1,0 +1,74 @@
+"""Native C++ preprocessing: availability, parity with the numpy path,
+and batch/thread correctness."""
+
+import numpy as np
+import pytest
+
+from image_enhancement_deglaring_tpu import native
+from image_enhancement_deglaring_tpu.data.pipeline import (
+    _resize_uint8,
+    _to_gray_uint8,
+    decode_triptych,
+)
+from image_enhancement_deglaring_tpu.data.synthetic import make_triptych
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="g++ toolchain unavailable"
+)
+
+
+def _numpy_reference(img, out_size):
+    third = img.shape[1] // 3
+    gt = _to_gray_uint8(img[:, :third])
+    glared = _to_gray_uint8(img[:, third : 2 * third])
+    gt = _resize_uint8(gt, out_size).astype(np.float32) / 255.0
+    glared = _resize_uint8(glared, out_size).astype(np.float32) / 255.0
+    return glared, gt
+
+
+def test_native_matches_numpy_identity_size(rng):
+    img = make_triptych(rng, size=64)
+    glared_n, gt_n = native.triptych_preprocess(img, 64)
+    glared_p, gt_p = _numpy_reference(img, 64)
+    np.testing.assert_array_equal(glared_n, glared_p)
+    np.testing.assert_array_equal(gt_n, gt_p)
+
+
+def test_native_resize_close_to_cv2(rng):
+    img = make_triptych(rng, size=64)
+    glared_n, gt_n = native.triptych_preprocess(img, 48)
+    glared_p, gt_p = _numpy_reference(img, 48)
+    # both are half-pixel bilinear; allow small fixed-point differences
+    assert np.abs(glared_n - glared_p).max() <= 2.5 / 255.0
+    assert np.abs(gt_n - gt_p).max() <= 2.5 / 255.0
+
+
+def test_native_batch_matches_single(rng):
+    imgs = np.stack([make_triptych(rng, size=32) for _ in range(6)])
+    g_b, t_b = native.triptych_preprocess_batch(imgs, 32, n_threads=4)
+    for i in range(6):
+        g_s, t_s = native.triptych_preprocess(imgs[i], 32)
+        np.testing.assert_array_equal(g_b[i], g_s)
+        np.testing.assert_array_equal(t_b[i], t_s)
+
+
+def test_inference_preprocess_gray_and_rgb(rng):
+    rgb = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+    out = native.inference_preprocess(rgb, 40)
+    want = _to_gray_uint8(rgb).astype(np.float32) / 255.0
+    np.testing.assert_array_equal(out, want)
+    gray = (rng.random((40, 40)) * 255).astype(np.uint8)
+    out2 = native.inference_preprocess(gray, 40)
+    np.testing.assert_array_equal(out2, gray.astype(np.float32) / 255.0)
+
+
+def test_decode_triptych_uses_native(tmp_path, rng):
+    from PIL import Image
+
+    img = make_triptych(rng, size=64)
+    p = str(tmp_path / "t.png")
+    Image.fromarray(img, mode="RGBA").save(p)
+    glared_native, gt_native = decode_triptych(p, 64, use_native=True)
+    glared_py, gt_py = decode_triptych(p, 64, use_native=False)
+    np.testing.assert_array_equal(glared_native, glared_py)
+    np.testing.assert_array_equal(gt_native, gt_py)
