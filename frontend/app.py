@@ -1,0 +1,111 @@
+"""Web frontend: upload -> enhance -> download.
+
+The reference ships a Streamlit app (reference: frontend/app.py:128-209:
+API status indicator, sample-image buttons, before/after columns, download
+button). Streamlit is not in this environment, so the same UX is a
+zero-dependency stdlib HTTP server + a static page whose JS calls the
+API's /infer directly (the API sends CORS headers). ``/health`` mirrors
+Streamlit's ``/_stcore/health`` role for the k8s probes.
+
+Env: API_URL (reference: frontend/app.py:17), HOST, PORT.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+API_URL = os.environ.get("API_URL", "http://localhost:4000")
+HOST = os.environ.get("HOST", "0.0.0.0")
+PORT = int(os.environ.get("PORT", "8501"))
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SAMPLES_DIR = os.path.join(_HERE, "samples")
+
+
+def _ensure_samples() -> list[str]:
+    """Generate two sample glare images on first run (the reference checks
+    in real sample PNGs; ours are synthesized)."""
+    os.makedirs(_SAMPLES_DIR, exist_ok=True)
+    names = ["test_input1.png", "test_input2.png"]
+    missing = [n for n in names if not os.path.exists(os.path.join(_SAMPLES_DIR, n))]
+    if missing:
+        try:
+            import numpy as np
+            from PIL import Image
+
+            from image_enhancement_deglaring_tpu.data.synthetic import make_triptych
+
+            rng = np.random.default_rng(7)
+            for n in names:
+                trip = make_triptych(rng, size=512)
+                third = trip.shape[1] // 3
+                glared = trip[:, third: 2 * third]
+                Image.fromarray(glared, mode="RGBA").save(os.path.join(_SAMPLES_DIR, n))
+        except Exception:
+            return []
+    return names
+
+
+class FrontendHandler(BaseHTTPRequestHandler):
+    samples: list[str] = []
+
+    def do_GET(self):
+        if self.path in ("/", "/index.html"):
+            self._serve_index()
+        elif self.path == "/health":
+            self._send(200, b"ok", "text/plain")
+        elif self.path == "/api_status":
+            self._api_status()
+        elif self.path.startswith("/samples/"):
+            self._serve_sample(os.path.basename(self.path))
+        else:
+            self._send(404, b"not found", "text/plain")
+
+    def _send(self, status: int, body: bytes, ctype: str):
+        self.send_response(status)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _serve_index(self):
+        with open(os.path.join(_HERE, "index.html"), "rb") as f:
+            page = f.read()
+        cfg = {"apiUrl": API_URL, "samples": self.samples}
+        page = page.replace(b"__CONFIG__", json.dumps(cfg).encode())
+        self._send(200, page, "text/html; charset=utf-8")
+
+    def _serve_sample(self, name: str):
+        path = os.path.join(_SAMPLES_DIR, os.path.basename(name))
+        if not os.path.exists(path):
+            self._send(404, b"no such sample", "text/plain")
+            return
+        with open(path, "rb") as f:
+            self._send(200, f.read(), "image/png")
+
+    def _api_status(self):
+        """Server-side API liveness probe (reference: frontend/app.py:21-29)."""
+        try:
+            with urllib.request.urlopen(f"{API_URL}/ping", timeout=3) as r:
+                ok = r.status == 200
+        except Exception:
+            ok = False
+        self._send(200, json.dumps({"online": ok}).encode(), "application/json")
+
+    def log_message(self, fmt, *args):
+        pass
+
+
+def main():
+    FrontendHandler.samples = _ensure_samples()
+    server = ThreadingHTTPServer((HOST, PORT), FrontendHandler)
+    print(f"Frontend serving on {HOST}:{PORT} (API_URL={API_URL})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,14 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Serve the de-glaring model over HTTP")
     p.add_argument("--host", type=str, default="0.0.0.0")
     p.add_argument("--port", type=int, default=4000)
-    p.add_argument("--model_path", type=str, default="/root/reference/best_model.onnx")
+    # MODEL_PATH env wires the k8s ConfigMap (deploy/k8s/model-configmap.yaml);
+    # the reference defined the same ConfigMap but never read it
+    # (reference: api/app.py:71 hardcodes the path).
+    import os
+
+    p.add_argument("--model_path", type=str,
+                   default=os.environ.get("MODEL_PATH",
+                                          "/root/reference/best_model.onnx"))
     p.add_argument("--mode", type=str, default="resize", choices=["resize", "tile"],
                    help="resize = reference-parity 512^2; tile = full-res tiled")
     p.add_argument("--max_batch_size", type=int, default=8)

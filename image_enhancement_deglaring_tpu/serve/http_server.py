@@ -205,6 +205,7 @@ class DeglareServer:
             f"HTTP/1.1 {status} {reasons.get(status, 'OK')}\r\n"
             f"Content-Type: application/json\r\n"
             f"Content-Length: {len(body)}\r\n"
+            f"Access-Control-Allow-Origin: *\r\n"
             f"Connection: close\r\n\r\n"
         ).encode()
         writer.write(head + body)

@@ -1,0 +1,70 @@
+"""Frontend server tests: page render with injected config, health probe,
+API status endpoint, sample serving."""
+
+import http.client
+import importlib
+import json
+import socket
+import threading
+import time
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def frontend(tmp_path_factory):
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo/frontend")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    os.environ["PORT"] = str(port)
+    os.environ["HOST"] = "127.0.0.1"
+    os.environ["API_URL"] = "http://127.0.0.1:1"  # intentionally dead
+    import app as frontend_app
+
+    importlib.reload(frontend_app)
+    from http.server import ThreadingHTTPServer
+
+    frontend_app.FrontendHandler.samples = frontend_app._ensure_samples()
+    server = ThreadingHTTPServer(("127.0.0.1", port), frontend_app.FrontendHandler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    time.sleep(0.2)
+    yield "127.0.0.1", port
+    server.shutdown()
+
+
+def _get(host, port, path):
+    conn = http.client.HTTPConnection(host, port, timeout=10)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+def test_health(frontend):
+    status, body = _get(*frontend, "/health")
+    assert status == 200 and body == b"ok"
+
+
+def test_index_injects_config(frontend):
+    status, body = _get(*frontend, "/")
+    assert status == 200
+    assert b"__CONFIG__" not in body
+    assert b"apiUrl" in body
+
+
+def test_api_status_reports_offline(frontend):
+    status, body = _get(*frontend, "/api_status")
+    assert status == 200
+    assert json.loads(body) == {"online": False}
+
+
+def test_samples_served(frontend):
+    status, body = _get(*frontend, "/samples/test_input1.png")
+    assert status == 200
+    assert body.startswith(b"\x89PNG")
