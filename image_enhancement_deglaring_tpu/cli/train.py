@@ -42,6 +42,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from ..utils.envfile import load_dotenv
+
+    load_dotenv()  # reference parity: .env at train start (optimized_train.py:18-19)
     import jax.numpy as jnp
 
     from ..data import make_dataloaders

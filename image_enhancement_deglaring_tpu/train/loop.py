@@ -182,6 +182,8 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             n_seen += b
         train_loss = running / max(n_seen, 1)
         history["train_loss"].append(train_loss)
+        train_secs = time.time() - t0
+        train_ips = n_seen / train_secs if train_secs > 0 else 0.0
 
         # ------------------------------------------------------------ val
         calc_metrics = (
@@ -232,7 +234,8 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
 
         if logger is not None:
             rec = {"epoch": epoch + 1, "train_loss": train_loss,
-                   "val_loss": val_loss, "learning_rate": new_lr}
+                   "val_loss": val_loss, "learning_rate": new_lr,
+                   "train_images_per_sec": train_ips}
             if calc_metrics:
                 rec["val_psnr"] = val_psnr
                 rec["val_ssim"] = val_ssim

@@ -1,6 +1,8 @@
 from .seeding import set_seed
 from .explog import ExperimentLogger
 from .config import TrainConfig, EvalConfig, ServeConfig, SweepConfig, DataConfig
+from .envfile import load_dotenv
+from .profiling import StepTimer, start_trace_server, trace
 
 __all__ = [
     "set_seed",
@@ -10,4 +12,8 @@ __all__ = [
     "ServeConfig",
     "SweepConfig",
     "DataConfig",
+    "load_dotenv",
+    "StepTimer",
+    "start_trace_server",
+    "trace",
 ]

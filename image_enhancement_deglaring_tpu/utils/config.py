@@ -107,14 +107,17 @@ def add_dataclass_args(parser: argparse.ArgumentParser, cfg, prefix: str = "") -
             add_dataclass_args(parser, val, prefix=f"{prefix}{f.name}.")
             continue
         name = f"--{prefix}{f.name}"
+        dest = f"{prefix}{f.name}".replace(".", "_")
         if isinstance(val, bool):
-            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+            parser.add_argument(name, dest=dest,
+                                type=lambda s: s.lower() in ("1", "true", "yes"),
                                 default=val)
         elif isinstance(val, tuple):
-            parser.add_argument(name, type=lambda s: tuple(int(x) for x in s.split(",")),
+            parser.add_argument(name, dest=dest,
+                                type=lambda s: tuple(int(x) for x in s.split(",")),
                                 default=val)
         else:
-            parser.add_argument(name, type=type(val), default=val)
+            parser.add_argument(name, dest=dest, type=type(val), default=val)
 
 
 def from_args(cfg_cls, argv=None, parser: argparse.ArgumentParser | None = None):
