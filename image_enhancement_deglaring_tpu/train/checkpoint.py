@@ -21,8 +21,9 @@ def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path: str, *, params, opt_state=None, epoch: int = 0,
-                    val_loss: float | None = None, extra: dict | None = None) -> str:
+def save_checkpoint(path: str, *, params, opt_state=None, model_state=None,
+                    epoch: int = 0, val_loss: float | None = None,
+                    extra: dict | None = None) -> str:
     """Save a checkpoint directory at ``path``."""
     import orbax.checkpoint as ocp
 
@@ -31,6 +32,8 @@ def save_checkpoint(path: str, *, params, opt_state=None, epoch: int = 0,
     item = {"params": _to_numpy_tree(params)}
     if opt_state is not None:
         item["opt_state"] = _to_numpy_tree(opt_state)
+    if model_state:
+        item["model_state"] = _to_numpy_tree(model_state)
     ckptr.save(path, item, force=True)
     meta = {"epoch": epoch, "val_loss": val_loss, **(extra or {})}
     with open(os.path.join(path, "train_meta.json"), "w") as f:

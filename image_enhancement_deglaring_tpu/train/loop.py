@@ -43,6 +43,11 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jax.Array
+    # non-trainable variable collections (e.g. EnhancedUNet's batch_stats);
+    # empty dict for pure-params models
+    model_state: Any = flax.struct.field(default_factory=dict)
+    # rng for stochastic layers (dropout); threaded through each step
+    rng: jax.Array = flax.struct.field(default_factory=lambda: jax.random.PRNGKey(0))
 
 
 def make_optimizer(lr: float, weight_decay: float, clip_grad_norm: float = 1.0):
@@ -69,29 +74,62 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state.replace(opt_state=state.opt_state._replace(hyperparams=hp))
 
 
-def make_train_step(apply_fn, optimizer):
-    @partial(jax.jit, donate_argnums=0)
-    def train_step(state: TrainState, x, y):
-        def loss_fn(params):
-            out = apply_fn({"params": params}, x)
-            return l1_loss(out, y)
+def make_train_step(apply_fn, optimizer, *, stateful: bool = False):
+    """Jitted fused forward/backward/clip/update step.
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    ``stateful=True`` builds the variant for models with non-trainable
+    collections and stochastic layers (BatchNorm running stats + Dropout,
+    e.g. EnhancedUNet): mutable collections update each step and a dropout
+    rng is split from ``state.rng``.
+    """
+    if not stateful:
+        @partial(jax.jit, donate_argnums=0)
+        def train_step(state: TrainState, x, y):
+            def loss_fn(params):
+                out = apply_fn({"params": params}, x)
+                return l1_loss(out, y)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(params=params, opt_state=opt_state,
+                                 step=state.step + 1), loss
+
+        return train_step
+
+    @partial(jax.jit, donate_argnums=0)
+    def stateful_train_step(state: TrainState, x, y):
+        rng, dropout_rng = jax.random.split(state.rng)
+        mutable = list(state.model_state.keys())
+
+        def loss_fn(params):
+            out, new_model_state = apply_fn(
+                {"params": params, **state.model_state}, x, train=True,
+                mutable=mutable, rngs={"dropout": dropout_rng},
+            )
+            return l1_loss(out, y), new_model_state
+
+        (loss, new_model_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss
+        return state.replace(params=params, opt_state=opt_state,
+                             step=state.step + 1,
+                             model_state=new_model_state, rng=rng), loss
 
-    return train_step
+    return stateful_train_step
 
 
-def make_val_step(apply_fn, metric_subset: int = 4):
-    """Returns jitted (params, x, y) -> (batch L1, subset psnr mean, subset
-    ssim mean, prediction) — metrics on the first <=4 images like the
-    reference (reference: optimized_train.py:92-122)."""
+def make_val_step(apply_fn, metric_subset: int = 4, *, stateful: bool = False):
+    """Returns jitted (params, model_state, x, y) -> (batch L1, subset psnr
+    mean, subset ssim mean, prediction) — metrics on the first <=4 images
+    like the reference (reference: optimized_train.py:92-122)."""
 
     @jax.jit
-    def val_step(params, x, y):
-        out = apply_fn({"params": params}, x).astype(jnp.float32)
+    def val_step(params, model_state, x, y):
+        variables = {"params": params, **model_state}
+        out = apply_fn(variables, x).astype(jnp.float32)
         loss = l1_loss(out, y)
         k = min(metric_subset, x.shape[0])
         pred = out[:k, ..., 0]
@@ -123,10 +161,13 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
     os.makedirs(output_dir, exist_ok=True)
 
     sample_x, sample_y = next(iter(val_loader if len(val_loader) else train_loader))
+    init_variables = jax.jit(model.init)(
+        jax.random.PRNGKey(seed), jnp.zeros((1,) + sample_x.shape[1:])
+    )
+    model_state = {k: v for k, v in init_variables.items() if k != "params"}
+    stateful = bool(model_state)
     if init_params is None:
-        init_params = jax.jit(model.init)(
-            jax.random.PRNGKey(seed), jnp.zeros((1,) + sample_x.shape[1:])
-        )["params"]
+        init_params = init_variables["params"]
     init_params = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a, jnp.float32), init_params
     )
@@ -139,6 +180,8 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             params=init_params,
             opt_state=optimizer.init(init_params),
             step=jnp.zeros((), jnp.int32),
+            model_state=model_state,
+            rng=jax.random.PRNGKey(seed),
         )
 
     sharding = None
@@ -146,8 +189,8 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         state = replicate(state, mesh)
         sharding = batch_sharding(mesh)
 
-    train_step = make_train_step(model.apply, optimizer)
-    val_step = make_val_step(model.apply)
+    train_step = make_train_step(model.apply, optimizer, stateful=stateful)
+    val_step = make_val_step(model.apply, stateful=stateful)
 
     scheduler = lr_controller or ReduceLROnPlateau(
         lr, factor=plateau_factor, patience=plateau_patience
@@ -199,7 +242,7 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         for batch_idx, (x, y) in enumerate(
             DevicePrefetcher(val_loader, sharding=None)
         ):
-            loss, psnr, ssim, out = val_step(state.params, x, y)
+            loss, psnr, ssim, out = val_step(state.params, state.model_state, x, y)
             b = x.shape[0]
             val_running += float(loss) * b
             val_seen += b
@@ -244,7 +287,8 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         if (epoch + 1) % save_every == 0:
             save_checkpoint(
                 os.path.join(output_dir, f"checkpoint_epoch_{epoch + 1}"),
-                params=state.params, opt_state=state.opt_state, epoch=epoch,
+                params=state.params, opt_state=state.opt_state,
+                model_state=state.model_state, epoch=epoch,
                 val_loss=val_loss, extra={"lr_state": scheduler.state_dict()},
             )
 
@@ -254,7 +298,8 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             best_params = jax.tree_util.tree_map(np.asarray, state.params)
             save_checkpoint(
                 os.path.join(output_dir, "best_model"),
-                params=state.params, opt_state=state.opt_state, epoch=epoch,
+                params=state.params, opt_state=state.opt_state,
+                model_state=state.model_state, epoch=epoch,
                 val_loss=val_loss, extra={"lr_state": scheduler.state_dict()},
             )
             print(f"New best model with validation loss: {val_loss:.4f}")

@@ -173,3 +173,24 @@ def test_train_model_end_to_end(tmp_path, toy_data):
     assert (tmp_path / "best_model").exists()
     n_leaves = len(jax.tree_util.tree_leaves(best_params))
     assert n_leaves == 64  # 9 blocks * 6 + 4 upconvs * 2 + output w/b
+
+
+def test_stateful_training_enhanced_unet(tmp_path, toy_data):
+    """EnhancedUNet carries batch_stats + dropout; the loop must thread
+    mutable collections and rngs through the jitted step."""
+    from image_enhancement_deglaring_tpu.models import EnhancedUNet
+
+    x, y = toy_data
+    # 5-level model needs >= 2^5 spatial extent
+    x64 = np.repeat(np.repeat(x[:8], 2, axis=1), 2, axis=2)
+    y64 = np.repeat(np.repeat(y[:8], 2, axis=1), 2, axis=2)
+    train_loader = _ArrayLoader(x64, y64, 4)
+    best_params, best_val, state = train_model(
+        EnhancedUNet(), train_loader, _ArrayLoader(x64[:4], y64[:4], 4),
+        epochs=1, lr=1e-3, output_dir=str(tmp_path), progress=False,
+    )
+    assert np.isfinite(best_val)
+    assert "batch_stats" in state.model_state
+    # running stats must have moved away from init
+    bs = jax.tree_util.tree_leaves(state.model_state["batch_stats"])
+    assert any(not np.allclose(np.asarray(b), 0) for b in bs)
