@@ -20,6 +20,12 @@ from image_enhancement_deglaring_tpu.train.loop import set_learning_rate, train_
 
 SIZE = 32
 
+# One shared model/optimizer/compiled-step per module — whole-model CPU
+# compiles are seconds each, so tests reuse a single jit cache.
+_MODEL = LightweightUNet()
+_OPT = make_optimizer(1e-3, 1e-5)
+_STEP = make_train_step(_MODEL.apply, _OPT)
+
 
 class _ArrayLoader:
     """Minimal loader over fixed arrays (NHWC)."""
@@ -60,10 +66,8 @@ def _fresh_state(model, optimizer, seed=0):
 
 def test_train_step_reduces_loss(toy_data):
     x, y = toy_data
-    model = LightweightUNet()
-    opt = make_optimizer(1e-3, 1e-5)
-    state = _fresh_state(model, opt)
-    step = make_train_step(model.apply, opt)
+    state = _fresh_state(_MODEL, _OPT)
+    step = _STEP
     losses = []
     for _ in range(8):
         state, loss = step(state, jnp.asarray(x[:8]), jnp.asarray(y[:8]))
@@ -73,12 +77,12 @@ def test_train_step_reduces_loss(toy_data):
 
 def test_data_parallel_matches_single_device(toy_data):
     x, y = toy_data
-    model = LightweightUNet()
-    opt = make_optimizer(1e-3, 1e-5)
+    model = _MODEL
+    opt = _OPT
 
     # single device
     state1 = _fresh_state(model, opt, seed=1)
-    step1 = make_train_step(model.apply, opt)
+    step1 = _STEP
     for i in range(2):
         state1, loss1 = step1(state1, jnp.asarray(x[:8]), jnp.asarray(y[:8]))
 
@@ -86,7 +90,7 @@ def test_data_parallel_matches_single_device(toy_data):
     mesh = make_mesh(8)
     state8 = _fresh_state(model, opt, seed=1)
     state8 = replicate(state8, mesh)
-    step8 = make_train_step(model.apply, opt)
+    step8 = _STEP
     for i in range(2):
         bx, by = shard_batch((jnp.asarray(x[:8]), jnp.asarray(y[:8])), mesh)
         state8, loss8 = step8(state8, bx, by)
@@ -100,10 +104,8 @@ def test_data_parallel_matches_single_device(toy_data):
 
 def test_set_learning_rate_no_recompile(toy_data):
     x, y = toy_data
-    model = LightweightUNet()
-    opt = make_optimizer(1e-3, 1e-5)
-    state = _fresh_state(model, opt)
-    step = make_train_step(model.apply, opt)
+    state = _fresh_state(_MODEL, _OPT)
+    step = _STEP
     state, _ = step(state, jnp.asarray(x[:8]), jnp.asarray(y[:8]))
     compiles_before = step._cache_size()
     state = set_learning_rate(state, 5e-4)
@@ -127,10 +129,8 @@ def test_reduce_lr_on_plateau_torch_semantics():
 
 def test_checkpoint_roundtrip(tmp_path, toy_data):
     x, y = toy_data
-    model = LightweightUNet()
-    opt = make_optimizer(1e-3, 1e-5)
-    state = _fresh_state(model, opt)
-    step = make_train_step(model.apply, opt)
+    state = _fresh_state(_MODEL, _OPT)
+    step = _STEP
     state, _ = step(state, jnp.asarray(x[:8]), jnp.asarray(y[:8]))
 
     path = save_checkpoint(str(tmp_path / "ckpt"), params=state.params,
