@@ -26,11 +26,17 @@ class GlareRemovalDataset:
 
     def __init__(self, image_paths: list[str], *, image_size: int = 512,
                  seed: int | None = None, augment: str = "none",
-                 cache_images: bool = False, num_workers: int = 8):
+                 cache_images: bool = False, num_workers: int = 8,
+                 normalize: bool = False):
+        """``normalize=True`` maps the input image to mean-0.5/std-0.5
+        ([-1, 1]) like the reference's full (non-optimized) transform stack
+        (reference: src/dataset.py:114). Targets stay in [0, 1] — the
+        reference's albumentations Normalize never touched the mask."""
         self.image_paths = sorted(image_paths)
         self.image_size = image_size
         self.seed = seed
         self.augment = augment
+        self.normalize = normalize
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         if cache_images:
             with ThreadPoolExecutor(max_workers=num_workers) as pool:
@@ -54,6 +60,8 @@ class GlareRemovalDataset:
             )
             fn = optimized_augment if self.augment == "optimized" else heavy_augment
             glared, gt = fn(glared, gt, rng)
+        if self.normalize:
+            glared = (glared - 0.5) / 0.5
         return glared[..., None], gt[..., None]
 
 

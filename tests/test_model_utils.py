@@ -1,0 +1,66 @@
+"""Model utilities: pruning and int8 quantization (capability parity with
+reference: src/model.py:399-486)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from image_enhancement_deglaring_tpu.models import (
+    LightweightUNet,
+    prune_params,
+    quantize_params_int8,
+)
+from image_enhancement_deglaring_tpu.models.model_utils import (
+    count_parameters,
+    dequantize_params_int8,
+    get_model_size_mb,
+)
+
+
+def _params():
+    model = LightweightUNet()
+    return jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+
+
+def test_prune_zeroes_requested_fraction():
+    params = _params()
+    pruned = prune_params(params, amount=0.3)
+    assert count_parameters(pruned) == count_parameters(params)
+    w = np.asarray(pruned["bottleneck"]["conv1"])
+    frac_zero = (w == 0).mean()
+    assert 0.28 <= frac_zero <= 0.32
+    # norm scales/biases untouched
+    np.testing.assert_array_equal(
+        np.asarray(pruned["enc1"]["gn1_scale"]), np.asarray(params["enc1"]["gn1_scale"])
+    )
+    # surviving weights unchanged
+    orig = np.asarray(params["bottleneck"]["conv1"])
+    mask = w != 0
+    np.testing.assert_array_equal(w[mask], orig[mask])
+
+
+def test_quantize_roundtrip_error_small():
+    params = _params()
+    q, scales = quantize_params_int8(params)
+    deq = dequantize_params_int8(q, scales)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(deq)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.ndim >= 2:
+            # symmetric int8: max error is half a quantization step
+            step = np.abs(a).max() / 127.0
+            assert np.abs(a - b).max() <= step * 0.51
+        else:
+            np.testing.assert_array_equal(a, b)
+    # int8 storage shrinks weights ~4x
+    assert get_model_size_mb(q) < 0.3 * get_model_size_mb(params) + 0.05
+
+
+def test_quantized_model_output_close():
+    params = _params()
+    model = LightweightUNet()
+    x = jnp.asarray(np.random.default_rng(0).random((1, 32, 32, 1), dtype=np.float32))
+    fwd = jax.jit(model.apply)
+    y = fwd({"params": params}, x)
+    q, scales = quantize_params_int8(params)
+    y_q = fwd({"params": dequantize_params_int8(q, scales)}, x)
+    assert float(jnp.max(jnp.abs(y - y_q))) < 0.05
