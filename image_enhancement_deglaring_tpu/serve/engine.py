@@ -38,13 +38,29 @@ def _bucket_sizes(max_batch: int) -> list[int]:
 class InferenceEngine:
     def __init__(self, apply_fn, params, *, image_size: int = 512,
                  max_batch_size: int = 8, batch_timeout_ms: float = 3.0,
-                 compute_dtype=jnp.bfloat16, warmup: bool = True):
+                 compute_dtype=jnp.bfloat16, warmup: bool = True, mesh=None):
+        """``mesh``: optional 1-D jax.sharding.Mesh — params replicate and
+        request batches shard across it, scaling serving data-parallel over
+        a slice's chips. Batch buckets then snap to multiples of the mesh
+        size."""
         self._apply_fn = apply_fn
         self._params = jax.tree_util.tree_map(jnp.asarray, params)
         self.image_size = image_size
         self.max_batch_size = max_batch_size
         self.batch_timeout_s = batch_timeout_ms / 1e3
         self.compute_dtype = compute_dtype
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicate
+
+            self._params = replicate(self._params, mesh)
+            self._batch_sharding = batch_sharding(mesh)
+            n = mesh.devices.size
+            if max_batch_size % n != 0:
+                raise ValueError(
+                    f"max_batch_size {max_batch_size} must divide by mesh size {n}"
+                )
 
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
@@ -53,6 +69,18 @@ class InferenceEngine:
         self._step = jax.jit(partial(self._device_step, apply_fn, compute_dtype))
         if warmup:
             self.warmup()
+
+    def _bucket_for(self, b: int) -> int:
+        sizes = _bucket_sizes(self.max_batch_size)
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            sizes = sorted({max(n, -(-s // n) * n) for s in sizes})
+        for s in sizes:
+            if s >= b:
+                return s
+        return -(-b // (self.mesh.devices.size if self.mesh else 1)) * (
+            self.mesh.devices.size if self.mesh else 1
+        )
 
     # ---------------------------------------------------------------- device
     @staticmethod
@@ -67,9 +95,19 @@ class InferenceEngine:
     def warmup(self) -> None:
         """Pre-compile every batch bucket so first requests don't stall."""
         s = self.image_size
+        seen = set()
         for b in _bucket_sizes(self.max_batch_size):
-            x = jnp.zeros((b, s, s, 1), jnp.uint8)
+            b = self._bucket_for(b)
+            if b in seen:
+                continue
+            seen.add(b)
+            x = self._put(np.zeros((b, s, s, 1), np.uint8))
             self._step(self._params, x).block_until_ready()
+
+    def _put(self, batch_u8: np.ndarray):
+        if self._batch_sharding is not None:
+            return jax.device_put(batch_u8, self._batch_sharding)
+        return jnp.asarray(batch_u8)
 
     # ----------------------------------------------------------------- sync
     def infer_batch(self, batch_u8: np.ndarray) -> np.ndarray:
@@ -78,12 +116,11 @@ class InferenceEngine:
         if squeeze:
             batch_u8 = batch_u8[..., None]
         b = batch_u8.shape[0]
-        bucket = next(s for s in _bucket_sizes(self.max_batch_size) if s >= b) \
-            if b <= self.max_batch_size else b
+        bucket = self._bucket_for(b)
         if bucket > b:
             pad = np.zeros((bucket - b,) + batch_u8.shape[1:], np.uint8)
             batch_u8 = np.concatenate([batch_u8, pad])
-        out = np.asarray(self._step(self._params, jnp.asarray(batch_u8)))[:b]
+        out = np.asarray(self._step(self._params, self._put(batch_u8)))[:b]
         return out[..., 0] if squeeze else out
 
     def infer_one(self, img_u8: np.ndarray) -> np.ndarray:

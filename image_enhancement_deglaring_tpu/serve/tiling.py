@@ -43,12 +43,20 @@ class TiledInference:
     """Full-resolution tiled forward on top of an InferenceEngine's model."""
 
     def __init__(self, apply_fn, params, *, tile: int = 512, overlap: int = 32,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, mesh=None):
+        """``mesh``: optional 1-D Mesh — the tile batch shards across it
+        (spatial/tile parallelism: one image's tiles fan out over the
+        slice's chips and stitch back on device)."""
         self.apply_fn = apply_fn
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.tile = tile
         self.overlap = overlap
         self.compute_dtype = compute_dtype
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self.params = replicate(self.params, mesh)
 
     @lru_cache(maxsize=32)
     def _compiled_for(self, padded_h: int, padded_w: int):
@@ -60,12 +68,29 @@ class TiledInference:
         apply_fn = self.apply_fn
         dtype = self.compute_dtype
 
+        mesh = self.mesh
+
         def run(params, img_u8):  # (H, W) uint8 -> (H, W) uint8
             x = img_u8.astype(dtype) / jnp.asarray(255.0, dtype)
             tiles = jnp.stack(
                 [x[y0 : y0 + tile, x0 : x0 + tile] for y0 in ys for x0 in xs]
             )[..., None]
+            n_real = tiles.shape[0]
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                n_dev = mesh.devices.size
+                padded = -(-n_real // n_dev) * n_dev
+                if padded > n_real:
+                    tiles = jnp.concatenate(
+                        [tiles, jnp.zeros((padded - n_real,) + tiles.shape[1:],
+                                          tiles.dtype)]
+                    )
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, NamedSharding(mesh, P(mesh.axis_names[0]))
+                )
             out = apply_fn({"params": params}, tiles).astype(jnp.float32)[..., 0]
+            out = out[:n_real]
             acc = jnp.zeros((padded_h, padded_w), jnp.float32)
             wacc = jnp.zeros((padded_h, padded_w), jnp.float32)
             k = 0

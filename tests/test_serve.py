@@ -199,3 +199,38 @@ def test_infer_bad_image_500(live_server):
 def test_unknown_route_404(live_server):
     status, _ = _request(*live_server, "GET", "/nope")
     assert status == 404
+
+
+# ------------------------------------------------------ multi-chip serving
+
+
+def test_engine_mesh_sharded_batches(small_model, rng):
+    from image_enhancement_deglaring_tpu.parallel import make_mesh
+
+    apply_fn, params = small_model
+    mesh = make_mesh(8)
+    eng = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=8,
+                          compute_dtype=jnp.float32, warmup=False, mesh=mesh)
+    imgs = (rng.random((8, SIZE, SIZE)) * 255).astype(np.uint8)
+    out = eng.infer_batch(imgs)
+    assert out.shape == (8, SIZE, SIZE)
+    # ragged request pads to a mesh-aligned bucket
+    out3 = eng.infer_batch(imgs[:3])
+    diff = np.abs(out3.astype(np.int16) - out[:3].astype(np.int16))
+    assert diff.max() <= 1
+
+
+def test_tiler_mesh_tile_parallelism(small_model, rng):
+    from image_enhancement_deglaring_tpu.parallel import make_mesh
+
+    apply_fn, params = small_model
+    mesh = make_mesh(8)
+    tiler_mesh = TiledInference(apply_fn, params, tile=SIZE, overlap=8,
+                                compute_dtype=jnp.float32, mesh=mesh)
+    tiler_solo = TiledInference(apply_fn, params, tile=SIZE, overlap=8,
+                                compute_dtype=jnp.float32)
+    big = (rng.random((SIZE * 2, SIZE * 2)) * 255).astype(np.uint8)
+    out_mesh = tiler_mesh(big)
+    out_solo = tiler_solo(big)
+    diff = np.abs(out_mesh.astype(np.int16) - out_solo.astype(np.int16))
+    assert diff.max() <= 1
