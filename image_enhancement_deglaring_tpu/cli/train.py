@@ -85,14 +85,6 @@ def main(argv=None):
         project=args.wandb_project, config=vars(args),
     )
 
-    resume_state = None
-    start_epoch = 0
-    if args.resume:
-        from ..train import restore_checkpoint
-        item, meta = restore_checkpoint(args.resume)
-        start_epoch = int(meta.get("epoch", -1)) + 1
-        print(f"Resuming from {args.resume} at epoch {start_epoch}")
-
     best_params, best_val, _state = train_model(
         model, train_loader, val_loader, epochs=args.epochs, lr=args.lr,
         weight_decay=args.weight_decay, clip_grad_norm=args.clip_grad_norm,
@@ -100,8 +92,7 @@ def main(argv=None):
         save_every=args.save_every,
         validation_metrics_every=args.validation_metrics_every,
         log_images_every=args.log_images_every, mesh=mesh, seed=args.seed,
-        logger=logger, start_epoch=start_epoch,
-        init_params=item["params"] if args.resume else None,  # noqa: F821
+        logger=logger, resume_from=args.resume,
     )
 
     from ..train import save_checkpoint

@@ -162,6 +162,15 @@ def load_model_for_eval(model_path: str, *, model_arch: str = "lightweight",
         from ..modelio import lightweight_unet_params_from_onnx
 
         params = lightweight_unet_params_from_onnx(model_path)
+    elif lower.endswith(".npz"):
+        flat = np.load(model_path)
+        params = {}
+        for key, arr in flat.items():
+            node = params
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = arr
     elif lower.endswith((".pth", ".pt")):
         from ..modelio import (
             lightweight_unet_params_from_state_dict,

@@ -151,12 +151,16 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                 mesh=None, seed: int = 42, logger=None, init_params=None,
                 progress: bool = True, start_epoch: int = 0,
                 resume_state: TrainState | None = None,
+                resume_from: str | None = None,
                 lr_controller: ReduceLROnPlateau | None = None):
     """Train ``model`` (a Flax module); returns (best_params, best_val_loss,
     final_state).
 
     ``mesh``: optional 1-D jax.sharding.Mesh for data parallelism; batches
     are sharded on its axis, state replicated.
+    ``resume_from``: checkpoint directory — restores params, optimizer
+    state, model state, epoch, and the LR controller, continuing the run
+    exactly where it stopped (the reference can only save, not resume).
     """
     os.makedirs(output_dir, exist_ok=True)
 
@@ -183,6 +187,30 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             model_state=model_state,
             rng=jax.random.PRNGKey(seed),
         )
+
+    if resume_from is not None:
+        from .checkpoint import restore_checkpoint
+
+        item, meta = restore_checkpoint(resume_from)
+        restored_params = jax.tree_util.tree_map(jnp.asarray, item["params"])
+        # restore opt_state into the canonical optax structure (orbax
+        # round-trips NamedTuples as plain dicts)
+        opt_struct = jax.tree_util.tree_structure(state.opt_state)
+        restored_opt = jax.tree_util.tree_unflatten(
+            opt_struct,
+            [jnp.asarray(x) for x in jax.tree_util.tree_leaves(item["opt_state"])],
+        )
+        restored_ms = jax.tree_util.tree_map(
+            jnp.asarray, item.get("model_state", model_state)
+        )
+        state = state.replace(params=restored_params, opt_state=restored_opt,
+                              model_state=restored_ms)
+        start_epoch = max(start_epoch, int(meta.get("epoch", -1)) + 1)
+        if lr_controller is None and meta.get("lr_state"):
+            lr_controller = ReduceLROnPlateau(lr, factor=plateau_factor,
+                                              patience=plateau_patience)
+            lr_controller.load_state_dict(meta["lr_state"])
+        print(f"Resumed from {resume_from} at epoch {start_epoch}")
 
     sharding = None
     if mesh is not None:

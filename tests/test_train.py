@@ -194,3 +194,31 @@ def test_stateful_training_enhanced_unet(tmp_path, toy_data):
     # running stats must have moved away from init
     bs = jax.tree_util.tree_leaves(state.model_state["batch_stats"])
     assert any(not np.allclose(np.asarray(b), 0) for b in bs)
+
+
+def test_resume_from_checkpoint_continues_exactly(tmp_path, toy_data):
+    """resume_from must restore params + optimizer + LR state so the next
+    step equals continuing the original run."""
+    x, y = toy_data
+    train_loader = _ArrayLoader(x[:8], y[:8], 4)
+    val_loader = _ArrayLoader(x[8:], y[8:], 4)
+    model = _MODEL
+    _, _, state1 = train_model(
+        model, train_loader, val_loader, epochs=1, lr=1e-3,
+        output_dir=str(tmp_path / "a"), save_every=1, progress=False,
+    )
+    # epoch-1 checkpoint exists; resume and run one more epoch
+    _, _, state2 = train_model(
+        model, train_loader, val_loader, epochs=2, lr=1e-3,
+        output_dir=str(tmp_path / "b"), save_every=100, progress=False,
+        resume_from=str(tmp_path / "a" / "checkpoint_epoch_1"),
+    )
+    # continuous run for 2 epochs from scratch
+    _, _, state_full = train_model(
+        model, train_loader, val_loader, epochs=2, lr=1e-3,
+        output_dir=str(tmp_path / "c"), save_every=100, progress=False,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(state2.params),
+                    jax.tree_util.tree_leaves(state_full.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
