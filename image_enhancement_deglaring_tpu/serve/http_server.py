@@ -136,7 +136,9 @@ class DeglareServer:
                 resized = np.array(
                     Image.fromarray(img_gray).resize((s, s), Image.LANCZOS)
                 )
-                enhanced_u8 = self.engine.infer_one(resized.astype(np.uint8))
+                # submit() goes through the micro-batching queue so
+                # concurrent requests coalesce into one device batch
+                enhanced_u8 = self.engine.submit(resized.astype(np.uint8)).result()
                 enhanced_img = Image.fromarray(enhanced_u8, mode="L").resize(
                     original_size, Image.LANCZOS
                 )

@@ -234,3 +234,19 @@ def test_tiler_mesh_tile_parallelism(small_model, rng):
     out_solo = tiler_solo(big)
     diff = np.abs(out_mesh.astype(np.int16) - out_solo.astype(np.int16))
     assert diff.max() <= 1
+
+
+def test_http_concurrent_requests_coalesce(live_server, rng):
+    """Parallel /infer requests flow through the micro-batching queue."""
+    import concurrent.futures
+
+    imgs = [(rng.random((SIZE, SIZE)) * 255).astype(np.uint8) for _ in range(6)]
+    bodies = [_multipart_png(im) for im in imgs]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as pool:
+        futs = [pool.submit(_request, *live_server, "POST", "/infer", b, h)
+                for b, h in bodies]
+        results = [f.result(timeout=120) for f in futs]
+    for status, data in results:
+        assert status == 200
+        out = Image.open(io.BytesIO(base64.b64decode(json.loads(data)["image"])))
+        assert out.size == (SIZE, SIZE)
