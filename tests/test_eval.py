@@ -58,3 +58,18 @@ def test_write_results_file(tmp_path):
     assert "PSNR: 32.57 dB" in text
     assert "SSIM: 0.9750" in text
     assert "Model type: ONNX" in text
+
+
+def test_evaluate_saves_visualizations(tmp_path, rng):
+    batches = []
+    x = rng.random((2, 32, 32, 1)).astype(np.float32)
+    y = np.clip(x + 0.02, 0, 1).astype(np.float32)
+    batches.append((x, y))
+    params = {"bias": jnp.asarray(0.0, jnp.float32)}
+    evaluate(_identityish_apply, params, batches, batch_size=2, progress=False,
+             save_visualizations=True, visualizations_dir=str(tmp_path),
+             max_vis_samples=2)
+    import os
+
+    assert os.path.exists(tmp_path / "sample_0.png")
+    assert os.path.exists(tmp_path / "sample_1.png")
