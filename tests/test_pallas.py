@@ -48,3 +48,41 @@ def test_dispatcher_falls_back_on_cpu(rng):
     got = fused_group_norm_silu(x, jnp.ones(8), jnp.zeros(8), num_groups=8)
     want = silu(group_norm(x, jnp.ones(8), jnp.zeros(8), num_groups=8))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+# ------------------------------------------------- fused conv3x3 + GN + SiLU
+
+
+from image_enhancement_deglaring_tpu.ops.conv_blocks import conv2d
+from image_enhancement_deglaring_tpu.ops.pallas_kernels import (
+    _fused_conv_gn_silu_pallas,
+    fused_conv3x3_gn_silu,
+)
+
+
+@pytest.mark.parametrize("shape,cout,groups", [
+    ((2, 8, 8, 16), 32, 8),
+    ((1, 16, 16, 64), 128, 8),
+    ((3, 8, 8, 8), 8, 8),
+])
+def test_fused_conv_matches_xla(rng, shape, cout, groups):
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    cin = shape[-1]
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    want = silu(group_norm(conv2d(x, w, padding=1), scale, bias, num_groups=groups))
+    got = _fused_conv_gn_silu_pallas(x, w, scale, bias, num_groups=groups,
+                                     eps=1e-5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_conv_dispatcher_falls_back_on_cpu(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 64, 64)).astype(np.float32) * 0.1)
+    got = fused_conv3x3_gn_silu(x, w, jnp.ones(64), jnp.zeros(64), num_groups=8)
+    want = silu(group_norm(conv2d(x, w, padding=1), jnp.ones(64), jnp.zeros(64),
+                           num_groups=8))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
