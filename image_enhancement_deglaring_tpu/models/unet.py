@@ -137,6 +137,10 @@ class LightweightUNet(nn.Module):
     num_groups: int = 8
     features_start: int = 8
     dtype: Any = jnp.float32  # compute dtype (use jnp.bfloat16 for speed)
+    #: rematerialize each block in the backward pass (jax.checkpoint) —
+    #: trades ~1/3 more FLOPs for dropping stored activations, enabling
+    #: much larger training batches in HBM
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -144,23 +148,29 @@ class LightweightUNet(nn.Module):
         f = [f0, f0 * 2, f0 * 4, f0 * 8, f0 * 16]
         g = self.num_groups
 
+        block = ConvBlock
+        dual = DualConvBlock
+        if self.remat:
+            block = nn.remat(ConvBlock)
+            dual = nn.remat(DualConvBlock)
+
         x = x.astype(self.dtype)
 
-        enc1 = ConvBlock(f[0], g, name="enc1")(x)
-        enc2 = ConvBlock(f[1], g, name="enc2")(avg_pool_2x2(enc1))
-        enc3 = ConvBlock(f[2], g, name="enc3")(avg_pool_2x2(enc2))
-        enc4 = ConvBlock(f[3], g, name="enc4")(avg_pool_2x2(enc3))
+        enc1 = block(f[0], g, name="enc1")(x)
+        enc2 = block(f[1], g, name="enc2")(avg_pool_2x2(enc1))
+        enc3 = block(f[2], g, name="enc3")(avg_pool_2x2(enc2))
+        enc4 = block(f[3], g, name="enc4")(avg_pool_2x2(enc3))
 
-        bottleneck = ConvBlock(f[4], g, name="bottleneck")(avg_pool_2x2(enc4))
+        bottleneck = block(f[4], g, name="bottleneck")(avg_pool_2x2(enc4))
 
         d4 = UpConv2x(f[4], f[3], name="upconv4")(bottleneck)
-        d4 = DualConvBlock(f[3], g, name="dec4")(d4, enc4)
+        d4 = dual(f[3], g, name="dec4")(d4, enc4)
         d3 = UpConv2x(f[3], f[2], name="upconv3")(d4)
-        d3 = DualConvBlock(f[2], g, name="dec3")(d3, enc3)
+        d3 = dual(f[2], g, name="dec3")(d3, enc3)
         d2 = UpConv2x(f[2], f[1], name="upconv2")(d3)
-        d2 = DualConvBlock(f[1], g, name="dec2")(d2, enc2)
+        d2 = dual(f[1], g, name="dec2")(d2, enc2)
         d1 = UpConv2x(f[1], f[0], name="upconv1")(d2)
-        d1 = DualConvBlock(f[0], g, name="dec1")(d1, enc1)
+        d1 = dual(f[0], g, name="dec1")(d1, enc1)
 
         wout = self.param("output_conv_weight", torch_conv_kernel_init, (1, 1, f[0], self.out_channels))
         bout = self.param("output_conv_bias", _uniform_bias_init(f[0]), (self.out_channels,))

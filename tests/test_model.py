@@ -105,3 +105,28 @@ def test_forward_is_deterministic(onnx_params, rng):
     y1 = _lw_apply({"params": params}, x)
     y2 = _lw_apply({"params": params}, x)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_remat_model_identical_outputs_and_grads(onnx_params, rng):
+    """remat=True must change only the backward-pass schedule, not numerics."""
+    import optax
+
+    from image_enhancement_deglaring_tpu.ops.metrics import l1_loss
+
+    params = jax.tree_util.tree_map(jnp.asarray, onnx_params)
+    x = jnp.asarray(rng.random((1, 64, 64, 1), dtype=np.float32))
+    y = jnp.asarray(rng.random((1, 64, 64, 1), dtype=np.float32))
+    plain = LightweightUNet()
+    rematted = LightweightUNet(remat=True)
+    out_a = jax.jit(plain.apply)({"params": params}, x)
+    out_b = jax.jit(rematted.apply)({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+
+    def loss(model, p):
+        return l1_loss(model.apply({"params": p}, x), y)
+
+    ga = jax.jit(jax.grad(lambda p: loss(plain, p)))(params)
+    gb = jax.jit(jax.grad(lambda p: loss(rematted, p)))(params)
+    norm_a = float(optax.global_norm(ga))
+    norm_b = float(optax.global_norm(gb))
+    np.testing.assert_allclose(norm_a, norm_b, rtol=1e-5)
