@@ -17,6 +17,7 @@ TPU-native differences (behavior-preserving):
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any
 
 import flax.linen as nn
@@ -58,10 +59,16 @@ def _uniform_bias_init(fan_in: int):
 
 
 class ConvBlock(nn.Module):
-    """[Conv3x3(no bias) -> GroupNorm -> SiLU] x 2 (reference: src/model.py:92-99)."""
+    """[Conv3x3(no bias) -> GroupNorm -> SiLU] x 2 (reference: src/model.py:92-99).
+
+    ``fused=True`` routes each conv+GN+SiLU through the Pallas fused kernel
+    (ops.pallas_kernels.fused_conv3x3_gn_silu), which auto-falls back to
+    the XLA composition off-TPU or when a slab doesn't fit VMEM.
+    """
 
     features: int
     num_groups: int = 8
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -74,6 +81,12 @@ class ConvBlock(nn.Module):
         w2 = self.param("conv2", torch_conv_kernel_init, (3, 3, f, f))
         s2 = self.param("gn2_scale", nn.initializers.ones, (f,))
         b2 = self.param("gn2_bias", nn.initializers.zeros, (f,))
+
+        if self.fused:
+            from ..ops.pallas_kernels import fused_conv3x3_gn_silu
+
+            y = fused_conv3x3_gn_silu(x, w1, s1, b1, num_groups=g)
+            return fused_conv3x3_gn_silu(y, w2, s2, b2, num_groups=g)
 
         y = conv2d(x, w1, padding=1)
         y = silu(group_norm(y, s1, b1, num_groups=g))
@@ -141,6 +154,8 @@ class LightweightUNet(nn.Module):
     #: trades ~1/3 more FLOPs for dropping stored activations, enabling
     #: much larger training batches in HBM
     remat: bool = False
+    #: use the Pallas fused conv+GN+SiLU kernel where profitable
+    fused_blocks: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -148,10 +163,10 @@ class LightweightUNet(nn.Module):
         f = [f0, f0 * 2, f0 * 4, f0 * 8, f0 * 16]
         g = self.num_groups
 
-        block = ConvBlock
+        block = partial(ConvBlock, fused=self.fused_blocks)
         dual = DualConvBlock
         if self.remat:
-            block = nn.remat(ConvBlock)
+            block = partial(nn.remat(ConvBlock), fused=self.fused_blocks)
             dual = nn.remat(DualConvBlock)
 
         x = x.astype(self.dtype)

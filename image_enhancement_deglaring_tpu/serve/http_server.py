@@ -227,7 +227,9 @@ class DeglareServer:
 def create_server(model_path: str, *, host: str = "0.0.0.0", port: int = 4000,
                   mode: str = "resize", max_batch_size: int = 8,
                   batch_timeout_ms: float = 3.0, compute_dtype=None,
-                  tile_overlap: int = 32, log_dir: str | None = None) -> DeglareServer:
+                  tile_overlap: int = 32, log_dir: str | None = None,
+                  image_size: int = 512, warmup: bool = True,
+                  mesh=None) -> DeglareServer:
     """Build engine + (optional) tiler + server from a model artifact path."""
     import jax.numpy as jnp
 
@@ -237,14 +239,16 @@ def create_server(model_path: str, *, host: str = "0.0.0.0", port: int = 4000,
     dtype = compute_dtype or jnp.bfloat16
     apply_fn, params = load_model_for_eval(model_path, compute_dtype=dtype)
     engine = InferenceEngine(
-        apply_fn, params, max_batch_size=max_batch_size,
-        batch_timeout_ms=batch_timeout_ms, compute_dtype=dtype,
+        apply_fn, params, image_size=image_size, max_batch_size=max_batch_size,
+        batch_timeout_ms=batch_timeout_ms, compute_dtype=dtype, warmup=warmup,
+        mesh=mesh,
     )
     tiler = None
     if mode == "tile":
         from .tiling import TiledInference
 
-        tiler = TiledInference(apply_fn, params, overlap=tile_overlap,
-                               compute_dtype=dtype)
+        tiler = TiledInference(apply_fn, params, tile=image_size,
+                               overlap=tile_overlap, compute_dtype=dtype,
+                               mesh=mesh)
     return DeglareServer(engine, host=host, port=port, mode=mode, tiler=tiler,
-                         log_dir=log_dir)
+                         log_dir=log_dir, image_size=image_size)

@@ -250,3 +250,22 @@ def test_http_concurrent_requests_coalesce(live_server, rng):
         assert status == 200
         out = Image.open(io.BytesIO(base64.b64decode(json.loads(data)["image"])))
         assert out.size == (SIZE, SIZE)
+
+
+def test_create_server_from_onnx(tmp_path, rng):
+    """create_server wires model loading -> engine -> server from an ONNX
+    artifact (the deployment entry path)."""
+    import os
+
+    ref = "/root/reference/best_model.onnx"
+    if not os.path.exists(ref):
+        pytest.skip("reference onnx missing")
+    from image_enhancement_deglaring_tpu.serve.http_server import create_server
+
+    server = create_server(ref, mode="resize", image_size=SIZE, warmup=False,
+                           compute_dtype=jnp.float32,
+                           log_dir=str(tmp_path / "logs"))
+    img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    out = server.engine.infer_one(img)
+    assert out.shape == (SIZE, SIZE) and out.dtype == np.uint8
+    server.engine.stop()
