@@ -7,6 +7,7 @@ channels on the 128-wide lane dimension, spatial dims on sublanes).
 from .conv_blocks import (
     conv2d,
     conv_block,
+    conv_block_dual,
     avg_pool_2x2,
     max_pool_2x2,
     upsample2x_matmul,
@@ -15,6 +16,7 @@ from .conv_blocks import (
     silu,
     resolve_group_count,
 )
+from .pallas_kernels import fused_group_norm_silu, fused_conv3x3_gn_silu
 from .metrics import psnr, ssim, l1_loss, batched_psnr_ssim
 from .image import (
     rgb_to_gray_luminance,
@@ -28,6 +30,9 @@ from .image import (
 __all__ = [
     "conv2d",
     "conv_block",
+    "conv_block_dual",
+    "fused_group_norm_silu",
+    "fused_conv3x3_gn_silu",
     "avg_pool_2x2",
     "max_pool_2x2",
     "upsample2x_matmul",
