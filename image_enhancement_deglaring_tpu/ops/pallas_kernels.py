@@ -5,15 +5,21 @@ well); GroupNorm -> SiLU is the bandwidth tail of every block: a reduction
 pass plus an elementwise pass over the full activation
 (reference equivalent: the GroupNorm+SiLU pairs of src/model.py:92-99).
 
-Kernel design — two-phase streaming with H-tiling (whole-image slabs at
-512x512 blow the VMEM budget once Mosaic materializes f32 temporaries):
+Mosaic-specific shape discipline (learned the hard way):
+- no 1-D <-> 2-D reshapes, no reshapes of strided views ("unsupported
+  shape cast"); everything stays >= 2-D;
+- per-group statistics therefore use a (C, C) 0/1 *group-mask matmul*:
+  ``sums_per_channel @ M`` simultaneously group-reduces and broadcasts
+  back to per-channel lanes (M[i,j] = 1 iff channel i and j share a
+  group) — one tiny MXU op instead of reshape/broadcast gymnastics.
 
-- grid (N, phase, H_tiles); TPU grids iterate sequentially, so VMEM
-  scratch persists across grid steps of the same image;
-- phase 0 streams each (TH, W, C) tile and accumulates per-channel
-  sum / sum-of-squares into a (2, C) float32 scratch accumulator;
-- phase 1 re-streams the tiles, folds the accumulators into per-group
-  mean / rsqrt(var + eps), and writes normalize+scale+swish output.
+Kernels:
+- ``_gn_silu_pallas``: two-phase streaming GroupNorm+SiLU with H-tiling
+  and f32 VMEM accumulators (handles arbitrarily large slabs).
+- ``_fused_conv_gn_silu_pallas``: whole [Conv3x3 -> GN -> SiLU] in one
+  kernel per image: 9 shifted-view MXU contractions accumulate the conv in
+  f32, statistics + swish apply in VMEM, single HBM write. For the
+  high-channel levels whose slabs fit VMEM.
 
 All accumulation is float32 regardless of input dtype.
 """
@@ -24,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -33,12 +40,25 @@ from .conv_blocks import group_norm, silu
 _DEFAULT_TILE_H = 64
 
 
-def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, acc_ref, *,
-                    groups: int, eps: float, denom: float):
+def _group_mask(c: int, groups: int) -> np.ndarray:
+    """(C, C) float32: M[i, j] = 1 iff i and j belong to the same group."""
+    g = np.arange(c) // (c // groups)
+    return (g[:, None] == g[None, :]).astype(np.float32)
+
+
+def _sum_hw(x):
+    """(H, W, C) -> (1, C) without creating 1-D intermediates."""
+    t = jnp.sum(x, axis=0)  # (W, C)
+    return jnp.sum(t, axis=0, keepdims=True)  # (1, C)
+
+
+# ------------------------------------------------- streaming GroupNorm+SiLU
+
+
+def _gn_silu_kernel(x_ref, scale_ref, bias_ref, gmask_ref, o_ref, acc_ref, *,
+                    eps: float, denom: float):
     p = pl.program_id(1)
     t = pl.program_id(2)
-    c = x_ref.shape[-1]
-    cg = c // groups
 
     @pl.when((p == 0) & (t == 0))
     def _reset():
@@ -47,23 +67,25 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, acc_ref, *,
     @pl.when(p == 0)
     def _accumulate():
         x = x_ref[0].astype(jnp.float32)  # (TH, W, C)
-        acc_ref[0, :] += jnp.sum(x, axis=(0, 1))
-        acc_ref[1, :] += jnp.sum(x * x, axis=(0, 1))
+        acc_ref[0:1, :] += _sum_hw(x)
+        acc_ref[1:2, :] += _sum_hw(x * x)
 
     @pl.when(p == 1)
     def _normalize():
-        def per_group(v_c):  # (C,) -> group totals re-broadcast to (C,)
-            v_g = jnp.sum(v_c.reshape(groups, cg), axis=1, keepdims=True)
-            return jnp.broadcast_to(v_g, (groups, cg)).reshape(c)
-
-        mean_c = per_group(acc_ref[0, :]) / denom
-        ex2_c = per_group(acc_ref[1, :]) / denom
+        gmask = gmask_ref[...]
+        mean_c = jnp.dot(acc_ref[0:1, :], gmask,
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST) / denom  # (1, C)
+        ex2_c = jnp.dot(acc_ref[1:2, :], gmask,
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST) / denom
         var_c = ex2_c - mean_c * mean_c
         rstd_c = lax.rsqrt(var_c + eps)
         x = x_ref[0].astype(jnp.float32)
-        y = (x - mean_c) * (rstd_c * scale_ref[0].astype(jnp.float32))
-        y = y + bias_ref[0].astype(jnp.float32)
-        o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+        y = (x - mean_c) * (rstd_c * scale_ref[...].astype(jnp.float32))
+        y = y + bias_ref[...].astype(jnp.float32)
+        y = y * jax.nn.sigmoid(y)
+        o_ref[0] = y.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "eps", "tile_h", "interpret"))
@@ -77,8 +99,7 @@ def _fused_gn_silu_pallas(x, scale, bias, *, num_groups: int, eps: float,
     cg = c // num_groups
     denom = float(h * w * cg)
 
-    kernel = functools.partial(_gn_silu_kernel, groups=num_groups, eps=eps,
-                               denom=denom)
+    kernel = functools.partial(_gn_silu_kernel, eps=eps, denom=denom)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -88,43 +109,77 @@ def _fused_gn_silu_pallas(x, scale, bias, *, num_groups: int, eps: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i, p, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i, p, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i, p, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile_h, w, c), lambda i, p, t: (i, t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
         interpret=interpret,
-    )(x, scale.reshape(1, c), bias.reshape(1, c))
+    )(x, scale.reshape(1, c), bias.reshape(1, c),
+      jnp.asarray(_group_mask(c, num_groups)))
 
 
-def _conv_gn_silu_kernel(x_ref, w_ref, scale_ref, bias_ref, o_ref,
-                         xpad_ref, *, groups: int, eps: float):
-    """One image: 3x3 same conv (9 MXU matmuls over shifted views) + GN +
-    SiLU, all resident in VMEM — zero HBM intermediates."""
+def fused_group_norm_silu(x: jax.Array, scale: jax.Array, bias: jax.Array, *,
+                          num_groups: int, eps: float = 1e-5,
+                          use_pallas: bool | None = None) -> jax.Array:
+    """GroupNorm followed by SiLU, fused on TPU via Pallas.
+
+    ``use_pallas=None`` auto-selects: Pallas on TPU backends (any size —
+    the kernel streams H tiles), XLA elsewhere. Numerics are validated
+    equivalent to group_norm+silu (see tests/test_pallas.py).
+    """
+    if use_pallas is None:
+        # C < 64 pads catastrophically on the 128-lane dim (the tile layout
+        # blows the scoped-VMEM budget); leave those to XLA.
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and x.shape[-1] % num_groups == 0
+            and x.shape[-1] >= 64
+        )
+    if not use_pallas:
+        return silu(group_norm(x, scale, bias, num_groups=num_groups, eps=eps))
+    interpret = jax.default_backend() != "tpu"
+    return _fused_gn_silu_pallas(x, scale, bias, num_groups=num_groups,
+                                 eps=eps, interpret=interpret)
+
+
+# ------------------------------------------------- fused conv3x3 + GN + SiLU
+
+
+def _conv_gn_silu_kernel(x_ref, w_ref, scale_ref, bias_ref, gmask_ref, o_ref,
+                         xpad_ref, *, eps: float, denom: float,
+                         conv_precision):
+    """One image: 3x3 same conv (9 MXU contractions over shifted views) +
+    GN + SiLU, all resident in VMEM — zero HBM intermediates."""
     h, w, cin = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     cout = o_ref.shape[3]
-    cg = cout // groups
-    denom = float(h * w * cg)
 
     xpad_ref[...] = jnp.zeros_like(xpad_ref)
     xpad_ref[1 : h + 1, 1 : w + 1, :] = x_ref[0]
 
-    acc = jnp.zeros((h * w, cout), jnp.float32)
+    acc = jnp.zeros((h, w, cout), jnp.float32)
     for k in range(9):
         dy, dx = k // 3, k % 3
-        patch = xpad_ref[dy : dy + h, dx : dx + w, :].reshape(h * w, cin)
-        acc += jnp.dot(patch, w_ref[k], preferred_element_type=jnp.float32)
+        patch = xpad_ref[dy : dy + h, dx : dx + w, :]
+        acc += lax.dot_general(
+            patch, w_ref[k],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=conv_precision,
+        )
 
-    def per_group(v_c):
-        v_g = jnp.sum(v_c.reshape(groups, cg), axis=1, keepdims=True)
-        return jnp.broadcast_to(v_g, (groups, cg)).reshape(cout)
-
-    mean_c = per_group(jnp.sum(acc, axis=0)) / denom
-    d = acc - mean_c
-    rstd_c = lax.rsqrt(per_group(jnp.sum(d * d, axis=0)) / denom + eps)
-    y = d * (rstd_c * scale_ref[0].astype(jnp.float32))
-    y = y + bias_ref[0].astype(jnp.float32)
+    gmask = gmask_ref[...]
+    sum_c = _sum_hw(acc)
+    mean_c = jnp.dot(sum_c, gmask, preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST) / denom
+    d = acc - mean_c  # (H, W, C) - (1, C) broadcasts on trailing dims
+    var_c = jnp.dot(_sum_hw(d * d), gmask, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST) / denom
+    rstd_c = lax.rsqrt(var_c + eps)
+    y = d * (rstd_c * scale_ref[...].astype(jnp.float32))
+    y = y + bias_ref[...].astype(jnp.float32)
     y = y * jax.nn.sigmoid(y)
-    o_ref[0] = y.reshape(h, w, cout).astype(o_ref.dtype)
+    o_ref[0] = y.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "eps", "interpret"))
@@ -134,7 +189,14 @@ def _fused_conv_gn_silu_pallas(x, w, scale, bias, *, num_groups: int,
     n, h, wd, cin = x.shape
     cout = w.shape[-1]
     w9 = w.astype(x.dtype).reshape(9, cin, cout)
-    kernel = functools.partial(_conv_gn_silu_kernel, groups=num_groups, eps=eps)
+    denom = float(h * wd * (cout // num_groups))
+    # HIGHEST keeps f32 operands exact; Mosaic rejects it for bf16 lhs
+    # ("Bad lhs type"), where DEFAULT is already the native bf16 MXU path.
+    conv_precision = (
+        lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
+    )
+    kernel = functools.partial(_conv_gn_silu_kernel, eps=eps, denom=denom,
+                               conv_precision=conv_precision)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h, wd, cout), x.dtype),
@@ -146,12 +208,14 @@ def _fused_conv_gn_silu_pallas(x, w, scale, bias, *, num_groups: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, wd, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((h + 2, wd + 2, cin), x.dtype)],
         interpret=interpret,
-    )(x, w9, scale.reshape(1, cout), bias.reshape(1, cout))
+    )(x, w9, scale.reshape(1, cout), bias.reshape(1, cout),
+      jnp.asarray(_group_mask(cout, num_groups)))
 
 
 #: Per-image VMEM budget for the fused conv block (padded input + f32
@@ -192,23 +256,3 @@ def fused_conv3x3_gn_silu(x: jax.Array, w: jax.Array, scale: jax.Array,
     interpret = jax.default_backend() != "tpu"
     return _fused_conv_gn_silu_pallas(x, w, scale, bias, num_groups=num_groups,
                                       eps=eps, interpret=interpret)
-
-
-def fused_group_norm_silu(x: jax.Array, scale: jax.Array, bias: jax.Array, *,
-                          num_groups: int, eps: float = 1e-5,
-                          use_pallas: bool | None = None) -> jax.Array:
-    """GroupNorm followed by SiLU, fused on TPU via Pallas.
-
-    ``use_pallas=None`` auto-selects: Pallas on TPU backends (any size —
-    the kernel streams H tiles), XLA elsewhere. Numerics are validated
-    equivalent to group_norm+silu (see tests/test_pallas.py).
-    """
-    if use_pallas is None:
-        use_pallas = (
-            jax.default_backend() == "tpu" and x.shape[-1] % num_groups == 0
-        )
-    if not use_pallas:
-        return silu(group_norm(x, scale, bias, num_groups=num_groups, eps=eps))
-    interpret = jax.default_backend() != "tpu"
-    return _fused_gn_silu_pallas(x, scale, bias, num_groups=num_groups,
-                                 eps=eps, interpret=interpret)
