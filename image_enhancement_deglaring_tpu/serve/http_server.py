@@ -79,6 +79,12 @@ def parse_multipart(body: bytes, content_type: str) -> dict[str, bytes]:
 
 
 class DeglareServer:
+    #: reject request bodies above this size (decompressed PNGs of huge
+    #: documents still fit comfortably; protects the decode path)
+    MAX_BODY_BYTES = 64 * 1024 * 1024
+    #: per-connection read timeout
+    READ_TIMEOUT_S = 30.0
+
     def __init__(self, engine, *, host: str = "0.0.0.0", port: int = 4000,
                  image_size: int = 512, mode: str = "resize",
                  tiler=None, log_dir: str | None = None):
@@ -157,7 +163,9 @@ class DeglareServer:
     async def _handle(self, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter) -> None:
         try:
-            request_line = await reader.readline()
+            request_line = await asyncio.wait_for(
+                reader.readline(), timeout=self.READ_TIMEOUT_S
+            )
             if not request_line:
                 writer.close()
                 return
@@ -169,16 +177,24 @@ class DeglareServer:
 
             headers: dict[str, str] = {}
             while True:
-                line = await reader.readline()
+                line = await asyncio.wait_for(
+                    reader.readline(), timeout=self.READ_TIMEOUT_S
+                )
                 if line in (b"\r\n", b"\n", b""):
                     break
                 k, _, v = line.decode(errors="replace").partition(":")
                 headers[k.strip().lower()] = v.strip()
 
-            body = b""
             length = int(headers.get("content-length", "0") or 0)
+            if length > self.MAX_BODY_BYTES:
+                await self._respond(writer, 413,
+                                    {"detail": "Request body too large"})
+                return
+            body = b""
             if length:
-                body = await reader.readexactly(length)
+                body = await asyncio.wait_for(
+                    reader.readexactly(length), timeout=self.READ_TIMEOUT_S
+                )
 
             if method == "GET" and path == "/ping":
                 status, payload = self._ping()
@@ -190,7 +206,8 @@ class DeglareServer:
             else:
                 status, payload = 404, {"detail": "Not Found"}
             await self._respond(writer, status, payload)
-        except (asyncio.IncompleteReadError, ConnectionResetError):
+        except (asyncio.IncompleteReadError, ConnectionResetError,
+                asyncio.TimeoutError):
             pass
         finally:
             try:
@@ -201,7 +218,7 @@ class DeglareServer:
 
     async def _respond(self, writer, status: int, payload: dict) -> None:
         reasons = {200: "OK", 400: "Bad Request", 404: "Not Found",
-                   500: "Internal Server Error"}
+                   413: "Payload Too Large", 500: "Internal Server Error"}
         body = json.dumps(payload, separators=(",", ":")).encode()
         head = (
             f"HTTP/1.1 {status} {reasons.get(status, 'OK')}\r\n"

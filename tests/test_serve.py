@@ -269,3 +269,12 @@ def test_create_server_from_onnx(tmp_path, rng):
     out = server.engine.infer_one(img)
     assert out.shape == (SIZE, SIZE) and out.dtype == np.uint8
     server.engine.stop()
+
+
+def test_oversized_body_413(live_server):
+    status, data = _request(
+        *live_server, "POST", "/infer", None,
+        {"Content-Type": "multipart/form-data; boundary=b",
+         "Content-Length": str(100 * 1024 * 1024)},
+    )
+    assert status == 413
