@@ -9,10 +9,17 @@ plugin and pins JAX_PLATFORMS=axon, so the env var alone is not enough —
 we must override via jax.config before any backend is initialized.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Persistent compilation cache: whole-model CPU compiles dominate suite
+# time; repeat runs hit the cache and finish several times faster.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest

@@ -278,3 +278,30 @@ def test_oversized_body_413(live_server):
          "Content-Length": str(100 * 1024 * 1024)},
     )
     assert status == 413
+
+
+def test_reference_sample_input_end_to_end(live_server):
+    """Drive the API with the reference repo's real glare sample (512x512
+    RGBA photo) and sanity-check the de-glaring contract end to end."""
+    import os
+
+    sample = "/root/reference/api/test_input1.png"
+    if not os.path.exists(sample):
+        pytest.skip("reference sample input unavailable")
+    with open(sample, "rb") as f:
+        png = f.read()
+    boundary = "refsample"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="image"; filename="test_input1.png"\r\n'
+        "Content-Type: image/png\r\n\r\n"
+    ).encode() + png + f"\r\n--{boundary}--\r\n".encode()
+    status, data = _request(
+        *live_server, "POST", "/infer", body,
+        {"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    assert status == 200
+    original = Image.open(io.BytesIO(png))
+    out = Image.open(io.BytesIO(base64.b64decode(json.loads(data)["image"])))
+    assert out.mode == "L"
+    assert out.size == original.size  # restored to original dimensions
