@@ -172,12 +172,17 @@ def load_model_for_eval(model_path: str, *, model_arch: str = "lightweight",
                 node = node.setdefault(p, {})
             node[parts[-1]] = arr
     elif lower.endswith((".pth", ".pt")):
-        from ..modelio import (
+        from ..modelio import load_torch_state_dict
+        from ..modelio.params_import import (
             lightweight_unet_params_from_state_dict,
-            load_torch_state_dict,
+            optimized_unet_params_from_state_dict,
         )
 
-        params = lightweight_unet_params_from_state_dict(load_torch_state_dict(model_path))
+        sd = load_torch_state_dict(model_path)
+        if model_arch == "optimized":
+            params = optimized_unet_params_from_state_dict(sd)
+        else:
+            params = lightweight_unet_params_from_state_dict(sd)
     else:  # orbax checkpoint directory
         from ..train.checkpoint import restore_params
 

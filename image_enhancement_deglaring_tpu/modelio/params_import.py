@@ -71,6 +71,45 @@ def lightweight_unet_params_from_state_dict(sd: dict[str, np.ndarray]) -> dict:
     return params
 
 
+def optimized_unet_params_from_state_dict(sd: dict[str, np.ndarray]) -> dict:
+    """Torch state dict (OptimizedUNet names, reference:
+    src/optimized_model.py:6-158) -> our Flax params pytree.
+
+    Torch module layout: enc/dec/bottleneck Sequentials index
+    Conv(0)/GN(1)/Conv(3)/GN(4); upconv Sequentials index
+    Upsample(0)/Conv(1)/GN(2); SE attention holds Linear(fc.0)/Linear(fc.2);
+    output Conv2d carries weight+bias.
+    """
+    params: dict = {}
+    for blk in ("enc1", "enc2", "enc3", "enc4", "bottleneck",
+                "dec4", "dec3", "dec2", "dec1"):
+        params[blk] = {
+            "conv1": _conv_to_hwio(sd[f"{blk}.0.weight"]),
+            "gn1_scale": sd[f"{blk}.1.weight"].astype(np.float32).reshape(-1),
+            "gn1_bias": sd[f"{blk}.1.bias"].astype(np.float32).reshape(-1),
+            "conv2": _conv_to_hwio(sd[f"{blk}.3.weight"]),
+            "gn2_scale": sd[f"{blk}.4.weight"].astype(np.float32).reshape(-1),
+            "gn2_bias": sd[f"{blk}.4.bias"].astype(np.float32).reshape(-1),
+        }
+    for up in ("upconv4", "upconv3", "upconv2", "upconv1"):
+        params[up] = {
+            "conv": _conv_to_hwio(sd[f"{up}.1.weight"]),
+            "gn_scale": sd[f"{up}.2.weight"].astype(np.float32).reshape(-1),
+            "gn_bias": sd[f"{up}.2.bias"].astype(np.float32).reshape(-1),
+        }
+    for att in ("attention4", "attention3", "attention2", "attention1"):
+        # torch Linear weight (out, in) -> our 1x1 conv kernel (1, 1, in, out)
+        w1 = sd[f"{att}.fc.0.weight"].astype(np.float32)
+        w2 = sd[f"{att}.fc.2.weight"].astype(np.float32)
+        params[att] = {
+            "fc1": np.ascontiguousarray(w1.T)[None, None],
+            "fc2": np.ascontiguousarray(w2.T)[None, None],
+        }
+    params["output_weight"] = _conv_to_hwio(sd["output.weight"])
+    params["output_bias"] = sd["output.bias"].astype(np.float32)
+    return params
+
+
 def lightweight_unet_params_from_onnx(path: str) -> dict:
     """Parse the reference best_model.onnx and build our params pytree.
 

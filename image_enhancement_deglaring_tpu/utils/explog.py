@@ -69,6 +69,19 @@ class ExperimentLogger:
                 os.path.join(img_dir, f"{tag}_{name}.png")
             )
 
+    def log_histograms(self, tree, step: int | None = None, prefix: str = "grad") -> None:
+        """Summary statistics per pytree leaf — the offline analogue of
+        wandb.watch's gradient/parameter histograms
+        (reference: optimized_train.py:179)."""
+        import jax
+
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        rec = {}
+        for path, leaf in flat:
+            name = jax.tree_util.keystr(path).strip("[]'").replace("']['", "/")
+            rec[f"{prefix}/{name}"] = _histogram_stats(np.asarray(leaf))
+        self.log({f"_histograms_{prefix}": rec}, step=step)
+
     def set_summary(self, **kwargs) -> None:
         self._summary.update(_jsonable(kwargs))
         with open(os.path.join(self.run_dir, "summary.json"), "w") as f:
@@ -98,3 +111,16 @@ def _jsonable(obj):
     if isinstance(obj, (str, int, float, bool)) or obj is None:
         return obj
     return str(obj)
+
+
+def _histogram_stats(arr: np.ndarray) -> dict:
+    a = np.asarray(arr, np.float64).ravel()
+    qs = np.percentile(a, [0, 5, 25, 50, 75, 95, 100])
+    return {
+        "count": int(a.size),
+        "mean": float(a.mean()),
+        "std": float(a.std()),
+        "min": float(qs[0]), "p5": float(qs[1]), "p25": float(qs[2]),
+        "median": float(qs[3]), "p75": float(qs[4]), "p95": float(qs[5]),
+        "max": float(qs[6]),
+    }

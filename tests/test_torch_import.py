@@ -71,3 +71,64 @@ def test_pth_roundtrip_both_checkpoint_formats(tmp_path, rng):
         jnp.zeros((1, 32, 32, 1)),
     )
     assert y.shape == (1, 32, 32, 1)
+
+
+def test_optimized_unet_pth_import(tmp_path, rng):
+    """OptimizedUNet .pth import: torch Sequential/Linear naming -> our
+    pytree, shape- and value-exact (reference: evaluate.py --model optimized)."""
+    from image_enhancement_deglaring_tpu.modelio.params_import import (
+        optimized_unet_params_from_state_dict,
+    )
+    from image_enhancement_deglaring_tpu.models import OptimizedUNet
+
+    model = OptimizedUNet()
+    canonical = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 32, 32, 1)))["params"]
+
+    # build a torch-layout state dict whose shapes invert our mapping
+    sd = {}
+    for blk in ("enc1", "enc2", "enc3", "enc4", "bottleneck",
+                "dec4", "dec3", "dec2", "dec1"):
+        p = canonical[blk]
+        for t_idx, key in (("0", "conv1"), ("3", "conv2")):
+            hwio = np.asarray(p[key])
+            sd[f"{blk}.{t_idx}.weight"] = torch.from_numpy(
+                np.ascontiguousarray(hwio.transpose(3, 2, 0, 1)))
+        for t_idx, skey, bkey in (("1", "gn1_scale", "gn1_bias"),
+                                  ("4", "gn2_scale", "gn2_bias")):
+            sd[f"{blk}.{t_idx}.weight"] = torch.from_numpy(np.asarray(p[skey]))
+            sd[f"{blk}.{t_idx}.bias"] = torch.from_numpy(np.asarray(p[bkey]))
+    for up in ("upconv4", "upconv3", "upconv2", "upconv1"):
+        p = canonical[up]
+        sd[f"{up}.1.weight"] = torch.from_numpy(
+            np.ascontiguousarray(np.asarray(p["conv"]).transpose(3, 2, 0, 1)))
+        sd[f"{up}.2.weight"] = torch.from_numpy(np.asarray(p["gn_scale"]))
+        sd[f"{up}.2.bias"] = torch.from_numpy(np.asarray(p["gn_bias"]))
+    for att in ("attention4", "attention3", "attention2", "attention1"):
+        p = canonical[att]
+        sd[f"{att}.fc.0.weight"] = torch.from_numpy(
+            np.ascontiguousarray(np.asarray(p["fc1"])[0, 0].T))
+        sd[f"{att}.fc.2.weight"] = torch.from_numpy(
+            np.ascontiguousarray(np.asarray(p["fc2"])[0, 0].T))
+    sd["output.weight"] = torch.from_numpy(
+        np.ascontiguousarray(np.asarray(canonical["output_weight"]).transpose(3, 2, 0, 1)))
+    sd["output.bias"] = torch.from_numpy(np.asarray(canonical["output_bias"]))
+
+    path = str(tmp_path / "optimized.pth")
+    torch.save(sd, path)
+    from image_enhancement_deglaring_tpu.modelio import load_torch_state_dict
+
+    imported = optimized_unet_params_from_state_dict(load_torch_state_dict(path))
+    flat_c = jax.tree_util.tree_flatten_with_path(canonical)[0]
+    flat_i = dict(jax.tree_util.tree_flatten_with_path(imported)[0])
+    assert len(flat_c) == len(flat_i)
+    for kpath, leaf in flat_c:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_i[kpath]),
+                                      err_msg=str(kpath))
+
+    # and the eval loader path dispatches by arch
+    from image_enhancement_deglaring_tpu.eval import load_model_for_eval
+
+    apply_fn, params2 = load_model_for_eval(path, model_arch="optimized")
+    y = jax.jit(apply_fn)({"params": params2}, jnp.zeros((1, 32, 32, 1)))
+    assert y.shape == (1, 32, 32, 1)

@@ -66,3 +66,12 @@ def test_config_from_args():
 def test_set_seed_returns_key():
     key = set_seed(7, verbose=False)
     assert key.shape == (2,) or key.dtype.name.startswith("key")
+
+
+def test_log_histograms(tmp_path):
+    logger = ExperimentLogger(str(tmp_path))
+    tree = {"layer": {"w": np.arange(100, dtype=np.float32)}}
+    logger.log_histograms(tree, step=1, prefix="params")
+    rec = json.loads(open(tmp_path / "metrics.jsonl").read().splitlines()[-1])
+    stats = rec["_histograms_params"]["params/layer/w"]
+    assert stats["count"] == 100 and stats["median"] == 49.5
