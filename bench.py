@@ -80,6 +80,18 @@ def _cpu_baseline_throughput(params) -> float | None:
         return None
 
 
+def _emit(value, vs_baseline, note=None):
+    rec = {
+        "metric": "infer_throughput_512x512_bf16",
+        "value": round(value, 2) if value else value,
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }
+    if note:
+        rec["note"] = note
+    print(json.dumps(rec))
+
+
 def main() -> int:
     from image_enhancement_deglaring_tpu.modelio import (
         lightweight_unet_params_from_onnx,
@@ -98,16 +110,30 @@ def main() -> int:
             jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 1))
         )["params"]
 
-    tpu_ips = _tpu_throughput(params)
-    cpu_ips = _cpu_baseline_throughput(params)
-    vs_baseline = (tpu_ips / cpu_ips) if cpu_ips else None
+    # The remote-TPU tunnel can wedge; a hang here must still produce the
+    # one JSON line the harness records, so measure under a watchdog.
+    import signal
 
-    print(json.dumps({
-        "metric": "infer_throughput_512x512_bf16",
-        "value": round(tpu_ips, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-    }))
+    class _Timeout(Exception):
+        pass
+
+    def _alarm(_sig, _frm):
+        raise _Timeout()
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(480)
+    try:
+        tpu_ips = _tpu_throughput(params)
+        signal.alarm(60)
+        try:
+            cpu_ips = _cpu_baseline_throughput(params)
+        except _Timeout:
+            cpu_ips = None
+        signal.alarm(0)
+    except _Timeout:
+        _emit(None, None, note="device benchmark timed out (tunnel stall)")
+        return 1
+    _emit(tpu_ips, (tpu_ips / cpu_ips) if cpu_ips else None)
     return 0
 
 

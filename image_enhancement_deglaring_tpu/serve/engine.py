@@ -65,10 +65,34 @@ class InferenceEngine:
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._worker: threading.Thread | None = None
+        # rolling serving stats (last 1024 requests)
+        from collections import deque
+
+        self._latencies: deque[float] = deque(maxlen=1024)
+        self._batch_fill: deque[int] = deque(maxlen=1024)
+        self._served = 0
 
         self._step = jax.jit(partial(self._device_step, apply_fn, compute_dtype))
         if warmup:
             self.warmup()
+
+    def stats(self) -> dict:
+        """Serving observability: request latencies and batch fill."""
+        lat = sorted(self._latencies)
+
+        def pct(p):
+            return lat[min(len(lat) - 1, int(p * len(lat)))] * 1000 if lat else None
+
+        return {
+            "requests_served": self._served,
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p95": pct(0.95),
+            "latency_ms_p99": pct(0.99),
+            "mean_batch_fill": (
+                sum(self._batch_fill) / len(self._batch_fill)
+                if self._batch_fill else None
+            ),
+        }
 
     def _bucket_for(self, b: int) -> int:
         sizes = _bucket_sizes(self.max_batch_size)
@@ -146,7 +170,7 @@ class InferenceEngine:
         if self._worker is None:
             self.start()
         fut: Future = Future()
-        self._queue.put((img_u8, fut))
+        self._queue.put((img_u8, fut, _now()))
         return fut
 
     def _collector_loop(self) -> None:
@@ -168,10 +192,14 @@ class InferenceEngine:
             imgs = np.stack([b[0] for b in batch])
             try:
                 outs = self.infer_batch(imgs)
-                for (_, fut), out in zip(batch, outs):
+                done = _now()
+                for (_, fut, t_enq), out in zip(batch, outs):
                     fut.set_result(out)
+                    self._latencies.append(done - t_enq)
+                self._batch_fill.append(len(batch))
+                self._served += len(batch)
             except Exception as e:  # pragma: no cover
-                for _, fut in batch:
+                for _, fut, _t in batch:
                     if not fut.done():
                         fut.set_exception(e)
 

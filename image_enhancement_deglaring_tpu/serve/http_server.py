@@ -198,6 +198,9 @@ class DeglareServer:
 
             if method == "GET" and path == "/ping":
                 status, payload = self._ping()
+            elif method == "GET" and path == "/stats":
+                # serving observability (addition beyond the reference API)
+                status, payload = 200, self.engine.stats()
             elif method == "POST" and path == "/infer":
                 loop = asyncio.get_running_loop()
                 status, payload = await loop.run_in_executor(

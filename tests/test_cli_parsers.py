@@ -1,0 +1,58 @@
+"""Every CLI's flag surface parses with defaults (keeps the reference's
+argparse contracts importable and stable)."""
+
+import pytest
+
+
+def test_train_parser_defaults():
+    from image_enhancement_deglaring_tpu.cli.train import parse_args
+
+    args = parse_args(["--data_dir", "SD1/train"])
+    # the reference's tuned hyperparameters are the defaults
+    assert args.lr == 0.002362532125818593
+    assert args.weight_decay == 0.00006753784966611083
+    assert args.batch_size == 32 and args.epochs == 50
+    assert args.model == "basic" and args.image_size == 512
+    assert args.patience == 10 and args.clip_grad_norm == 1.0
+
+
+def test_evaluate_parser_defaults():
+    from image_enhancement_deglaring_tpu.cli.evaluate import parse_args
+
+    args = parse_args([])
+    assert args.data_dir == "SD1/val"
+    assert args.batch_size == 16 and args.image_size == 512
+    assert args.model == "lightweight"
+
+
+def test_serve_parser_env_model_path(monkeypatch):
+    monkeypatch.setenv("MODEL_PATH", "/models/x.onnx")
+    import importlib
+
+    from image_enhancement_deglaring_tpu.cli import serve
+
+    importlib.reload(serve)
+    args = serve.parse_args([])
+    assert args.model_path == "/models/x.onnx"
+    assert args.port == 4000 and args.mode == "resize"
+
+
+def test_sweep_parser_defaults():
+    from image_enhancement_deglaring_tpu.cli.sweep import parse_args
+
+    args = parse_args(["--data_dir", "SD1/train"])
+    assert args.sweep_count == 20 and args.max_epochs == 50
+    assert args.early_stop_min_iter == 10  # hyperband min_iter
+
+
+def test_enhance_parser_requires_input():
+    from image_enhancement_deglaring_tpu.cli.enhance import parse_args
+
+    with pytest.raises(SystemExit):
+        parse_args([])
+    args = parse_args(["--input", "x.png"])
+    assert args.output_dir == "./results"
+
+
+def test_test_api_parser():
+    from image_enhancement_deglaring_tpu.cli.test_api import main  # noqa: F401

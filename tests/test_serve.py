@@ -305,3 +305,15 @@ def test_reference_sample_input_end_to_end(live_server):
     out = Image.open(io.BytesIO(base64.b64decode(json.loads(data)["image"])))
     assert out.mode == "L"
     assert out.size == original.size  # restored to original dimensions
+
+
+def test_stats_endpoint(live_server, rng):
+    # generate at least one batched request first
+    img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    body, headers = _multipart_png(img)
+    _request(*live_server, "POST", "/infer", body, headers)
+    status, data = _request(*live_server, "GET", "/stats")
+    assert status == 200
+    stats = json.loads(data)
+    assert stats["requests_served"] >= 1
+    assert stats["latency_ms_p50"] is None or stats["latency_ms_p50"] > 0
