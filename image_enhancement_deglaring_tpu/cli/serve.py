@@ -42,7 +42,12 @@ def main(argv=None):
         batch_timeout_ms=args.batch_timeout_ms, compute_dtype=dtype,
         tile_overlap=args.tile_overlap, log_dir=args.log_dir,
     )
-    server.run()
+    try:
+        server.run()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.engine.stop()
 
 
 if __name__ == "__main__":

@@ -152,7 +152,8 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                 progress: bool = True, start_epoch: int = 0,
                 resume_state: TrainState | None = None,
                 resume_from: str | None = None,
-                lr_controller: ReduceLROnPlateau | None = None):
+                lr_controller: ReduceLROnPlateau | None = None,
+                watch_every: int = 0):
     """Train ``model`` (a Flax module); returns (best_params, best_val_loss,
     final_state).
 
@@ -311,6 +312,15 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                 rec["val_psnr"] = val_psnr
                 rec["val_ssim"] = val_ssim
             logger.log(rec, step=epoch + 1)
+
+        if (logger is not None and watch_every > 0
+                and (epoch + 1) % watch_every == 0):
+            # wandb.watch analogue (reference: optimized_train.py:179):
+            # per-leaf parameter statistics into the metrics stream
+            logger.log_histograms(
+                jax.tree_util.tree_map(np.asarray, state.params),
+                step=epoch + 1, prefix="params",
+            )
 
         if (epoch + 1) % save_every == 0:
             save_checkpoint(

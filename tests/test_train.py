@@ -222,3 +222,20 @@ def test_resume_from_checkpoint_continues_exactly(tmp_path, toy_data):
                     jax.tree_util.tree_leaves(state_full.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_watch_every_logs_param_histograms(tmp_path, toy_data):
+    import json
+
+    from image_enhancement_deglaring_tpu.utils import ExperimentLogger
+
+    x, y = toy_data
+    logger = ExperimentLogger(str(tmp_path / "logs"))
+    train_model(
+        _MODEL, _ArrayLoader(x[:8], y[:8], 4), _ArrayLoader(x[8:], y[8:], 4),
+        epochs=1, lr=1e-3, output_dir=str(tmp_path), progress=False,
+        logger=logger, watch_every=1,
+    )
+    lines = [json.loads(l) for l in open(tmp_path / "logs" / "metrics.jsonl")]
+    hist = [l for l in lines if "_histograms_params" in l]
+    assert hist and "params/enc1/conv1" in hist[0]["_histograms_params"]
