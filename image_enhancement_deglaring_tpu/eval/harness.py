@@ -57,12 +57,22 @@ def _jit_apply(apply_fn, params, x):
 
 def evaluate(apply_fn, params, val_loader, *, save_visualizations: bool = False,
              visualizations_dir: str | None = None, max_vis_samples: int = 10,
-             batch_size: int | None = None, progress: bool = True) -> dict:
+             batch_size: int | None = None, progress: bool = True,
+             mesh=None) -> dict:
     """Evaluate a model over ``val_loader`` (yields NHWC numpy batches).
 
     Returns {'l1_loss', 'psnr', 'ssim'} with the reference's averaging.
+    ``mesh``: optional 1-D Mesh — params replicate and eval batches shard
+    across it (padding keeps every compiled batch mesh-aligned), so
+    validation scales over a slice like training does.
     """
     params = jax.tree_util.tree_map(jnp.asarray, params)
+    sharding = None
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicate
+
+        params = replicate(params, mesh)
+        sharding = batch_sharding(mesh)
     total_loss = 0.0
     total_psnr = 0.0
     total_ssim = 0.0
@@ -84,6 +94,9 @@ def evaluate(apply_fn, params, val_loader, *, save_visualizations: bool = False,
         b = x.shape[0]
         if static_b is None:
             static_b = b
+            if mesh is not None:
+                n_dev = mesh.devices.size
+                static_b = -(-static_b // n_dev) * n_dev
         if b < static_b:  # pad ragged final batch to the compiled shape
             pad = static_b - b
             x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
@@ -91,6 +104,10 @@ def evaluate(apply_fn, params, val_loader, *, save_visualizations: bool = False,
         mask = np.zeros((static_b,), np.float32)
         mask[:b] = 1.0
 
+        if sharding is not None:
+            x = jax.device_put(x, sharding)
+            y = jax.device_put(y, sharding)
+            mask = jax.device_put(mask, sharding)
         l1, psnrs, ssims = _eval_step(apply_fn, params, jnp.asarray(x),
                                       jnp.asarray(y), jnp.asarray(mask))
         total_loss += float(l1)

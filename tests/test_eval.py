@@ -73,3 +73,23 @@ def test_evaluate_saves_visualizations(tmp_path, rng):
 
     assert os.path.exists(tmp_path / "sample_0.png")
     assert os.path.exists(tmp_path / "sample_1.png")
+
+
+def test_evaluate_mesh_sharded_matches_single_device(rng):
+    from image_enhancement_deglaring_tpu.parallel import make_mesh
+
+    batches = []
+    for b in (8, 8, 5):  # ragged tail also exercises mesh-aligned padding
+        x = rng.random((b, 32, 32, 1)).astype(np.float32)
+        y = np.clip(x + rng.normal(0, 0.05, x.shape), 0, 1).astype(np.float32)
+        batches.append((x, y))
+    params = {"bias": jnp.asarray(0.02, jnp.float32)}
+    solo = evaluate(_identityish_apply, params, list(batches), batch_size=8,
+                    progress=False)
+    mesh = make_mesh(8)
+    sharded = evaluate(_identityish_apply, params, list(batches), progress=False,
+                       mesh=mesh)
+    assert sharded["num_samples"] == solo["num_samples"] == 21
+    np.testing.assert_allclose(sharded["l1_loss"], solo["l1_loss"], rtol=1e-5)
+    np.testing.assert_allclose(sharded["psnr"], solo["psnr"], rtol=1e-5)
+    np.testing.assert_allclose(sharded["ssim"], solo["ssim"], rtol=1e-5)
