@@ -23,6 +23,8 @@ def parse_args(argv=None):
     p.add_argument("--max_vis_samples", type=int, default=10)
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="shard eval batches across this many devices")
     return p.parse_args(argv)
 
 
@@ -62,10 +64,17 @@ def main(argv=None):
     loader = _Loader(ds, args.batch_size, shuffle=False, drop_last=False,
                      seed=args.seed, num_workers=args.num_workers)
 
+    mesh = None
+    if args.n_devices > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(args.n_devices)
+
     metrics = evaluate(
         apply_fn, params, loader, save_visualizations=args.save_visualizations,
         visualizations_dir=args.visualizations_dir,
         max_vis_samples=args.max_vis_samples, batch_size=args.batch_size,
+        mesh=mesh,
     )
     print(f"Evaluation on {metrics['num_samples']} samples:")
     print(f"L1 Loss: {metrics['l1_loss']:.4f}")
