@@ -85,11 +85,18 @@ def triptych_preprocess(img: np.ndarray, out_size: int):
     return glared, gt
 
 
-def triptych_preprocess_batch(imgs: np.ndarray, out_size: int, n_threads: int = 8):
-    """uint8 (N, H, W[, C]) -> (glared, gt) float32 (N, out, out)."""
+def triptych_preprocess_batch(imgs: np.ndarray, out_size: int,
+                              n_threads: int | None = None):
+    """uint8 (N, H, W[, C]) -> (glared, gt) float32 (N, out, out).
+
+    ``n_threads`` defaults to (and is capped at) the visible CPU count —
+    oversubscription under a cgroup CPU quota triggers heavy throttling.
+    """
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native library unavailable")
+    cpus = os.cpu_count() or 1
+    n_threads = cpus if n_threads is None else min(n_threads, cpus)
     imgs = np.ascontiguousarray(imgs, np.uint8)
     n, h, w = imgs.shape[:3]
     c = imgs.shape[3] if imgs.ndim == 4 else 1
