@@ -317,3 +317,31 @@ def test_stats_endpoint(live_server, rng):
     stats = json.loads(data)
     assert stats["requests_served"] >= 1
     assert stats["latency_ms_p50"] is None or stats["latency_ms_p50"] > 0
+
+
+def test_multipart_parser_fuzz(rng):
+    """Parser must never raise on junk bodies — it returns empty/partial
+    fields and the handler converts that to a clean 400."""
+    import random as pyrandom
+
+    pyrandom.seed(0)
+    junk_bodies = [
+        b"",
+        b"--",
+        b"\r\n\r\n\r\n",
+        bytes(rng.integers(0, 256, 512, dtype=np.uint8)),
+        b"--bound\r\nContent-Disposition: form-data\r\n\r\nxx",
+        b"--bound\r\nContent-Disposition: form-data; name=\r\n\r\nxx\r\n--bound--",
+        "--bound\r\nContent-Disposition: form-data; name=\"imäge\"\r\n\r\nd\r\n--bound--".encode(),
+    ]
+    ctypes_ = [
+        "",
+        "multipart/form-data",
+        "multipart/form-data; boundary=",
+        "multipart/form-data; boundary=bound",
+        "text/plain; charset=utf-8",
+    ]
+    for body in junk_bodies:
+        for ct in ctypes_:
+            fields = parse_multipart(body, ct)
+            assert isinstance(fields, dict)
