@@ -128,6 +128,7 @@ class DevicePrefetcher:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        error: list[BaseException] = []
 
         def worker():
             try:
@@ -137,6 +138,8 @@ class DevicePrefetcher:
                     else:
                         batch = jax.device_put(batch)
                     q.put(batch)
+            except BaseException as e:  # surface in the consumer, don't
+                error.append(e)        # silently truncate the epoch
             finally:
                 q.put(sentinel)
 
@@ -148,6 +151,8 @@ class DevicePrefetcher:
                 break
             yield item
         t.join()
+        if error:
+            raise error[0]
 
 
 def make_dataloaders(data_dir: str, *, batch_size: int = 32, val_split: float = 0.2,

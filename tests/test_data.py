@@ -105,3 +105,21 @@ def test_heavy_augment_runs(sd1_dir):
     x, y = ds[0]
     assert x.shape == (64, 64, 1) and y.shape == (64, 64, 1)
     assert np.isfinite(x).all() and np.isfinite(y).all()
+
+
+def test_prefetcher_propagates_worker_errors():
+    from image_enhancement_deglaring_tpu.data import DevicePrefetcher
+
+    class BrokenLoader:
+        def __iter__(self):
+            yield (np.zeros((2, 4, 4, 1), np.float32),) * 2
+            raise RuntimeError("decode exploded")
+
+        def __len__(self):
+            return 2
+
+    pf = DevicePrefetcher(BrokenLoader())
+    it = iter(pf)
+    next(it)  # first batch fine
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        list(it)
