@@ -149,6 +149,7 @@ class VmappedTrialGroup:
 
         self.lrs = jnp.asarray([t.lr for t in trials], jnp.float32)
         self.wds = jnp.asarray([t.wd for t in trials], jnp.float32)
+        self._trial_sharding = None
         self.params = stacked
         self.opt_state = opt_state
         self.clip = clip_grad_norm
@@ -163,6 +164,7 @@ class VmappedTrialGroup:
             axis = mesh.axis_names[0]
             tsh = NamedSharding(mesh, P(axis))
             rep = NamedSharding(mesh, P())
+            self._trial_sharding = tsh
             put_t = lambda x: jax.device_put(x, tsh) if x.shape[0] == n else x
             self.params = jax.tree_util.tree_map(put_t, self.params)
             self.opt_state = jax.tree_util.tree_map(
@@ -236,7 +238,11 @@ class VmappedTrialGroup:
 
     def step_schedulers(self, val_losses: np.ndarray) -> None:
         new = [s.step(float(v)) for s, v in zip(self.schedulers, val_losses)]
-        self.lrs = jnp.asarray(new, jnp.float32)
+        lrs = jnp.asarray(new, jnp.float32)
+        if self._trial_sharding is not None and lrs.shape[0] % \
+                self._trial_sharding.mesh.devices.size == 0:
+            lrs = jax.device_put(lrs, self._trial_sharding)
+        self.lrs = lrs
 
     def keep(self, indices: list[int]) -> None:
         """Drop all but ``indices`` (successive halving compaction)."""

@@ -164,6 +164,14 @@ class InferenceEngine:
         if self._worker is not None:
             self._worker.join(timeout=5)
             self._worker = None
+        # resolve anything still queued so callers don't block forever
+        while True:
+            try:
+                _img, fut, _t = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("engine stopped"))
 
     def submit(self, img_u8: np.ndarray) -> Future:
         """Enqueue one uint8 (S,S) frame; resolves to uint8 (S,S)."""
@@ -178,6 +186,10 @@ class InferenceEngine:
             try:
                 first = self._queue.get(timeout=0.1)
             except queue.Empty:
+                continue
+            if self._stop.is_set():
+                if not first[1].done():
+                    first[1].set_exception(RuntimeError("engine stopped"))
                 continue
             batch = [first]
             deadline = _now() + self.batch_timeout_s
