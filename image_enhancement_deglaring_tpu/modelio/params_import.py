@@ -110,6 +110,74 @@ def optimized_unet_params_from_state_dict(sd: dict[str, np.ndarray]) -> dict:
     return params
 
 
+def enhanced_unet_params_from_state_dict(sd: dict[str, np.ndarray]):
+    """Torch state dict (EnhancedUNet names, reference: src/model.py:240-313)
+    -> (params, batch_stats) for our Flax EnhancedUNet.
+
+    Torch layout: ResidualBlock.conv_block indexes Conv(0)/BN(1)/ReLU(2)/
+    Dropout(3)/Conv(4)/BN(5) with an optional shortcut Conv(0)/BN(1);
+    bottleneck Sequential mirrors the block; AttentionGate holds
+    W_g/W_x/psi Conv+BN pairs; output Sequential is Conv(0)+Sigmoid.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(prefix: str):
+        return (
+            {"scale": sd[f"{prefix}.weight"].astype(np.float32),
+             "bias": sd[f"{prefix}.bias"].astype(np.float32)},
+            {"mean": sd[f"{prefix}.running_mean"].astype(np.float32),
+             "var": sd[f"{prefix}.running_var"].astype(np.float32)},
+        )
+
+    blocks = ["enc1", "enc2", "enc3", "enc4", "enc5",
+              "dec5", "dec4", "dec3", "dec2", "dec1"]
+    for blk in blocks:
+        p: dict = {
+            "conv1": _conv_to_hwio(sd[f"{blk}.conv_block.0.weight"]),
+            "conv2": _conv_to_hwio(sd[f"{blk}.conv_block.4.weight"]),
+        }
+        s: dict = {}
+        p["bn1"], s["bn1"] = bn(f"{blk}.conv_block.1")
+        p["bn2"], s["bn2"] = bn(f"{blk}.conv_block.5")
+        if f"{blk}.shortcut.0.weight" in sd:
+            p["shortcut_conv"] = _conv_to_hwio(sd[f"{blk}.shortcut.0.weight"])
+            p["shortcut_bn"], s["shortcut_bn"] = bn(f"{blk}.shortcut.1")
+        params[blk] = p
+        stats[blk] = s
+
+    params["bottleneck_conv1"] = _conv_to_hwio(sd["bottleneck.0.weight"])
+    params["bottleneck_conv2"] = _conv_to_hwio(sd["bottleneck.4.weight"])
+    params["bottleneck_bn1"], stats["bottleneck_bn1"] = bn("bottleneck.1")
+    params["bottleneck_bn2"], stats["bottleneck_bn2"] = bn("bottleneck.5")
+
+    for att in ("attention5", "attention4", "attention3", "attention2",
+                "attention1"):
+        p = {
+            "w_g": _conv_to_hwio(sd[f"{att}.W_g.0.weight"]),
+            "w_g_bias": sd[f"{att}.W_g.0.bias"].astype(np.float32),
+            "w_x": _conv_to_hwio(sd[f"{att}.W_x.0.weight"]),
+            "w_x_bias": sd[f"{att}.W_x.0.bias"].astype(np.float32),
+            "psi": _conv_to_hwio(sd[f"{att}.psi.0.weight"]),
+            "psi_bias": sd[f"{att}.psi.0.bias"].astype(np.float32),
+        }
+        s = {}
+        p["bn_g"], s["bn_g"] = bn(f"{att}.W_g.1")
+        p["bn_x"], s["bn_x"] = bn(f"{att}.W_x.1")
+        p["bn_psi"], s["bn_psi"] = bn(f"{att}.psi.1")
+        params[att] = p
+        stats[att] = s
+
+    for up in ("upconv5", "upconv4", "upconv3", "upconv2", "upconv1"):
+        params[up] = {
+            "weight": sd[f"{up}.weight"].astype(np.float32),
+            "bias": sd[f"{up}.bias"].astype(np.float32),
+        }
+    params["output_weight"] = _conv_to_hwio(sd["output.0.weight"])
+    params["output_bias"] = sd["output.0.bias"].astype(np.float32)
+    return params, stats
+
+
 def lightweight_unet_params_from_onnx(path: str) -> dict:
     """Parse the reference best_model.onnx and build our params pytree.
 

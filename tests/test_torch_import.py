@@ -132,3 +132,92 @@ def test_optimized_unet_pth_import(tmp_path, rng):
     apply_fn, params2 = load_model_for_eval(path, model_arch="optimized")
     y = jax.jit(apply_fn)({"params": params2}, jnp.zeros((1, 32, 32, 1)))
     assert y.shape == (1, 32, 32, 1)
+
+
+def test_enhanced_unet_pth_import(tmp_path, rng):
+    """EnhancedUNet .pth import: ResidualBlock/AttentionGate/BN naming,
+    params + running stats, inverse-mapping exact and runnable."""
+    from image_enhancement_deglaring_tpu.modelio.params_import import (
+        enhanced_unet_params_from_state_dict,
+    )
+    from image_enhancement_deglaring_tpu.models import EnhancedUNet
+
+    model = EnhancedUNet()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 64, 1)))
+    canonical_p = variables["params"]
+    canonical_s = variables["batch_stats"]
+
+    def put_conv(sd, name, hwio):
+        sd[name] = torch.from_numpy(
+            np.ascontiguousarray(np.asarray(hwio).transpose(3, 2, 0, 1)))
+
+    def put_bn(sd, prefix, p_bn, s_bn):
+        sd[f"{prefix}.weight"] = torch.from_numpy(np.asarray(p_bn["scale"]))
+        sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(p_bn["bias"]))
+        sd[f"{prefix}.running_mean"] = torch.from_numpy(np.asarray(s_bn["mean"]))
+        sd[f"{prefix}.running_var"] = torch.from_numpy(np.asarray(s_bn["var"]))
+
+    sd = {}
+    for blk in ("enc1", "enc2", "enc3", "enc4", "enc5",
+                "dec5", "dec4", "dec3", "dec2", "dec1"):
+        put_conv(sd, f"{blk}.conv_block.0.weight", canonical_p[blk]["conv1"])
+        put_conv(sd, f"{blk}.conv_block.4.weight", canonical_p[blk]["conv2"])
+        put_bn(sd, f"{blk}.conv_block.1", canonical_p[blk]["bn1"],
+               canonical_s[blk]["bn1"])
+        put_bn(sd, f"{blk}.conv_block.5", canonical_p[blk]["bn2"],
+               canonical_s[blk]["bn2"])
+        if "shortcut_conv" in canonical_p[blk]:
+            put_conv(sd, f"{blk}.shortcut.0.weight",
+                     canonical_p[blk]["shortcut_conv"])
+            put_bn(sd, f"{blk}.shortcut.1", canonical_p[blk]["shortcut_bn"],
+                   canonical_s[blk]["shortcut_bn"])
+    put_conv(sd, "bottleneck.0.weight", canonical_p["bottleneck_conv1"])
+    put_conv(sd, "bottleneck.4.weight", canonical_p["bottleneck_conv2"])
+    put_bn(sd, "bottleneck.1", canonical_p["bottleneck_bn1"],
+           canonical_s["bottleneck_bn1"])
+    put_bn(sd, "bottleneck.5", canonical_p["bottleneck_bn2"],
+           canonical_s["bottleneck_bn2"])
+    for att in ("attention5", "attention4", "attention3", "attention2",
+                "attention1"):
+        p = canonical_p[att]
+        put_conv(sd, f"{att}.W_g.0.weight", p["w_g"])
+        sd[f"{att}.W_g.0.bias"] = torch.from_numpy(np.asarray(p["w_g_bias"]))
+        put_conv(sd, f"{att}.W_x.0.weight", p["w_x"])
+        sd[f"{att}.W_x.0.bias"] = torch.from_numpy(np.asarray(p["w_x_bias"]))
+        put_conv(sd, f"{att}.psi.0.weight", p["psi"])
+        sd[f"{att}.psi.0.bias"] = torch.from_numpy(np.asarray(p["psi_bias"]))
+        s = canonical_s[att]
+        put_bn(sd, f"{att}.W_g.1", p["bn_g"], s["bn_g"])
+        put_bn(sd, f"{att}.W_x.1", p["bn_x"], s["bn_x"])
+        put_bn(sd, f"{att}.psi.1", p["bn_psi"], s["bn_psi"])
+    for up in ("upconv5", "upconv4", "upconv3", "upconv2", "upconv1"):
+        sd[f"{up}.weight"] = torch.from_numpy(np.asarray(canonical_p[up]["weight"]))
+        sd[f"{up}.bias"] = torch.from_numpy(np.asarray(canonical_p[up]["bias"]))
+    put_conv(sd, "output.0.weight", canonical_p["output_weight"])
+    sd["output.0.bias"] = torch.from_numpy(np.asarray(canonical_p["output_bias"]))
+
+    path = str(tmp_path / "enhanced.pth")
+    torch.save(sd, path)
+    from image_enhancement_deglaring_tpu.modelio import load_torch_state_dict
+
+    params, stats = enhanced_unet_params_from_state_dict(load_torch_state_dict(path))
+
+    flat_c = jax.tree_util.tree_flatten_with_path(canonical_p)[0]
+    flat_i = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    assert len(flat_c) == len(flat_i)
+    for kpath, leaf in flat_c:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_i[kpath]),
+                                      err_msg=str(kpath))
+    flat_cs = jax.tree_util.tree_flatten_with_path(canonical_s)[0]
+    flat_is = dict(jax.tree_util.tree_flatten_with_path(stats)[0])
+    assert len(flat_cs) == len(flat_is)
+    for kpath, leaf in flat_cs:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_is[kpath]))
+
+    y = jax.jit(model.apply)(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params),
+         "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+        jnp.zeros((1, 64, 64, 1)),
+    )
+    assert y.shape == (1, 64, 64, 1)
