@@ -12,17 +12,23 @@
 """
 
 from .onnx_reader import load_onnx, OnnxGraph, OnnxNode
+from .onnx_writer import export_lightweight_unet
 from .params_import import (
+    enhanced_unet_params_from_state_dict,
     lightweight_unet_params_from_onnx,
     lightweight_unet_params_from_state_dict,
     load_torch_state_dict,
+    optimized_unet_params_from_state_dict,
 )
 
 __all__ = [
     "load_onnx",
     "OnnxGraph",
     "OnnxNode",
+    "export_lightweight_unet",
+    "enhanced_unet_params_from_state_dict",
     "lightweight_unet_params_from_onnx",
     "lightweight_unet_params_from_state_dict",
     "load_torch_state_dict",
+    "optimized_unet_params_from_state_dict",
 ]
