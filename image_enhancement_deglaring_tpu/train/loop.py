@@ -363,6 +363,30 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                                    early_stopping_epoch=epoch + 1)
             break
 
+    _plot_losses(history, output_dir)
     if best_params is None:
         best_params = jax.tree_util.tree_map(np.asarray, state.params)
     return best_params, best_val_loss, state
+
+
+def _plot_losses(history: dict, output_dir: str) -> None:
+    """loss_plot.png with train/val curves (reference: optimized_train.py:76-89)."""
+    if not history["train_loss"]:
+        return
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    fig = plt.figure(figsize=(10, 5))
+    plt.plot(history["train_loss"], label="Training Loss")
+    plt.plot(history["val_loss"], label="Validation Loss")
+    plt.xlabel("Epoch")
+    plt.ylabel("L1 Loss")
+    plt.title("Training and Validation Losses")
+    plt.legend()
+    plt.grid(True)
+    fig.savefig(os.path.join(output_dir, "loss_plot.png"))
+    plt.close(fig)

@@ -239,3 +239,12 @@ def test_watch_every_logs_param_histograms(tmp_path, toy_data):
     lines = [json.loads(l) for l in open(tmp_path / "logs" / "metrics.jsonl")]
     hist = [l for l in lines if "_histograms_params" in l]
     assert hist and "params/enc1/conv1" in hist[0]["_histograms_params"]
+
+
+def test_loss_plot_written(tmp_path, toy_data):
+    x, y = toy_data
+    train_model(
+        _MODEL, _ArrayLoader(x[:8], y[:8], 4), _ArrayLoader(x[8:], y[8:], 4),
+        epochs=1, lr=1e-3, output_dir=str(tmp_path), progress=False,
+    )
+    assert (tmp_path / "loss_plot.png").exists()
