@@ -10,7 +10,11 @@ training, on-device eval — runs exactly as it would on the real data.
 
 import argparse
 import os
+import sys
 import time
+
+# runnable from anywhere: scripts/ is sys.path[0], the package lives one up
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
