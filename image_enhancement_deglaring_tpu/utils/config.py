@@ -1,11 +1,12 @@
-"""Unified dataclass config shared by train / eval / serve / sweep.
+"""Unified dataclass config for programmatic use.
 
 The reference scatters configuration over per-script argparse + .env +
 wandb.config (reference: optimized_train.py:35-60, sweep.py:23-38,
-evaluate.py:18-37). Here one set of dataclasses backs every entry point;
-each CLI builds its config with :func:`from_args` so flags keep the
-reference's names and defaults (including the sweep-tuned lr/wd baked into
-reference: optimized_train.py:42,52).
+evaluate.py:18-37). These dataclasses centralize every knob (with the
+sweep-tuned lr/wd defaults of reference: optimized_train.py:42,52) for
+library callers and tooling; :func:`from_args` turns any of them into a
+CLI. The shipped CLIs in ``cli/`` intentionally keep their own argparse
+surfaces so flag names/defaults stay 1:1 with the reference scripts.
 """
 
 from __future__ import annotations
