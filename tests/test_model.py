@@ -130,3 +130,21 @@ def test_remat_model_identical_outputs_and_grads(onnx_params, rng):
     norm_a = float(optax.global_norm(ga))
     norm_b = float(optax.global_norm(gb))
     np.testing.assert_allclose(norm_a, norm_b, rtol=1e-5)
+
+
+def test_golden_values_on_production_weights(onnx_params):
+    """Cross-round regression pin: forward of the reference's production
+    weights on a fixed structured input must reproduce these golden
+    statistics (computed on the f32 CPU path at round 1)."""
+    yy, xx = np.mgrid[0:64, 0:64]
+    x = ((yy / 63.0 + ((xx // 8 + yy // 8) % 2) * 0.3) / 1.3).astype(np.float32)
+    x = x[None, ..., None]
+    params = jax.tree_util.tree_map(jnp.asarray, onnx_params)
+    out = np.asarray(_lw_apply({"params": params}, x))
+    np.testing.assert_allclose(out.mean(), 0.51017225, rtol=1e-4)
+    np.testing.assert_allclose(out.std(), 0.20897736, rtol=1e-4)
+    np.testing.assert_allclose(
+        out[0, :2, :2, 0].ravel(),
+        [0.25717306, 0.24841405, 0.16935296, 0.16444781],
+        rtol=5e-4,
+    )
