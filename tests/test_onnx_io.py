@@ -66,3 +66,27 @@ def test_reference_onnx_and_reexport_agree():
         p2 = lightweight_unet_params_from_onnx(out)
     for a, b in zip(jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reader_rejects_garbage(tmp_path):
+    bad = tmp_path / "junk.onnx"
+    bad.write_bytes(b"\x00\x01not a protobuf model")
+    with pytest.raises((ValueError, IndexError)):
+        load_onnx(str(bad))
+
+
+def test_reader_rejects_truncated_model(tmp_path, params):
+    from image_enhancement_deglaring_tpu.modelio.onnx_writer import (
+        export_lightweight_unet,
+    )
+
+    full = export_lightweight_unet(params, str(tmp_path / "full.onnx"))
+    data = open(full, "rb").read()
+    trunc = tmp_path / "trunc.onnx"
+    trunc.write_bytes(data[: len(data) // 2])
+    with pytest.raises((ValueError, IndexError, KeyError)):
+        from image_enhancement_deglaring_tpu.modelio import (
+            lightweight_unet_params_from_onnx,
+        )
+
+        lightweight_unet_params_from_onnx(str(trunc))
