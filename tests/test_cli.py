@@ -103,3 +103,14 @@ def test_check_dataset_validator(sd1, capsys):
     rc = main(sd1)  # synthetic 64px -> wrong dims for the 1536x512 contract
     out = capsys.readouterr().out
     assert rc == 1 and "incorrect dimensions" in out
+
+
+def test_make_synthetic_cli(tmp_path):
+    from image_enhancement_deglaring_tpu.cli.make_synthetic import main
+
+    main(["--out_dir", str(tmp_path / "sd1"), "--n_train", "2", "--n_val", "1",
+          "--size", "32"])
+    from image_enhancement_deglaring_tpu.data import list_image_paths
+
+    assert len(list_image_paths(str(tmp_path / "sd1" / "train"))) == 2
+    assert len(list_image_paths(str(tmp_path / "sd1" / "val"))) == 1
