@@ -14,4 +14,7 @@ Parity map to the reference's scripts:
 | scripts/split_image.py         | cli.split_image   |
 | scripts/check_png.py           | cli.check_dataset |
 | api/test_api.py                | cli.test_api      |
+
+Additions without a reference counterpart:
+- cli.make_synthetic — SD1-contract synthetic dataset generator
 """
