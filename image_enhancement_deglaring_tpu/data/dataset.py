@@ -113,12 +113,20 @@ class _Loader:
 class DevicePrefetcher:
     """Wraps a loader: decodes/augments ahead on a background thread and
     transfers batches to device (sharded if given a Sharding) so step N+1's
-    data is already in HBM while step N computes."""
+    data is already in HBM while step N computes.
 
-    def __init__(self, loader, *, sharding=None, prefetch: int = 2):
+    ``input_dtype``: optional numpy/ml_dtypes dtype to cast the INPUT
+    (first element of each batch) to before transfer. Casting to bfloat16
+    on host halves host->device bytes with zero semantic change when the
+    model's first op is a cast to the same dtype; targets stay f32 so loss
+    math is untouched."""
+
+    def __init__(self, loader, *, sharding=None, prefetch: int = 2,
+                 input_dtype=None):
         self.loader = loader
         self.sharding = sharding
         self.prefetch = prefetch
+        self.input_dtype = input_dtype
 
     def __len__(self):
         return len(self.loader)
@@ -133,6 +141,9 @@ class DevicePrefetcher:
         def worker():
             try:
                 for batch in self.loader:
+                    if self.input_dtype is not None and isinstance(batch, tuple):
+                        batch = (np.asarray(batch[0]).astype(self.input_dtype),
+                                 *batch[1:])
                     if self.sharding is not None:
                         batch = jax.device_put(batch, self.sharding)
                     else:

@@ -236,7 +236,12 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         t0 = time.time()
         if hasattr(train_loader, "set_epoch"):
             train_loader.set_epoch(epoch)
-        train_iter = DevicePrefetcher(train_loader, sharding=sharding)
+        # ship inputs in the model's compute dtype (bf16 halves PCIe/tunnel
+        # bytes; the model's first op is this exact cast, so it's free)
+        model_dtype = getattr(model, "dtype", None)
+        input_dtype = np.dtype("bfloat16") if model_dtype == jnp.bfloat16 else None
+        train_iter = DevicePrefetcher(train_loader, sharding=sharding,
+                                      input_dtype=input_dtype)
         running, n_seen = 0.0, 0
         it = train_iter
         if progress:
