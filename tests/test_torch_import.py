@@ -7,6 +7,13 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+
+def _tt(a):
+    """torch tensor from a (possibly non-writable) array, via a copy."""
+    import numpy as _np
+
+    return torch.from_numpy(_np.array(a))
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
@@ -26,22 +33,22 @@ def _make_torch_state_dict(rng):
     }
     sd = {}
     for blk, (cin, f) in blocks.items():
-        sd[f"{blk}.0.weight"] = torch.from_numpy(
+        sd[f"{blk}.0.weight"] = _tt(
             rng.standard_normal((f, cin, 3, 3)).astype(np.float32))
-        sd[f"{blk}.1.weight"] = torch.from_numpy(rng.standard_normal(f).astype(np.float32))
-        sd[f"{blk}.1.bias"] = torch.from_numpy(rng.standard_normal(f).astype(np.float32))
-        sd[f"{blk}.3.weight"] = torch.from_numpy(
+        sd[f"{blk}.1.weight"] = _tt(rng.standard_normal(f).astype(np.float32))
+        sd[f"{blk}.1.bias"] = _tt(rng.standard_normal(f).astype(np.float32))
+        sd[f"{blk}.3.weight"] = _tt(
             rng.standard_normal((f, f, 3, 3)).astype(np.float32))
-        sd[f"{blk}.4.weight"] = torch.from_numpy(rng.standard_normal(f).astype(np.float32))
-        sd[f"{blk}.4.bias"] = torch.from_numpy(rng.standard_normal(f).astype(np.float32))
+        sd[f"{blk}.4.weight"] = _tt(rng.standard_normal(f).astype(np.float32))
+        sd[f"{blk}.4.bias"] = _tt(rng.standard_normal(f).astype(np.float32))
     for up, (cin, cout) in {"upconv4": (128, 64), "upconv3": (64, 32),
                             "upconv2": (32, 16), "upconv1": (16, 8)}.items():
-        sd[f"{up}.weight"] = torch.from_numpy(
+        sd[f"{up}.weight"] = _tt(
             rng.standard_normal((cin, cout, 2, 2)).astype(np.float32))
-        sd[f"{up}.bias"] = torch.from_numpy(rng.standard_normal(cout).astype(np.float32))
-    sd["output_conv.weight"] = torch.from_numpy(
+        sd[f"{up}.bias"] = _tt(rng.standard_normal(cout).astype(np.float32))
+    sd["output_conv.weight"] = _tt(
         rng.standard_normal((1, 8, 1, 1)).astype(np.float32))
-    sd["output_conv.bias"] = torch.from_numpy(rng.standard_normal(1).astype(np.float32))
+    sd["output_conv.bias"] = _tt(rng.standard_normal(1).astype(np.float32))
     return sd
 
 
@@ -92,27 +99,27 @@ def test_optimized_unet_pth_import(tmp_path, rng):
         p = canonical[blk]
         for t_idx, key in (("0", "conv1"), ("3", "conv2")):
             hwio = np.asarray(p[key])
-            sd[f"{blk}.{t_idx}.weight"] = torch.from_numpy(
+            sd[f"{blk}.{t_idx}.weight"] = _tt(
                 np.ascontiguousarray(hwio.transpose(3, 2, 0, 1)))
         for t_idx, skey, bkey in (("1", "gn1_scale", "gn1_bias"),
                                   ("4", "gn2_scale", "gn2_bias")):
-            sd[f"{blk}.{t_idx}.weight"] = torch.from_numpy(np.asarray(p[skey]))
-            sd[f"{blk}.{t_idx}.bias"] = torch.from_numpy(np.asarray(p[bkey]))
+            sd[f"{blk}.{t_idx}.weight"] = _tt(np.asarray(p[skey]))
+            sd[f"{blk}.{t_idx}.bias"] = _tt(np.asarray(p[bkey]))
     for up in ("upconv4", "upconv3", "upconv2", "upconv1"):
         p = canonical[up]
-        sd[f"{up}.1.weight"] = torch.from_numpy(
+        sd[f"{up}.1.weight"] = _tt(
             np.ascontiguousarray(np.asarray(p["conv"]).transpose(3, 2, 0, 1)))
-        sd[f"{up}.2.weight"] = torch.from_numpy(np.asarray(p["gn_scale"]))
-        sd[f"{up}.2.bias"] = torch.from_numpy(np.asarray(p["gn_bias"]))
+        sd[f"{up}.2.weight"] = _tt(np.asarray(p["gn_scale"]))
+        sd[f"{up}.2.bias"] = _tt(np.asarray(p["gn_bias"]))
     for att in ("attention4", "attention3", "attention2", "attention1"):
         p = canonical[att]
-        sd[f"{att}.fc.0.weight"] = torch.from_numpy(
+        sd[f"{att}.fc.0.weight"] = _tt(
             np.ascontiguousarray(np.asarray(p["fc1"])[0, 0].T))
-        sd[f"{att}.fc.2.weight"] = torch.from_numpy(
+        sd[f"{att}.fc.2.weight"] = _tt(
             np.ascontiguousarray(np.asarray(p["fc2"])[0, 0].T))
-    sd["output.weight"] = torch.from_numpy(
+    sd["output.weight"] = _tt(
         np.ascontiguousarray(np.asarray(canonical["output_weight"]).transpose(3, 2, 0, 1)))
-    sd["output.bias"] = torch.from_numpy(np.asarray(canonical["output_bias"]))
+    sd["output.bias"] = _tt(np.asarray(canonical["output_bias"]))
 
     path = str(tmp_path / "optimized.pth")
     torch.save(sd, path)
@@ -149,14 +156,14 @@ def test_enhanced_unet_pth_import(tmp_path, rng):
     canonical_s = variables["batch_stats"]
 
     def put_conv(sd, name, hwio):
-        sd[name] = torch.from_numpy(
+        sd[name] = _tt(
             np.ascontiguousarray(np.asarray(hwio).transpose(3, 2, 0, 1)))
 
     def put_bn(sd, prefix, p_bn, s_bn):
-        sd[f"{prefix}.weight"] = torch.from_numpy(np.asarray(p_bn["scale"]))
-        sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(p_bn["bias"]))
-        sd[f"{prefix}.running_mean"] = torch.from_numpy(np.asarray(s_bn["mean"]))
-        sd[f"{prefix}.running_var"] = torch.from_numpy(np.asarray(s_bn["var"]))
+        sd[f"{prefix}.weight"] = _tt(np.asarray(p_bn["scale"]))
+        sd[f"{prefix}.bias"] = _tt(np.asarray(p_bn["bias"]))
+        sd[f"{prefix}.running_mean"] = _tt(np.asarray(s_bn["mean"]))
+        sd[f"{prefix}.running_var"] = _tt(np.asarray(s_bn["var"]))
 
     sd = {}
     for blk in ("enc1", "enc2", "enc3", "enc4", "enc5",
@@ -182,20 +189,20 @@ def test_enhanced_unet_pth_import(tmp_path, rng):
                 "attention1"):
         p = canonical_p[att]
         put_conv(sd, f"{att}.W_g.0.weight", p["w_g"])
-        sd[f"{att}.W_g.0.bias"] = torch.from_numpy(np.asarray(p["w_g_bias"]))
+        sd[f"{att}.W_g.0.bias"] = _tt(np.asarray(p["w_g_bias"]))
         put_conv(sd, f"{att}.W_x.0.weight", p["w_x"])
-        sd[f"{att}.W_x.0.bias"] = torch.from_numpy(np.asarray(p["w_x_bias"]))
+        sd[f"{att}.W_x.0.bias"] = _tt(np.asarray(p["w_x_bias"]))
         put_conv(sd, f"{att}.psi.0.weight", p["psi"])
-        sd[f"{att}.psi.0.bias"] = torch.from_numpy(np.asarray(p["psi_bias"]))
+        sd[f"{att}.psi.0.bias"] = _tt(np.asarray(p["psi_bias"]))
         s = canonical_s[att]
         put_bn(sd, f"{att}.W_g.1", p["bn_g"], s["bn_g"])
         put_bn(sd, f"{att}.W_x.1", p["bn_x"], s["bn_x"])
         put_bn(sd, f"{att}.psi.1", p["bn_psi"], s["bn_psi"])
     for up in ("upconv5", "upconv4", "upconv3", "upconv2", "upconv1"):
-        sd[f"{up}.weight"] = torch.from_numpy(np.asarray(canonical_p[up]["weight"]))
-        sd[f"{up}.bias"] = torch.from_numpy(np.asarray(canonical_p[up]["bias"]))
+        sd[f"{up}.weight"] = _tt(np.asarray(canonical_p[up]["weight"]))
+        sd[f"{up}.bias"] = _tt(np.asarray(canonical_p[up]["bias"]))
     put_conv(sd, "output.0.weight", canonical_p["output_weight"])
-    sd["output.0.bias"] = torch.from_numpy(np.asarray(canonical_p["output_bias"]))
+    sd["output.0.bias"] = _tt(np.asarray(canonical_p["output_bias"]))
 
     path = str(tmp_path / "enhanced.pth")
     torch.save(sd, path)
