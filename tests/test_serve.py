@@ -345,3 +345,27 @@ def test_multipart_parser_fuzz(rng):
         for ct in ctypes_:
             fields = parse_multipart(body, ct)
             assert isinstance(fields, dict)
+
+
+def test_http_tile_mode_full_resolution(engine, small_model, tmp_path_factory, rng):
+    """HTTP server in mode="tile": a larger-than-tile upload is enhanced at
+    full resolution (no downsample) and returned at original size."""
+    apply_fn, params = small_model
+    tiler = TiledInference(apply_fn, params, tile=SIZE, overlap=8,
+                           compute_dtype=jnp.float32)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = DeglareServer(engine, host="127.0.0.1", port=port, image_size=SIZE,
+                           mode="tile", tiler=tiler,
+                           log_dir=str(tmp_path_factory.mktemp("tilelogs")))
+    t = threading.Thread(target=server.run, daemon=True)
+    t.start()
+    time.sleep(0.3)
+    big = (rng.random((SIZE * 2, SIZE + 24)) * 255).astype(np.uint8)
+    body, headers = _multipart_png(big)
+    status, data = _request("127.0.0.1", port, "POST", "/infer", body, headers)
+    assert status == 200
+    out = Image.open(io.BytesIO(base64.b64decode(json.loads(data)["image"])))
+    assert out.size == (SIZE + 24, SIZE * 2)
+    assert out.mode == "L"
