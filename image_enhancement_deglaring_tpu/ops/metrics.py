@@ -33,17 +33,27 @@ def psnr(pred: jax.Array, target: jax.Array, *, data_range: float = 1.0) -> jax.
 
 
 def _uniform_filter_valid(x: jax.Array, win: int) -> jax.Array:
-    """Mean over win x win windows, VALID, on (..., H, W)."""
-    ones = 1.0 / (win * win)
+    """Mean over win x win windows, VALID, on (..., H, W).
+
+    Separable two-pass form: win+win adds per output instead of win*win
+    for the naive 2-D window."""
     y = lax.reduce_window(
         x,
         0.0,
         lax.add,
-        window_dimensions=(1,) * (x.ndim - 2) + (win, win),
+        window_dimensions=(1,) * (x.ndim - 2) + (win, 1),
         window_strides=(1,) * x.ndim,
         padding="VALID",
     )
-    return y * ones
+    y = lax.reduce_window(
+        y,
+        0.0,
+        lax.add,
+        window_dimensions=(1,) * (x.ndim - 2) + (1, win),
+        window_strides=(1,) * x.ndim,
+        padding="VALID",
+    )
+    return y * (1.0 / (win * win))
 
 
 def ssim(
