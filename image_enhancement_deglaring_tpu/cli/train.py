@@ -37,6 +37,10 @@ def parse_args(argv=None):
                    help="data-parallel devices (0 = all local)")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint directory to resume from")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize blocks in backward (bigger batches)")
+    p.add_argument("--watch_every", type=int, default=0,
+                   help="log parameter histograms every N epochs (0 = off)")
     return p.parse_args(argv)
 
 
@@ -70,7 +74,7 @@ def main(argv=None):
     elif args.model == "optimized":
         model = OptimizedUNet(dtype=dtype)
     else:
-        model = LightweightUNet(dtype=dtype)
+        model = LightweightUNet(dtype=dtype, remat=args.remat)
 
     import jax
 
@@ -92,7 +96,7 @@ def main(argv=None):
         save_every=args.save_every,
         validation_metrics_every=args.validation_metrics_every,
         log_images_every=args.log_images_every, mesh=mesh, seed=args.seed,
-        logger=logger, resume_from=args.resume,
+        logger=logger, resume_from=args.resume, watch_every=args.watch_every,
     )
 
     from ..train import save_checkpoint
