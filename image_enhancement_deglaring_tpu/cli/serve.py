@@ -17,7 +17,7 @@ def parse_args(argv=None):
 
     p.add_argument("--model_path", type=str,
                    default=os.environ.get("MODEL_PATH",
-                                          "/root/reference/best_model.onnx"))
+                                          "deploy/models/best_model.onnx"))
     p.add_argument("--mode", type=str, default="resize", choices=["resize", "tile"],
                    help="resize = reference-parity 512^2; tile = full-res tiled")
     p.add_argument("--max_batch_size", type=int, default=8)

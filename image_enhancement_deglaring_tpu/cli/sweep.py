@@ -16,6 +16,10 @@ def parse_args(argv=None):
     p.add_argument("--max_epochs", type=int, default=50)
     p.add_argument("--early_stop_min_iter", type=int, default=10,
                    help="Hyperband min_iter (reference sweep.py:51)")
+    p.add_argument("--eta", type=int, default=3,
+                   help="successive-halving keep ratio (Hyperband eta)")
+    p.add_argument("--parallel_trials", type=int, default=0,
+                   help="cap trials per vmapped group (0 = whole group)")
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--method", type=str, default="tpe", choices=["tpe", "random"])
     p.add_argument("--cache_images", action="store_true")
@@ -52,8 +56,9 @@ def main(argv=None):
     result = run_sweep(
         LightweightUNet, loader_factory, n_trials=args.sweep_count,
         max_epochs=args.max_epochs, min_iter=args.early_stop_min_iter,
-        method=args.method, seed=args.seed, mesh=mesh,
+        eta=args.eta, method=args.method, seed=args.seed, mesh=mesh,
         output_dir=args.output_dir, logger=logger,
+        max_parallel_trials=args.parallel_trials,
     )
     best = result["best"]
     print(f"Sweep completed. Best trial: id={best['trial_id']} "

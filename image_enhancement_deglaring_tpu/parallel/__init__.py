@@ -5,6 +5,7 @@ from .sweep import (
     VmappedTrialGroup,
     hyperband_rungs,
     run_sweep,
+    run_sweep_from_config,
     sample_random,
     sample_tpe,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "VmappedTrialGroup",
     "hyperband_rungs",
     "run_sweep",
+    "run_sweep_from_config",
     "sample_random",
     "sample_tpe",
 ]

@@ -282,13 +282,16 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
               max_epochs: int = 50, min_iter: int = 10, eta: int = 3,
               method: str = "tpe", seed: int = 42, mesh=None,
               output_dir: str = "./sweep_out", space: SearchSpace | None = None,
-              logger=None) -> dict:
+              logger=None, max_parallel_trials: int = 0) -> dict:
     """Run a sweep; returns {'best': Trial-dict, 'trials': [...]}.
 
     Args:
         model_factory: () -> Flax module.
         loader_factory: (batch_size) -> (train_loader, val_loader).
         mesh: optional Mesh; trial groups shard their trial axis over it.
+        max_parallel_trials: cap on how many trials train simultaneously in
+            one vmapped group (bounds the stacked-params HBM footprint);
+            0 = the whole same-batch-size group at once.
     """
     space = space or SearchSpace()
     rng = np.random.default_rng(seed)
@@ -305,38 +308,42 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
 
     all_trials: list[Trial] = []
     best: Trial | None = None
-    for bs, group_trials in sorted(by_bs.items()):
+    for bs, bs_trials in sorted(by_bs.items()):
         train_loader, val_loader = loader_factory(bs)
-        group = VmappedTrialGroup(model_factory(), group_trials, mesh=mesh, seed=seed)
-        epoch = 0
-        for rung_idx, rung in enumerate(rungs):
-            while epoch < rung and group.trials:
-                group.train_epoch(train_loader, epoch)
-                val_losses = group.val_epoch(val_loader)
-                group.step_schedulers(val_losses)
-                for t, v in zip(group.trials, val_losses):
-                    t.val_losses.append(float(v))
-                    if logger is not None:
-                        logger.log({f"trial_{t.trial_id}/val_loss": float(v),
-                                    f"trial_{t.trial_id}/lr": t.lr}, step=epoch)
-                epoch += 1
-            if rung_idx < len(rungs) - 1 and len(group.trials) > 1:
-                order = np.argsort([t.best_val_loss for t in group.trials])
-                n_keep = max(1, len(group.trials) // eta)
-                dropped = [group.trials[i] for i in order[n_keep:]]
-                for t in dropped:
-                    t.stopped_at = epoch
-                    all_trials.append(t)
-                group.keep([int(i) for i in order[:n_keep]])
-        all_trials.extend(group.trials)
-        for i, t in enumerate(group.trials):
-            if best is None or t.best_val_loss < best.best_val_loss:
-                best = t
-                np.savez(
-                    os.path.join(output_dir, "best_trial_params.npz"),
-                    **{"/".join(map(str, k)): v for k, v in
-                       _flatten(group.params_of(i)).items()},
-                )
+        chunk = max_parallel_trials if max_parallel_trials > 0 else len(bs_trials)
+        for g0 in range(0, len(bs_trials), chunk):
+            group_trials = bs_trials[g0 : g0 + chunk]
+            group = VmappedTrialGroup(model_factory(), group_trials,
+                                      mesh=mesh, seed=seed)
+            epoch = 0
+            for rung_idx, rung in enumerate(rungs):
+                while epoch < rung and group.trials:
+                    group.train_epoch(train_loader, epoch)
+                    val_losses = group.val_epoch(val_loader)
+                    group.step_schedulers(val_losses)
+                    for t, v in zip(group.trials, val_losses):
+                        t.val_losses.append(float(v))
+                        if logger is not None:
+                            logger.log({f"trial_{t.trial_id}/val_loss": float(v),
+                                        f"trial_{t.trial_id}/lr": t.lr}, step=epoch)
+                    epoch += 1
+                if rung_idx < len(rungs) - 1 and len(group.trials) > 1:
+                    order = np.argsort([t.best_val_loss for t in group.trials])
+                    n_keep = max(1, len(group.trials) // eta)
+                    dropped = [group.trials[i] for i in order[n_keep:]]
+                    for t in dropped:
+                        t.stopped_at = epoch
+                        all_trials.append(t)
+                    group.keep([int(i) for i in order[:n_keep]])
+            all_trials.extend(group.trials)
+            for i, t in enumerate(group.trials):
+                if best is None or t.best_val_loss < best.best_val_loss:
+                    best = t
+                    np.savez(
+                        os.path.join(output_dir, "best_trial_params.npz"),
+                        **{"/".join(map(str, k)): v for k, v in
+                           _flatten(group.params_of(i)).items()},
+                    )
 
     result = {
         "best": _trial_dict(best),
@@ -345,6 +352,21 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
     with open(os.path.join(output_dir, "sweep_results.json"), "w") as f:
         json.dump(result, f, indent=2)
     return result
+
+
+def run_sweep_from_config(model_factory, loader_factory, cfg, *, mesh=None,
+                          output_dir: str = "./sweep_out", logger=None,
+                          method: str = "tpe") -> dict:
+    """Run a sweep driven by a :class:`utils.config.SweepConfig`."""
+    space = SearchSpace(batch_sizes=tuple(cfg.batch_sizes), lr_min=cfg.lr_min,
+                        lr_max=cfg.lr_max, wd_min=cfg.wd_min, wd_max=cfg.wd_max)
+    return run_sweep(
+        model_factory, loader_factory, n_trials=cfg.sweep_count,
+        max_epochs=cfg.max_epochs, min_iter=cfg.hyperband_min_iter,
+        eta=cfg.eta, method=method, seed=cfg.seed, mesh=mesh,
+        output_dir=output_dir, space=space, logger=logger,
+        max_parallel_trials=cfg.parallel_trials,
+    )
 
 
 def _flatten(tree, prefix=()):

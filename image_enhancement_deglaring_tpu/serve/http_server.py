@@ -49,32 +49,91 @@ def make_api_logger(log_dir: str | None = None, name: str = "image_enhancement_a
     return logger
 
 
+def _disposition_params(header_value: str) -> dict[str, str]:
+    """Parse `form-data; name="a"; filename="x;y.png"` — quote-aware, so a
+    quoted value may contain ';' and escaped quotes."""
+    params: dict[str, str] = {}
+    i = 0
+    n = len(header_value)
+    while i < n:
+        semi = header_value.find(";", i)
+        eq = header_value.find("=", i)
+        if eq == -1 or (semi != -1 and semi < eq):
+            i = (semi + 1) if semi != -1 else n
+            continue
+        key = header_value[i:eq].strip().lower()
+        j = eq + 1
+        while j < n and header_value[j] in " \t":
+            j += 1
+        if j < n and header_value[j] == '"':
+            j += 1
+            val = []
+            while j < n and header_value[j] != '"':
+                if header_value[j] == "\\" and j + 1 < n:
+                    j += 1
+                val.append(header_value[j])
+                j += 1
+            params[key] = "".join(val)
+            i = header_value.find(";", j)
+            i = (i + 1) if i != -1 else n
+        else:
+            end = header_value.find(";", j)
+            end = end if end != -1 else n
+            params[key] = header_value[j:end].strip()
+            i = end + 1
+    return params
+
+
 def parse_multipart(body: bytes, content_type: str) -> dict[str, bytes]:
-    """Extract form fields from a multipart/form-data body."""
-    boundary = None
-    for part in content_type.split(";"):
-        part = part.strip()
-        if part.startswith("boundary="):
-            boundary = part[len("boundary="):].strip('"')
+    """Extract form fields from a multipart/form-data body.
+
+    RFC 7578 framing: each part's payload is the bytes between its blank
+    header line and the CRLF that *precedes* the next boundary delimiter —
+    exactly one CRLF frame is removed, so binary payloads that legitimately
+    end in 0x0D/0x0A round-trip unchanged. Quoted boundaries and quoted
+    disposition params (name/filename with ';' inside) are handled.
+    """
+    boundary = _disposition_params(content_type).get("boundary")
     if not boundary:
         return {}
     delim = b"--" + boundary.encode()
     fields: dict[str, bytes] = {}
-    for chunk in body.split(delim):
-        chunk = chunk.strip(b"\r\n")
-        if not chunk or chunk == b"--":
-            continue
-        header_blob, _, data = chunk.partition(b"\r\n\r\n")
+
+    # first boundary: at body start, or preceded by CRLF after a preamble
+    if body.startswith(delim):
+        pos = len(delim)
+    else:
+        start = body.find(b"\r\n" + delim)
+        if start < 0:
+            return {}
+        pos = start + 2 + len(delim)
+
+    while True:
+        if body[pos : pos + 2] == b"--":  # closing delimiter
+            break
+        # exactly one CRLF (tolerate bare LF) terminates the boundary line
+        if body[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos : pos + 1] == b"\n":
+            pos += 1
+        nxt = body.find(b"\r\n" + delim, pos)
+        if nxt < 0:
+            part, end = body[pos:], -1
+        else:
+            part, end = body[pos:nxt], nxt + 2 + len(delim)
+        header_blob, sep, data = part.partition(b"\r\n\r\n")
+        if not sep:  # no header/body separator: treat everything as headers
+            header_blob, data = part, b""
         name = None
         for line in header_blob.split(b"\r\n"):
-            line_l = line.lower()
-            if line_l.startswith(b"content-disposition"):
-                for item in line.decode(errors="replace").split(";"):
-                    item = item.strip()
-                    if item.startswith("name="):
-                        name = item[len("name="):].strip('"')
+            if line.lower().startswith(b"content-disposition"):
+                _, _, value = line.decode(errors="replace").partition(":")
+                name = _disposition_params(value).get("name")
         if name is not None:
             fields[name] = data
+        if end < 0:
+            break
+        pos = end
     return fields
 
 

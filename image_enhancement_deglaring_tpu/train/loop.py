@@ -122,23 +122,57 @@ def make_train_step(apply_fn, optimizer, *, stateful: bool = False):
 
 
 def make_val_step(apply_fn, metric_subset: int = 4, *, stateful: bool = False):
-    """Returns jitted (params, model_state, x, y) -> (batch L1, subset psnr
-    mean, subset ssim mean, prediction) — metrics on the first <=4 images
-    like the reference (reference: optimized_train.py:92-122)."""
+    """Returns jitted (params, model_state, x, y, mask) -> (batch L1, subset
+    psnr mean, subset ssim mean, prediction) — metrics on the first <=4 real
+    images like the reference (reference: optimized_train.py:92-122).
+
+    ``mask``: (B,) 1.0 for real samples, 0.0 for padding — ragged final val
+    batches are padded to one static, mesh-aligned shape so the compiled
+    step never re-specializes and sharded batches divide the mesh evenly.
+    """
 
     @jax.jit
-    def val_step(params, model_state, x, y):
+    def val_step(params, model_state, x, y, mask):
         variables = {"params": params, **model_state}
         out = apply_fn(variables, x).astype(jnp.float32)
-        loss = l1_loss(out, y)
+        yf = y.astype(jnp.float32)
+        m = mask[:, None, None, None]
+        denom = jnp.maximum(jnp.sum(mask) * np.prod(x.shape[1:]), 1.0)
+        loss = jnp.sum(jnp.abs(out - yf) * m) / denom
         k = min(metric_subset, x.shape[0])
         pred = out[:k, ..., 0]
-        tgt = y[:k, ..., 0].astype(jnp.float32)
-        psnr = jnp.mean(jax.vmap(psnr_fn)(pred, tgt))
-        ssim = jnp.mean(jax.vmap(ssim_fn)(pred, tgt))
+        tgt = yf[:k, ..., 0]
+        mk = mask[:k]
+        mk_n = jnp.maximum(jnp.sum(mk), 1.0)
+        psnr = jnp.sum(jax.vmap(psnr_fn)(pred, tgt) * mk) / mk_n
+        ssim = jnp.sum(jax.vmap(ssim_fn)(pred, tgt) * mk) / mk_n
         return loss, psnr, ssim, out
 
     return val_step
+
+
+class _PaddedValLoader:
+    """Pads every (x, y) batch to a fixed, mesh-aligned batch size and
+    appends a (B,) real-sample mask, so validation under a mesh shards
+    evenly and compiles exactly one program."""
+
+    def __init__(self, loader, static_b: int):
+        self.loader = loader
+        self.static_b = static_b
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        for x, y in self.loader:
+            b = x.shape[0]
+            if b < self.static_b:
+                pad = self.static_b - b
+                x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+                y = np.concatenate([y, np.zeros((pad,) + y.shape[1:], y.dtype)])
+            mask = np.zeros((self.static_b,), np.float32)
+            mask[:b] = 1.0
+            yield x, y, mask
 
 
 def train_model(model, train_loader, val_loader, *, epochs: int,
@@ -221,6 +255,13 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
     train_step = make_train_step(model.apply, optimizer, stateful=stateful)
     val_step = make_val_step(model.apply, stateful=stateful)
 
+    # validation shards over the same mesh as training; ragged final batches
+    # pad to one static, mesh-aligned shape (masked out of the metrics)
+    n_dev = mesh.devices.size if mesh is not None else 1
+    val_static_b = int(getattr(val_loader, "batch_size", sample_x.shape[0]) or 1)
+    val_static_b = -(-val_static_b // n_dev) * n_dev
+    padded_val = _PaddedValLoader(val_loader, val_static_b)
+
     scheduler = lr_controller or ReduceLROnPlateau(
         lr, factor=plateau_factor, patience=plateau_patience
     )
@@ -273,11 +314,12 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         )
         val_running, val_seen = 0.0, 0
         val_psnr_sum, val_ssim_sum, val_batches = 0.0, 0.0, 0
-        for batch_idx, (x, y) in enumerate(
-            DevicePrefetcher(val_loader, sharding=None)
+        for batch_idx, (x, y, mask) in enumerate(
+            DevicePrefetcher(padded_val, sharding=sharding)
         ):
-            loss, psnr, ssim, out = val_step(state.params, state.model_state, x, y)
-            b = x.shape[0]
+            loss, psnr, ssim, out = val_step(state.params, state.model_state,
+                                             x, y, mask)
+            b = int(float(jnp.sum(mask)))
             val_running += float(loss) * b
             val_seen += b
             val_batches += 1

@@ -69,7 +69,7 @@ class EvalConfig:
 class ServeConfig:
     host: str = "0.0.0.0"
     port: int = 4000
-    model_path: str = "/root/reference/best_model.onnx"
+    model_path: str = "deploy/models/best_model.onnx"
     image_size: int = 512
     # micro-batching engine
     max_batch_size: int = 8
@@ -93,11 +93,13 @@ class SweepConfig:
     lr_max: float = 1e-2
     wd_min: float = 1e-6
     wd_max: float = 1e-3
-    # Hyperband-style early termination
+    # Hyperband-style early termination: rungs at min_iter, min_iter*eta, ...
+    # (successive halving keeps the top 1/eta at each rung)
     hyperband_min_iter: int = 10
-    hyperband_s: int = 2
-    # how many trials run concurrently (vmapped across mesh devices)
-    parallel_trials: int = 0  # 0 = one per local device
+    eta: int = 3
+    # cap on trials trained simultaneously in one vmapped group
+    # (0 = whole same-batch-size group at once)
+    parallel_trials: int = 0
 
 
 def add_dataclass_args(parser: argparse.ArgumentParser, cfg, prefix: str = "") -> None:

@@ -53,33 +53,53 @@ class ExperimentLogger:
             self._wandb.log(metrics, step=step)
 
     def log_images(self, tag: str, images: dict[str, np.ndarray], step: int | None = None) -> None:
-        """Save a dict of [H,W] float [0,1] or uint8 images as PNGs."""
+        """Save a dict of [H,W] float [0,1] or uint8 images as PNGs; when a
+        wandb run is live, the same images mirror to it as a wandb.Image
+        list (reference: optimized_train.py:125-159)."""
         from PIL import Image
 
         step = self._step if step is None else step
         img_dir = os.path.join(self.run_dir, "images", f"step_{step:06d}")
         os.makedirs(img_dir, exist_ok=True)
+        as_uint8 = {}
         for name, arr in images.items():
             a = np.asarray(arr)
             if a.dtype != np.uint8:
                 a = (np.clip(a, 0.0, 1.0) * 255).astype(np.uint8)
             if a.ndim == 3 and a.shape[-1] == 1:
                 a = a[..., 0]
+            as_uint8[name] = a
             Image.fromarray(a, mode="L" if a.ndim == 2 else None).save(
                 os.path.join(img_dir, f"{tag}_{name}.png")
+            )
+        if self._wandb is not None:
+            self._wandb.log(
+                {tag: [self._wandb.Image(a, caption=name)
+                       for name, a in as_uint8.items()]},
+                step=step,
             )
 
     def log_histograms(self, tree, step: int | None = None, prefix: str = "grad") -> None:
         """Summary statistics per pytree leaf — the offline analogue of
         wandb.watch's gradient/parameter histograms
-        (reference: optimized_train.py:179)."""
+        (reference: optimized_train.py:179). With a live wandb run, each
+        leaf also mirrors as a true wandb.Histogram."""
         import jax
 
+        step = self._step if step is None else step
         flat = jax.tree_util.tree_flatten_with_path(tree)[0]
         rec = {}
+        wandb_rec = {}
         for path, leaf in flat:
             name = jax.tree_util.keystr(path).strip("[]'").replace("']['", "/")
-            rec[f"{prefix}/{name}"] = _histogram_stats(np.asarray(leaf))
+            arr = np.asarray(leaf)
+            rec[f"{prefix}/{name}"] = _histogram_stats(arr)
+            if self._wandb is not None:
+                wandb_rec[f"{prefix}/{name}"] = self._wandb.Histogram(
+                    np.asarray(arr, np.float64).ravel()
+                )
+        if self._wandb is not None and wandb_rec:
+            self._wandb.log(wandb_rec, step=step)
         self.log({f"_histograms_{prefix}": rec}, step=step)
 
     def set_summary(self, **kwargs) -> None:

@@ -99,6 +99,75 @@ def test_parse_multipart_roundtrip():
     assert fields["image"] == b"\x89PNGdata"
 
 
+def _encode_part(boundary: str, name: str, payload: bytes) -> bytes:
+    return (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="{name}"; filename="f.bin"\r\n'
+        "Content-Type: application/octet-stream\r\n\r\n"
+    ).encode() + payload + f"\r\n--{boundary}--\r\n".encode()
+
+
+@pytest.mark.parametrize("payload", [
+    b"ends in lf\n",
+    b"ends in crlf\r\n",
+    b"ends in cr\r",
+    b"\r\n\r\n",
+    b"\n" * 7,
+    b"\x00\x01\r\n\x0a\x0d",
+    b"",
+])
+def test_parse_multipart_binary_tail_exact(payload):
+    """Binary payloads ending in CR/LF bytes must round-trip exactly —
+    only the single CRLF frame before the boundary is stripped."""
+    fields = parse_multipart(_encode_part("B1", "image", payload),
+                             "multipart/form-data; boundary=B1")
+    assert fields["image"] == payload
+
+
+def test_parse_multipart_quoted_boundary_and_params():
+    body = _encode_part("a+b/c", "image", b"DATA")
+    fields = parse_multipart(body, 'multipart/form-data; boundary="a+b/c"')
+    assert fields["image"] == b"DATA"
+    # quoted filename containing ';' and '=' must not break name= parsing
+    boundary = "ZZ"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; filename="a;name=evil.png"; name="image"\r\n'
+        "\r\n"
+    ).encode() + b"OK" + f"\r\n--{boundary}--\r\n".encode()
+    fields = parse_multipart(body, f"multipart/form-data; boundary={boundary}")
+    assert fields["image"] == b"OK"
+
+
+def test_parse_multipart_preamble_and_multiple_fields():
+    boundary = "MM"
+    body = (
+        b"this is a preamble to be ignored\r\n"
+        + _encode_part(boundary, "image", b"\x89PNG\r\n\x1a\n blob \r\n")[: -len(f"--{boundary}--\r\n".encode())]
+        + (
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="meta"\r\n\r\n'
+        ).encode()
+        + b"hello"
+        + f"\r\n--{boundary}--\r\nepilogue".encode()
+    )
+    fields = parse_multipart(body, f"multipart/form-data; boundary={boundary}")
+    assert fields["image"] == b"\x89PNG\r\n\x1a\n blob \r\n"
+    assert fields["meta"] == b"hello"
+
+
+def test_parse_multipart_fuzz_binary_roundtrip(rng):
+    """Arbitrary binary payloads round-trip exactly through the parser."""
+    for i in range(50):
+        n = int(rng.integers(0, 2000))
+        payload = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        body = _encode_part("FZ", "image", payload)
+        if b"\r\n--FZ" in payload:  # would be framing-ambiguous by spec
+            continue
+        fields = parse_multipart(body, "multipart/form-data; boundary=FZ")
+        assert fields["image"] == payload, f"iteration {i}"
+
+
 # --------------------------------------------------------------- HTTP layer
 
 

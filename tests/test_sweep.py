@@ -123,3 +123,41 @@ def test_run_sweep_end_to_end(tmp_path, toy):
     saved = json.load(open(tmp_path / "sweep_results.json"))
     assert saved["best"]["trial_id"] == result["best"]["trial_id"]
     assert (tmp_path / "best_trial_params.npz").exists()
+
+
+def test_run_sweep_parallel_trials_cap_same_result(tmp_path, toy):
+    """max_parallel_trials chunks vmapped groups without changing which
+    hyperparameters win (trials are independent)."""
+    x, y = toy
+
+    def loader_factory(bs):
+        return _ArrayLoader(x, y, bs), _ArrayLoader(x[:8], y[:8], bs)
+
+    kwargs = dict(n_trials=4, max_epochs=2, min_iter=2, eta=2,
+                  method="random", seed=0, space=SearchSpace(batch_sizes=(8,)))
+    full = run_sweep(_tiny_model, loader_factory,
+                     output_dir=str(tmp_path / "full"), **kwargs)
+    capped = run_sweep(_tiny_model, loader_factory,
+                       output_dir=str(tmp_path / "capped"),
+                       max_parallel_trials=2, **kwargs)
+    assert capped["best"]["trial_id"] == full["best"]["trial_id"]
+    lookup = {t["trial_id"]: t for t in full["trials"]}
+    for t in capped["trials"]:
+        assert t["best_val_loss"] == pytest.approx(
+            lookup[t["trial_id"]]["best_val_loss"], rel=1e-4)
+
+
+def test_run_sweep_from_config(tmp_path, toy):
+    from image_enhancement_deglaring_tpu.parallel.sweep import run_sweep_from_config
+    from image_enhancement_deglaring_tpu.utils.config import SweepConfig
+
+    x, y = toy
+
+    def loader_factory(bs):
+        return _ArrayLoader(x, y, bs), _ArrayLoader(x[:8], y[:8], bs)
+
+    cfg = SweepConfig(sweep_count=2, max_epochs=1, hyperband_min_iter=1,
+                      eta=2, batch_sizes=(8,), parallel_trials=1)
+    result = run_sweep_from_config(_tiny_model, loader_factory, cfg,
+                                   output_dir=str(tmp_path), method="random")
+    assert len(result["trials"]) == 2 and result["best"] is not None

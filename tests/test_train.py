@@ -224,6 +224,33 @@ def test_resume_from_checkpoint_continues_exactly(tmp_path, toy_data):
                                    rtol=1e-4, atol=1e-5)
 
 
+class _RaggedLoader(_ArrayLoader):
+    """Like _ArrayLoader but yields the final partial batch too."""
+
+    def __len__(self):
+        return -(-len(self.x) // self.batch_size)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            s = slice(i * self.batch_size, (i + 1) * self.batch_size)
+            yield self.x[s], self.y[s]
+
+
+def test_mesh_sharded_validation_matches_single_device(tmp_path, toy_data):
+    """In-train validation shards over the mesh (padded+masked ragged final
+    batch) and produces the same metrics as a single-device run."""
+    x, y = toy_data
+    train_loader = _ArrayLoader(x[:8], y[:8], 8)
+    val_loader = _RaggedLoader(x[8:15], y[8:15], 4)  # batches of 4 and 3
+    common = dict(epochs=2, lr=1e-3, save_every=100, progress=False)
+    _, best1, _ = train_model(_MODEL, train_loader, val_loader,
+                              output_dir=str(tmp_path / "single"), **common)
+    _, best8, _ = train_model(_MODEL, train_loader, val_loader,
+                              output_dir=str(tmp_path / "mesh"),
+                              mesh=make_mesh(8), **common)
+    np.testing.assert_allclose(best1, best8, rtol=2e-4)
+
+
 def test_watch_every_logs_param_histograms(tmp_path, toy_data):
     import json
 

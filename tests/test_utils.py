@@ -75,3 +75,67 @@ def test_log_histograms(tmp_path):
     rec = json.loads(open(tmp_path / "metrics.jsonl").read().splitlines()[-1])
     stats = rec["_histograms_params"]["params/layer/w"]
     assert stats["count"] == 100 and stats["median"] == 49.5
+
+
+class _FakeWandbRun:
+    def __init__(self):
+        self.summary = {}
+
+
+class _FakeWandb:
+    """Minimal wandb stand-in recording every call (no network)."""
+
+    def __init__(self):
+        self.logged = []
+        self.images = []
+        self.histograms = []
+        self.run = _FakeWandbRun()
+        self.finished = False
+
+    def init(self, **kwargs):
+        return self.run
+
+    def log(self, metrics, step=None):
+        self.logged.append((metrics, step))
+
+    def Image(self, arr, caption=None):
+        self.images.append((np.asarray(arr).shape, caption))
+        return ("image", caption)
+
+    def Histogram(self, arr):
+        self.histograms.append(np.asarray(arr).size)
+        return ("histogram", np.asarray(arr).size)
+
+    def finish(self):
+        self.finished = True
+
+
+def test_wandb_mirroring_images_and_histograms(tmp_path, monkeypatch):
+    """With use_wandb=True, scalars, images AND histograms all mirror to
+    wandb (reference: optimized_train.py:125-159, :179)."""
+    import sys
+
+    fake = _FakeWandb()
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    logger = ExperimentLogger(str(tmp_path), use_wandb=True, project="p")
+    assert logger._wandb is fake
+
+    logger.log({"loss": 0.5}, step=1)
+    logger.log_images("val", {"pred": np.zeros((8, 8), np.float32),
+                              "target": np.ones((8, 8), np.float32)}, step=2)
+    logger.log_histograms({"w": np.arange(10, dtype=np.float32)}, step=3,
+                          prefix="grad")
+    logger.set_summary(best_val_loss=0.4)
+    logger.finish()
+
+    assert ({"loss": 0.5}, 1) in fake.logged
+    # images went up as a wandb.Image list under the tag
+    img_logs = [m for m, s in fake.logged if "val" in m and s == 2]
+    assert img_logs and img_logs[0]["val"] == [("image", "pred"), ("image", "target")]
+    assert len(fake.images) == 2
+    # histograms went up as wandb.Histogram objects
+    hist_logs = [m for m, s in fake.logged
+                 if "grad/w" in m and isinstance(m["grad/w"], tuple)]
+    assert hist_logs and fake.histograms == [10]
+    assert fake.run.summary["best_val_loss"] == 0.4
+    assert fake.finished
