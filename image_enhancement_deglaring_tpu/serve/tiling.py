@@ -3,16 +3,22 @@
 The reference API downsamples every input to 512x512 and upsamples the
 result back (reference: api/app.py:150,203), losing detail on large
 documents; its offline splitter (reference: scripts/split_image.py:7) only
-cuts triptychs. This module adds true full-resolution inference: pad the
-image onto a static tile grid, run every (overlapping) 512^2 tile as one
-batch through the U-Net, and stitch on device with a feathered blend —
-one jit-compiled program per grid bucket, so arbitrary input sizes hit a
-small, bounded set of compilations.
+cuts triptychs. This module adds true full-resolution inference.
+
+TPU-native design: the device program only ever sees a fixed-shape batch
+of tiles ``(B, tile, tile, 1)`` with B drawn from the same power-of-two
+bucket ladder the serving engine uses — so an arbitrary stream of input
+resolutions compiles a small, bounded set of programs (one per bucket,
+<= log2(max_tiles_per_batch)+1 total), not one per resolution. Tile
+extraction and the feathered overlap-stitch are cheap O(pixels) host ops;
+the U-Net forward — all the FLOPs — runs on device, uint8 in (4x less
+host->device traffic), and shards across a mesh when given one (tile
+parallelism: one image's tiles fan out over the slice's chips).
 """
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -43,75 +49,111 @@ class TiledInference:
     """Full-resolution tiled forward on top of an InferenceEngine's model."""
 
     def __init__(self, apply_fn, params, *, tile: int = 512, overlap: int = 32,
-                 compute_dtype=jnp.bfloat16, mesh=None):
-        """``mesh``: optional 1-D Mesh — the tile batch shards across it
-        (spatial/tile parallelism: one image's tiles fan out over the
-        slice's chips and stitch back on device)."""
+                 compute_dtype=jnp.bfloat16, mesh=None,
+                 max_tiles_per_batch: int = 8):
+        """``mesh``: optional 1-D Mesh — tile batches shard across it and
+        batch buckets snap to multiples of the mesh size.
+        ``max_tiles_per_batch``: cap on tiles per device call — the bucket
+        ladder is {1, 2, ..., cap}, so the total number of compiled
+        programs is log2(cap)+1 (4 at the default). Larger images run in
+        several bucket-shaped chunks, dispatched asynchronously so the
+        device pipelines them back-to-back."""
         self.apply_fn = apply_fn
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.tile = tile
         self.overlap = overlap
         self.compute_dtype = compute_dtype
         self.mesh = mesh
+        self.max_tiles_per_batch = max_tiles_per_batch
+        self._window = _blend_window(tile, overlap)
+        self._forward = jax.jit(
+            partial(self._device_forward, apply_fn, compute_dtype)
+        )
+        self._buckets_seen: set[int] = set()
         if mesh is not None:
             from ..parallel.mesh import replicate
 
             self.params = replicate(self.params, mesh)
 
-    @lru_cache(maxsize=32)
-    def _compiled_for(self, padded_h: int, padded_w: int):
-        tile = self.tile
-        stride = tile - self.overlap
-        ys = tuple(_grid_starts(padded_h, tile, stride))
-        xs = tuple(_grid_starts(padded_w, tile, stride))
-        window = jnp.asarray(_blend_window(tile, self.overlap))
-        apply_fn = self.apply_fn
-        dtype = self.compute_dtype
+    @property
+    def compiled_bucket_count(self) -> int:
+        """Distinct device programs compiled so far — one per tile-batch
+        bucket, independent of how many input resolutions were served."""
+        return len(self._buckets_seen)
 
-        mesh = self.mesh
+    # ------------------------------------------------------------- device
+    @staticmethod
+    def _device_forward(apply_fn, dtype, params, tiles_u8):
+        """uint8 (B, T, T, 1) -> float32 (B, T, T): normalize + U-Net."""
+        x = tiles_u8.astype(dtype) / jnp.asarray(255.0, dtype)
+        return apply_fn({"params": params}, x).astype(jnp.float32)[..., 0]
 
-        def run(params, img_u8):  # (H, W) uint8 -> (H, W) uint8
-            x = img_u8.astype(dtype) / jnp.asarray(255.0, dtype)
-            tiles = jnp.stack(
-                [x[y0 : y0 + tile, x0 : x0 + tile] for y0 in ys for x0 in xs]
-            )[..., None]
-            n_real = tiles.shape[0]
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+    def _bucket_for(self, n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        b = min(b, self.max_tiles_per_batch)
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            b = max(n_dev, -(-b // n_dev) * n_dev)
+        return b
 
-                n_dev = mesh.devices.size
-                padded = -(-n_real // n_dev) * n_dev
-                if padded > n_real:
-                    tiles = jnp.concatenate(
-                        [tiles, jnp.zeros((padded - n_real,) + tiles.shape[1:],
-                                          tiles.dtype)]
-                    )
-                tiles = jax.lax.with_sharding_constraint(
-                    tiles, NamedSharding(mesh, P(mesh.axis_names[0]))
+    def _run_tiles(self, tiles_u8: np.ndarray) -> np.ndarray:
+        """uint8 (N, T, T) -> float32 (N, T, T), chunked into bucket-shaped
+        device batches."""
+        n = tiles_u8.shape[0]
+        out = np.empty(tiles_u8.shape, np.float32)
+        step = self.max_tiles_per_batch
+        pending = []  # dispatch every chunk, drain after — jax dispatch is
+        for c0 in range(0, n, step):  # async, so chunks pipeline on device
+            chunk = tiles_u8[c0 : c0 + step]
+            b = chunk.shape[0]
+            bucket = self._bucket_for(b)
+            self._buckets_seen.add(bucket)
+            if bucket > b:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((bucket - b,) + chunk.shape[1:], np.uint8)]
                 )
-            out = apply_fn({"params": params}, tiles).astype(jnp.float32)[..., 0]
-            out = out[:n_real]
-            acc = jnp.zeros((padded_h, padded_w), jnp.float32)
-            wacc = jnp.zeros((padded_h, padded_w), jnp.float32)
-            k = 0
-            for y0 in ys:
-                for x0 in xs:
-                    acc = acc.at[y0 : y0 + tile, x0 : x0 + tile].add(out[k] * window)
-                    wacc = wacc.at[y0 : y0 + tile, x0 : x0 + tile].add(window)
-                    k += 1
-            stitched = acc / jnp.maximum(wacc, 1e-8)
-            return jnp.floor(jnp.clip(stitched, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            batch = chunk[..., None]
+            if self.mesh is not None:
+                from ..parallel.mesh import batch_sharding
 
-        return jax.jit(run)
+                batch = jax.device_put(batch, batch_sharding(self.mesh))
+            else:
+                batch = jnp.asarray(batch)
+            pending.append((c0, b, self._forward(self.params, batch)))
+        for c0, b, res in pending:
+            out[c0 : c0 + b] = np.asarray(res)[:b]
+        return out
 
+    # --------------------------------------------------------------- host
     def __call__(self, img_u8: np.ndarray) -> np.ndarray:
         """uint8 (H, W) grayscale -> de-glared uint8 (H, W)."""
         h, w = img_u8.shape
-        ph = max(self.tile, h)
-        pw = max(self.tile, w)
+        tile, stride = self.tile, self.tile - self.overlap
+        ph, pw = max(tile, h), max(tile, w)
         if (ph, pw) != (h, w):
             img_u8 = np.pad(img_u8, ((0, ph - h), (0, pw - w)), mode="edge")
-        out = np.asarray(self._compiled_for(ph, pw)(self.params, jnp.asarray(img_u8)))
+        ys = _grid_starts(ph, tile, stride)
+        xs = _grid_starts(pw, tile, stride)
+
+        tiles = np.stack([img_u8[y0 : y0 + tile, x0 : x0 + tile]
+                          for y0 in ys for x0 in xs])
+        out_tiles = self._run_tiles(tiles)
+
+        # feathered overlap blend, then clip -> trunc-to-uint8, matching the
+        # reference's post-processing exactly (reference: api/app.py:190-194)
+        acc = np.zeros((ph, pw), np.float32)
+        wacc = np.zeros((ph, pw), np.float32)
+        win = self._window
+        k = 0
+        for y0 in ys:
+            for x0 in xs:
+                acc[y0 : y0 + tile, x0 : x0 + tile] += out_tiles[k] * win
+                wacc[y0 : y0 + tile, x0 : x0 + tile] += win
+                k += 1
+        stitched = acc / np.maximum(wacc, 1e-8)
+        out = np.floor(np.clip(stitched, 0.0, 1.0) * 255.0).astype(np.uint8)
         return out[:h, :w]
 
     def num_tiles(self, h: int, w: int) -> int:

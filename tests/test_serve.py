@@ -88,6 +88,24 @@ def test_tiled_inference_matches_direct_on_interior(small_model, rng):
     assert out.shape == big.shape and out.dtype == np.uint8
 
 
+def test_tiler_bounded_compilations_across_resolutions(small_model, rng):
+    """20 random input resolutions must hit a bounded set of compiled
+    programs — the device only ever sees power-of-two tile-batch buckets,
+    never resolution-dependent shapes."""
+    apply_fn, params = small_model
+    tiler = TiledInference(apply_fn, params, tile=SIZE, overlap=8,
+                           compute_dtype=jnp.float32)
+    for _ in range(20):
+        h = int(rng.integers(SIZE // 2, SIZE * 4))
+        w = int(rng.integers(SIZE // 2, SIZE * 4))
+        img = (rng.random((h, w)) * 255).astype(np.uint8)
+        out = tiler(img)
+        assert out.shape == (h, w) and out.dtype == np.uint8
+    assert tiler.compiled_bucket_count <= 4
+    # the jit cache agrees: one entry per bucket shape
+    assert tiler._forward._cache_size() <= 4
+
+
 def test_parse_multipart_roundtrip():
     boundary = "XBOUND"
     body = (
