@@ -27,7 +27,7 @@ BENCH_ITERS = 10
 BASELINE_IMAGES = 4
 
 
-def _tpu_throughput(params) -> float:
+def _tpu_throughput(params, quantize: str | None = None) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -37,7 +37,7 @@ def _tpu_throughput(params) -> float:
     model = LightweightUNet(dtype=jnp.bfloat16)
     engine = InferenceEngine(
         model.apply, params, image_size=SIZE, max_batch_size=BATCH,
-        compute_dtype=jnp.bfloat16, warmup=False,
+        compute_dtype=jnp.bfloat16, warmup=False, quantize=quantize,
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray((rng.random((BATCH, SIZE, SIZE, 1)) * 255).astype(np.uint8))
@@ -80,9 +80,9 @@ def _cpu_baseline_throughput(params) -> float | None:
         return None
 
 
-def _emit(value, vs_baseline, note=None):
+def _emit(value, vs_baseline, note=None, metric="infer_throughput_512x512_bf16"):
     rec = {
-        "metric": "infer_throughput_512x512_bf16",
+        "metric": metric,
         "value": round(value, 2) if value else value,
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
@@ -93,6 +93,13 @@ def _emit(value, vs_baseline, note=None):
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="bf16", choices=["bf16", "int8"],
+                    help="bf16 = flagship serving path; int8 = quantized-"
+                         "weight engine (AQT-style per-channel PTQ)")
+    args = ap.parse_args()
     from image_enhancement_deglaring_tpu.modelio import (
         lightweight_unet_params_from_onnx,
     )
@@ -120,10 +127,13 @@ def main() -> int:
     def _alarm(_sig, _frm):
         raise _Timeout()
 
+    quantize = "int8" if args.mode == "int8" else None
+    metric = ("infer_throughput_512x512_int8w" if args.mode == "int8"
+              else "infer_throughput_512x512_bf16")
     signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(480)
     try:
-        tpu_ips = _tpu_throughput(params)
+        tpu_ips = _tpu_throughput(params, quantize=quantize)
         signal.alarm(60)
         try:
             cpu_ips = _cpu_baseline_throughput(params)
@@ -131,9 +141,12 @@ def main() -> int:
             cpu_ips = None
         signal.alarm(0)
     except _Timeout:
-        _emit(None, None, note="device benchmark timed out (tunnel stall)")
+        _emit(None, None, note="device benchmark timed out (tunnel stall)",
+              metric=metric)
         return 1
-    _emit(tpu_ips, (tpu_ips / cpu_ips) if cpu_ips else None)
+    _emit(tpu_ips, (tpu_ips / cpu_ips) if cpu_ips else None, metric=metric,
+          note="baseline = single-image torch-CPU forwards (the reference's "
+               "ORT-CPU serving pattern; onnxruntime wheel unavailable here)")
     return 0
 
 

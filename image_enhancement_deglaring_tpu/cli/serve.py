@@ -25,6 +25,10 @@ def parse_args(argv=None):
     p.add_argument("--tile_overlap", type=int, default=32)
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--quantize", type=str, default=None, choices=["int8"],
+                   help="serve with int8 weights (AQT-style per-channel PTQ)")
+    p.add_argument("--image_size", type=int, default=512,
+                   help="model input resolution (resize mode) / tile size")
     p.add_argument("--log_dir", type=str, default=None)
     return p.parse_args(argv)
 
@@ -41,6 +45,7 @@ def main(argv=None):
         max_batch_size=args.max_batch_size,
         batch_timeout_ms=args.batch_timeout_ms, compute_dtype=dtype,
         tile_overlap=args.tile_overlap, log_dir=args.log_dir,
+        image_size=args.image_size, quantize=args.quantize,
     )
     try:
         server.run()

@@ -50,21 +50,32 @@ def prune_params(params, amount: float = 0.3):
     return jax.tree_util.tree_map(prune_leaf, params)
 
 
-def quantize_params_int8(params):
-    """Symmetric per-tensor int8 quantization of rank>=2 weights.
+def quantize_params_int8(params, *, per_channel: bool = False):
+    """Symmetric int8 quantization of rank>=2 weights.
+
+    ``per_channel=False``: one scale per tensor (matches the reference's
+    fbgemm per-tensor static PTQ, reference: src/model.py:399-439).
+    ``per_channel=True``: one scale per output channel (last axis of HWIO /
+    dense kernels) — the AQT-style choice; much tighter error on conv
+    kernels whose channels differ in magnitude, at 4 bytes/channel extra.
 
     Returns (quantized_pytree, scales_pytree); dequantize with
-    :func:`dequantize_params_int8`. TPU-native stand-in for the reference's
-    fbgemm static PTQ (reference: src/model.py:399-439).
+    :func:`dequantize_params_int8`.
     """
 
     def quant_leaf(x):
         x = jnp.asarray(x)
         if x.ndim < 2:
             return x, jnp.asarray(1.0, jnp.float32)
-        scale = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
-        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
-        return q, scale
+        xf = x.astype(jnp.float32)
+        if per_channel:
+            axes = tuple(range(x.ndim - 1))
+            amax = jnp.max(jnp.abs(xf), axis=axes, keepdims=True)
+        else:
+            amax = jnp.max(jnp.abs(xf))
+        scale = jnp.maximum(amax, 1e-12) / 127.0
+        q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+        return q, scale.astype(jnp.float32)
 
     flat, treedef = jax.tree_util.tree_flatten(params)
     pairs = [quant_leaf(x) for x in flat]
@@ -73,13 +84,16 @@ def quantize_params_int8(params):
     return qparams, scales
 
 
-def dequantize_params_int8(qparams, scales):
-    """Inverse of :func:`quantize_params_int8`."""
+def dequantize_params_int8(qparams, scales, dtype=jnp.float32):
+    """Inverse of :func:`quantize_params_int8` (per-tensor or per-channel
+    scales broadcast identically). jit-safe: used inside the serving
+    engine's compiled step so int8 weights live in HBM and widen to the
+    compute dtype on the fly."""
 
     def deq(q, s):
         q = jnp.asarray(q)
         if q.dtype == jnp.int8:
-            return q.astype(jnp.float32) * s
-        return q
+            return (q.astype(jnp.float32) * s).astype(dtype)
+        return q.astype(dtype) if q.ndim >= 2 else q
 
     return jax.tree_util.tree_map(deq, qparams, scales)

@@ -308,7 +308,7 @@ def create_server(model_path: str, *, host: str = "0.0.0.0", port: int = 4000,
                   batch_timeout_ms: float = 3.0, compute_dtype=None,
                   tile_overlap: int = 32, log_dir: str | None = None,
                   image_size: int = 512, warmup: bool = True,
-                  mesh=None) -> DeglareServer:
+                  mesh=None, quantize: str | None = None) -> DeglareServer:
     """Build engine + (optional) tiler + server from a model artifact path."""
     import jax.numpy as jnp
 
@@ -320,7 +320,7 @@ def create_server(model_path: str, *, host: str = "0.0.0.0", port: int = 4000,
     engine = InferenceEngine(
         apply_fn, params, image_size=image_size, max_batch_size=max_batch_size,
         batch_timeout_ms=batch_timeout_ms, compute_dtype=dtype, warmup=warmup,
-        mesh=mesh,
+        mesh=mesh, quantize=quantize,
     )
     tiler = None
     if mode == "tile":

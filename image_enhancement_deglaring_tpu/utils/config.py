@@ -75,6 +75,8 @@ class ServeConfig:
     max_batch_size: int = 8
     batch_timeout_ms: float = 3.0
     compute_dtype: str = "bfloat16"
+    # int8 weight quantization for serving ("" = off, "int8" = on)
+    quantize: str = ""
     # tiled full-resolution mode ("resize" reproduces the reference API's
     # downsample-to-512 behavior; "tile" runs every 512^2 tile)
     mode: str = "resize"

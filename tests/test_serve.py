@@ -5,6 +5,7 @@ import base64
 import http.client
 import io
 import json
+import os
 import socket
 import threading
 import time
@@ -86,6 +87,51 @@ def test_tiled_inference_matches_direct_on_interior(small_model, rng):
     assert tiler.num_tiles(*big.shape) >= 4
     out = tiler(big)
     assert out.shape == big.shape and out.dtype == np.uint8
+
+
+def test_engine_int8_quantized_fidelity(small_model, rng):
+    """int8 engine output must track the f32 engine closely (>= 45 dB PSNR
+    on random inputs) — the runnable-quantization capability parity with
+    the reference's fbgemm model (reference: src/model.py:399-439)."""
+    apply_fn, params = small_model
+    f32 = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=4,
+                          compute_dtype=jnp.float32, warmup=False)
+    q8 = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=4,
+                         compute_dtype=jnp.float32, warmup=False,
+                         quantize="int8")
+    # weights really are int8 in the engine's param tree
+    import jax as _jax
+
+    kernels = [x for x in _jax.tree_util.tree_leaves(q8._params["q"])
+               if hasattr(x, "dtype") and x.dtype == jnp.int8]
+    assert kernels, "no int8 leaves in quantized engine params"
+
+    x = (rng.random((4, SIZE, SIZE)) * 255).astype(np.uint8)
+    a = f32.infer_batch(x).astype(np.float64) / 255.0
+    b = q8.infer_batch(x).astype(np.float64) / 255.0
+    mse = np.mean((a - b) ** 2)
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr >= 45.0, f"int8 fidelity too low: {psnr:.1f} dB"
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/best_model.onnx"),
+                    reason="reference best_model.onnx not available")
+def test_engine_int8_production_weights_fidelity(rng):
+    """>= 45 dB PSNR vs the f32 path on the production weights."""
+    from image_enhancement_deglaring_tpu.eval.harness import load_model_for_eval
+
+    apply_fn, params = load_model_for_eval("/root/reference/best_model.onnx",
+                                           compute_dtype=jnp.float32)
+    f32 = InferenceEngine(apply_fn, params, image_size=128, max_batch_size=2,
+                          compute_dtype=jnp.float32, warmup=False)
+    q8 = InferenceEngine(apply_fn, params, image_size=128, max_batch_size=2,
+                         compute_dtype=jnp.float32, warmup=False,
+                         quantize="int8")
+    x = (rng.random((2, 128, 128)) * 255).astype(np.uint8)
+    a = f32.infer_batch(x).astype(np.float64) / 255.0
+    b = q8.infer_batch(x).astype(np.float64) / 255.0
+    psnr = 10 * np.log10(1.0 / max(np.mean((a - b) ** 2), 1e-12))
+    assert psnr >= 45.0, f"int8 fidelity on production weights: {psnr:.1f} dB"
 
 
 def test_tiler_bounded_compilations_across_resolutions(small_model, rng):
