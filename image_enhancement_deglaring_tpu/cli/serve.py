@@ -29,6 +29,10 @@ def parse_args(argv=None):
                    help="serve with int8 weights (AQT-style per-channel PTQ)")
     p.add_argument("--image_size", type=int, default=512,
                    help="model input resolution (resize mode) / tile size")
+    p.add_argument("--workers", type=int, default=1,
+                   help="HTTP worker processes (SO_REUSEPORT) sharing one "
+                        "engine process over IPC; scales the host-bound "
+                        "PIL/PNG work across CPUs (resize mode only)")
     p.add_argument("--log_dir", type=str, default=None)
     return p.parse_args(argv)
 
@@ -47,6 +51,28 @@ def main(argv=None):
         tile_overlap=args.tile_overlap, log_dir=args.log_dir,
         image_size=args.image_size, quantize=args.quantize,
     )
+    if args.workers > 1:
+        if args.mode != "resize":
+            raise SystemExit("--workers > 1 requires --mode resize")
+        from ..serve.ipc import serve_multiprocess
+
+        server.engine.start()
+        ipc, procs = serve_multiprocess(
+            server.engine, host=args.host, port=args.port,
+            image_size=args.image_size, n_workers=args.workers,
+            log_dir=args.log_dir,
+        )
+        try:
+            for p in procs:
+                p.join()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            ipc.stop()
+            for p in procs:
+                p.terminate()
+            server.engine.stop()
+        return
     try:
         server.run()
     except KeyboardInterrupt:

@@ -48,13 +48,21 @@ def optimized_augment(image: np.ndarray, target: np.ndarray,
 
 
 def _affine(img: np.ndarray, scale: float, tx: float, ty: float, angle: float):
+    """Rotate/scale about the image center + translate, constant-0 border.
+
+    Matches A.Affine's defaults (mode=cv2.BORDER_CONSTANT, cval=0) — the
+    reference deliberately replaced ShiftScaleRotate (whose default was
+    reflect-101) with Affine (reference: src/dataset.py:100-101), so
+    out-of-frame area is black, not mirrored.
+    """
     import cv2
 
     h, w = img.shape[:2]
     m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, scale)
     m[0, 2] += tx * w
     m[1, 2] += ty * h
-    return cv2.warpAffine(img, m, (w, h), borderMode=cv2.BORDER_REFLECT_101)
+    return cv2.warpAffine(img, m, (w, h), borderMode=cv2.BORDER_CONSTANT,
+                          borderValue=0)
 
 
 def heavy_augment(image: np.ndarray, target: np.ndarray,
@@ -86,23 +94,36 @@ def heavy_augment(image: np.ndarray, target: np.ndarray,
         angle = rng.uniform(-15.0, 15.0)
         image = _affine(image, scale, tx, ty, angle)
         target = _affine(target, scale, tx, ty, angle)
-    # OneOf(noise, blur)(p=.5) — image only
+    # OneOf(noise, blur)(p=.5) — image only. GaussianBlur(blur_limit=3)
+    # admits exactly ksize=3 (the only odd value in [3, 3]), so the kernel
+    # is not "pinned" — it is the whole sampling range.
     if rng.random() < 0.5:
         if rng.random() < 0.5:
             image = _gauss_noise(image, rng)
         else:
-            k = int(rng.choice([3]))
-            image = cv2.GaussianBlur(image, (k, k), 0)
+            image = cv2.GaussianBlur(image, (3, 3), 0)
     # OneOf(brightness/contrast, gamma, CLAHE)(p=.5) — image only
     if rng.random() < 0.5:
         pick = rng.random()
         if pick < 1 / 3:
             image = _brightness_contrast(image, rng)
         elif pick < 2 / 3:
-            gamma = rng.uniform(0.8, 1.2)
+            # RandomGamma(gamma_limit=(80, 120)): gamma = U(80,120)/100
+            gamma = rng.uniform(80.0, 120.0) / 100.0
             image = np.clip(image, 0.0, 1.0) ** gamma
         else:
-            u8 = (np.clip(image, 0, 1) * 255).astype(np.uint8)
-            clahe = cv2.createCLAHE(clipLimit=4.0, tileGridSize=(8, 8))
-            image = clahe.apply(u8).astype(np.float32) / 255.0
+            image = _clahe(image, rng)
     return image.astype(np.float32), target.astype(np.float32)
+
+
+def _clahe(image: np.ndarray, rng: np.random.Generator,
+           clip_limit: float = 4.0) -> np.ndarray:
+    """A.CLAHE(clip_limit=4.0, tile_grid_size=(8, 8)): a scalar clip_limit
+    means the per-call limit is sampled from U(1, clip_limit); CLAHE runs
+    on the uint8 rendering (cv2 requirement) and returns to [0, 1]."""
+    import cv2
+
+    limit = rng.uniform(1.0, clip_limit)
+    u8 = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+    clahe = cv2.createCLAHE(clipLimit=limit, tileGridSize=(8, 8))
+    return clahe.apply(u8).astype(np.float32) / 255.0

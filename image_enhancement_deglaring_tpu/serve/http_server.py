@@ -144,6 +144,14 @@ class DeglareServer:
     #: per-connection read timeout
     READ_TIMEOUT_S = 30.0
 
+    #: zlib level for response PNGs. 1 encodes ~2x faster than PIL's
+    #: default 6 at ~1.5x the bytes — the right trade for a serving path
+    #: whose output is decoded once by the caller. (PNG bytes are not part
+    #: of the reference contract; pixel values are, and they're identical.)
+    PNG_COMPRESS_LEVEL = 1
+    #: idle keep-alive wait before closing a persistent connection
+    KEEPALIVE_TIMEOUT_S = 15.0
+
     def __init__(self, engine, *, host: str = "0.0.0.0", port: int = 4000,
                  image_size: int = 512, mode: str = "resize",
                  tiler=None, log_dir: str | None = None):
@@ -196,20 +204,26 @@ class DeglareServer:
                 enhanced_img = Image.fromarray(enhanced_u8, mode="L")
             else:
                 # reference behavior: LANCZOS down to 512^2, infer, LANCZOS back
-                # (api/app.py:150,203)
+                # (api/app.py:150,203); the resizes are skipped when the
+                # image is already at target size (identity, saves ~12ms of
+                # host CPU per 512^2 request)
                 s = self.image_size
-                resized = np.array(
-                    Image.fromarray(img_gray).resize((s, s), Image.LANCZOS)
-                )
+                if img_gray.shape == (s, s):
+                    resized = img_gray
+                else:
+                    resized = np.array(
+                        Image.fromarray(img_gray).resize((s, s), Image.LANCZOS)
+                    )
                 # submit() goes through the micro-batching queue so
                 # concurrent requests coalesce into one device batch
                 enhanced_u8 = self.engine.submit(resized.astype(np.uint8)).result()
-                enhanced_img = Image.fromarray(enhanced_u8, mode="L").resize(
-                    original_size, Image.LANCZOS
-                )
+                enhanced_img = Image.fromarray(enhanced_u8, mode="L")
+                if original_size != (s, s):
+                    enhanced_img = enhanced_img.resize(original_size, Image.LANCZOS)
 
             buf = io.BytesIO()
-            enhanced_img.save(buf, format="PNG")
+            enhanced_img.save(buf, format="PNG",
+                              compress_level=self.PNG_COMPRESS_LEVEL)
             log.info(f"[{request_id}] Successfully processed image")
             return 200, {"image": base64.b64encode(buf.getvalue()).decode("utf-8")}
         except Exception as e:
@@ -221,53 +235,70 @@ class DeglareServer:
     # ------------------------------------------------------------ plumbing
     async def _handle(self, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter) -> None:
+        """Persistent-connection request loop (HTTP/1.1 keep-alive): serves
+        requests until the client closes, sends `Connection: close`, or
+        idles past KEEPALIVE_TIMEOUT_S — load generators and the frontend
+        reuse sockets instead of paying a TCP handshake per request."""
         try:
-            request_line = await asyncio.wait_for(
-                reader.readline(), timeout=self.READ_TIMEOUT_S
-            )
-            if not request_line:
-                writer.close()
-                return
-            try:
-                method, path, _version = request_line.decode().split()
-            except ValueError:
-                await self._respond(writer, 400, {"detail": "Bad request"})
-                return
-
-            headers: dict[str, str] = {}
+            first = True
             while True:
-                line = await asyncio.wait_for(
-                    reader.readline(), timeout=self.READ_TIMEOUT_S
+                request_line = await asyncio.wait_for(
+                    reader.readline(),
+                    timeout=self.READ_TIMEOUT_S if first
+                    else self.KEEPALIVE_TIMEOUT_S,
                 )
-                if line in (b"\r\n", b"\n", b""):
-                    break
-                k, _, v = line.decode(errors="replace").partition(":")
-                headers[k.strip().lower()] = v.strip()
+                first = False
+                if not request_line or request_line in (b"\r\n", b"\n"):
+                    return
+                try:
+                    method, path, version = request_line.decode().split()
+                except ValueError:
+                    await self._respond(writer, 400, {"detail": "Bad request"},
+                                        close=True)
+                    return
 
-            length = int(headers.get("content-length", "0") or 0)
-            if length > self.MAX_BODY_BYTES:
-                await self._respond(writer, 413,
-                                    {"detail": "Request body too large"})
-                return
-            body = b""
-            if length:
-                body = await asyncio.wait_for(
-                    reader.readexactly(length), timeout=self.READ_TIMEOUT_S
-                )
+                headers: dict[str, str] = {}
+                while True:
+                    line = await asyncio.wait_for(
+                        reader.readline(), timeout=self.READ_TIMEOUT_S
+                    )
+                    if line in (b"\r\n", b"\n", b""):
+                        break
+                    k, _, v = line.decode(errors="replace").partition(":")
+                    headers[k.strip().lower()] = v.strip()
 
-            if method == "GET" and path == "/ping":
-                status, payload = self._ping()
-            elif method == "GET" and path == "/stats":
-                # serving observability (addition beyond the reference API)
-                status, payload = 200, self.engine.stats()
-            elif method == "POST" and path == "/infer":
-                loop = asyncio.get_running_loop()
-                status, payload = await loop.run_in_executor(
-                    None, self._infer, body, headers.get("content-type", "")
-                )
-            else:
-                status, payload = 404, {"detail": "Not Found"}
-            await self._respond(writer, status, payload)
+                conn = headers.get("connection", "").lower()
+                keep_alive = (version.upper() != "HTTP/1.0" or conn == "keep-alive") \
+                    and conn != "close"
+
+                length = int(headers.get("content-length", "0") or 0)
+                if length > self.MAX_BODY_BYTES:
+                    await self._respond(writer, 413,
+                                        {"detail": "Request body too large"},
+                                        close=True)
+                    return
+                body = b""
+                if length:
+                    body = await asyncio.wait_for(
+                        reader.readexactly(length), timeout=self.READ_TIMEOUT_S
+                    )
+
+                if method == "GET" and path == "/ping":
+                    status, payload = self._ping()
+                elif method == "GET" and path == "/stats":
+                    # serving observability (addition beyond the reference API)
+                    status, payload = 200, self.engine.stats()
+                elif method == "POST" and path == "/infer":
+                    loop = asyncio.get_running_loop()
+                    status, payload = await loop.run_in_executor(
+                        None, self._infer, body, headers.get("content-type", "")
+                    )
+                else:
+                    status, payload = 404, {"detail": "Not Found"}
+                await self._respond(writer, status, payload,
+                                    close=not keep_alive)
+                if not keep_alive:
+                    return
         except (asyncio.IncompleteReadError, ConnectionResetError,
                 asyncio.TimeoutError):
             pass
@@ -278,7 +309,8 @@ class DeglareServer:
             except Exception:
                 pass
 
-    async def _respond(self, writer, status: int, payload: dict) -> None:
+    async def _respond(self, writer, status: int, payload: dict,
+                       close: bool = False) -> None:
         reasons = {200: "OK", 400: "Bad Request", 404: "Not Found",
                    413: "Payload Too Large", 500: "Internal Server Error"}
         body = json.dumps(payload, separators=(",", ":")).encode()
@@ -287,7 +319,7 @@ class DeglareServer:
             f"Content-Type: application/json\r\n"
             f"Content-Length: {len(body)}\r\n"
             f"Access-Control-Allow-Origin: *\r\n"
-            f"Connection: close\r\n\r\n"
+            f"Connection: {'close' if close else 'keep-alive'}\r\n\r\n"
         ).encode()
         writer.write(head + body)
         await writer.drain()

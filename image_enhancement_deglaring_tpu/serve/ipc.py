@@ -1,0 +1,216 @@
+"""Cross-process engine sharing for multi-worker serving.
+
+libtpu admits ONE process per chip, so the way to scale the host-bound
+part of serving (multipart parsing, PIL decode/resize, PNG encode — the
+bottleneck measured in docs/PERF.md) across a host's CPUs is:
+
+- one ENGINE process owns the device: it runs the micro-batching
+  InferenceEngine and an :class:`EngineIPCServer` on a unix socket;
+- N HTTP WORKER processes bind the same port via SO_REUSEPORT (the kernel
+  load-balances accepts) and do all host work, shipping 512^2 uint8
+  frames to the engine over the socket via :class:`RemoteEngine`.
+
+Frames from every worker land in the same engine queue, so requests
+arriving on different workers still coalesce into one device batch.
+The reference has no counterpart (single uvicorn process,
+reference: api/app.py:221-222).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from concurrent.futures import Future
+from multiprocessing.connection import Client, Listener
+
+import numpy as np
+
+
+class EngineIPCServer:
+    """Runs next to the InferenceEngine; serves frames from worker procs.
+
+    Wire protocol (pickled tuples):
+      worker -> engine:  ("infer", req_id, uint8 ndarray) | ("stats", req_id)
+      engine -> worker:  ("ok", req_id, result) | ("err", req_id, message)
+    """
+
+    def __init__(self, engine, address: str):
+        self.engine = engine
+        self.address = address
+        self._listener: Listener | None = None
+        self._threads: list[threading.Thread] = []
+        self._stop = threading.Event()
+
+    def start(self) -> None:
+        if os.path.exists(self.address):
+            os.unlink(self.address)
+        self._listener = Listener(self.address, family="AF_UNIX")
+        t = threading.Thread(target=self._accept_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._listener is not None:
+            try:
+                self._listener.close()
+            except Exception:
+                pass
+        if os.path.exists(self.address):
+            try:
+                os.unlink(self.address)
+            except OSError:
+                pass
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn = self._listener.accept()
+            except (OSError, EOFError):
+                return
+            t = threading.Thread(target=self._serve_conn, args=(conn,),
+                                 daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _serve_conn(self, conn) -> None:
+        send_lock = threading.Lock()
+
+        def reply(kind, req_id, payload):
+            try:
+                with send_lock:
+                    conn.send((kind, req_id, payload))
+            except (OSError, BrokenPipeError):
+                pass
+
+        try:
+            while not self._stop.is_set():
+                msg = conn.recv()
+                kind, req_id = msg[0], msg[1]
+                if kind == "stats":
+                    reply("ok", req_id, self.engine.stats())
+                elif kind == "infer":
+                    fut = self.engine.submit(msg[2])
+                    fut.add_done_callback(
+                        lambda f, rid=req_id: reply("ok", rid, f.result())
+                        if f.exception() is None
+                        else reply("err", rid, str(f.exception()))
+                    )
+                else:
+                    reply("err", req_id, f"unknown message kind {kind!r}")
+        except (EOFError, OSError):
+            pass
+        finally:
+            try:
+                conn.close()
+            except Exception:
+                pass
+
+
+class RemoteEngine:
+    """Drop-in for InferenceEngine inside HTTP worker processes: submit()
+    and stats() proxy over the unix socket; never imports jax."""
+
+    def __init__(self, address: str):
+        self._conn = Client(address, family="AF_UNIX")
+        self._send_lock = threading.Lock()
+        self._pending: dict[int, Future] = {}
+        self._pending_lock = threading.Lock()
+        self._next_id = 0
+        self._reader = threading.Thread(target=self._read_loop, daemon=True)
+        self._reader.start()
+
+    def _read_loop(self) -> None:
+        try:
+            while True:
+                kind, req_id, payload = self._conn.recv()
+                with self._pending_lock:
+                    fut = self._pending.pop(req_id, None)
+                if fut is None or fut.done():
+                    continue
+                if kind == "ok":
+                    fut.set_result(payload)
+                else:
+                    fut.set_exception(RuntimeError(payload))
+        except (EOFError, OSError) as e:
+            with self._pending_lock:
+                pending = list(self._pending.values())
+                self._pending.clear()
+            for fut in pending:
+                if not fut.done():
+                    fut.set_exception(
+                        RuntimeError(f"engine connection lost: {e}"))
+
+    def _request(self, kind: str, payload=None) -> Future:
+        fut: Future = Future()
+        with self._pending_lock:
+            req_id = self._next_id
+            self._next_id += 1
+            self._pending[req_id] = fut
+        msg = (kind, req_id) if payload is None else (kind, req_id, payload)
+        with self._send_lock:
+            self._conn.send(msg)
+        return fut
+
+    def submit(self, img_u8: np.ndarray) -> Future:
+        return self._request("infer", np.ascontiguousarray(img_u8))
+
+    def stats(self) -> dict:
+        return self._request("stats").result(timeout=10)
+
+    def stop(self) -> None:
+        try:
+            self._conn.close()
+        except Exception:
+            pass
+
+
+def _worker_main(address: str, host: str, port: int, image_size: int,
+                 log_dir: str | None) -> None:
+    """HTTP worker entry point (spawned process): SO_REUSEPORT server backed
+    by a RemoteEngine. Never initializes a device runtime."""
+    import asyncio
+
+    from .http_server import DeglareServer
+
+    engine = RemoteEngine(address)
+    server = DeglareServer(engine, host=host, port=port,
+                           image_size=image_size, mode="resize",
+                           log_dir=log_dir)
+
+    async def run():
+        srv = await asyncio.start_server(server._handle, host, port,
+                                         reuse_port=True)
+        server.logger.info(f"worker {os.getpid()} serving on {host}:{port}")
+        async with srv:
+            await srv.serve_forever()
+
+    try:
+        asyncio.run(run())
+    except KeyboardInterrupt:
+        pass
+
+
+def serve_multiprocess(engine, *, host: str, port: int, image_size: int,
+                       n_workers: int, log_dir: str | None = None,
+                       address: str | None = None):
+    """Run the engine process + n_workers HTTP processes; blocks forever.
+
+    Returns (ipc_server, worker_processes) when started in the background
+    via ``block=False`` semantics — callers in tests use the pieces
+    directly; the CLI calls this and blocks.
+    """
+    import multiprocessing as mp
+
+    address = address or f"/tmp/deglare_engine_{os.getpid()}.sock"
+    ipc = EngineIPCServer(engine, address)
+    ipc.start()
+    ctx = mp.get_context("spawn")
+    procs = []
+    for _ in range(n_workers):
+        p = ctx.Process(target=_worker_main,
+                        args=(address, host, port, image_size, log_dir),
+                        daemon=True)
+        p.start()
+        procs.append(p)
+    return ipc, procs

@@ -1,0 +1,121 @@
+"""Load-test the byte-parity /infer path (reference: api/app.py:109-213).
+
+Posts a document-like grayscale PNG over C concurrent keep-alive
+connections and reports throughput + latency percentiles. Usage:
+
+    python scripts/load_test_api.py --url http://127.0.0.1:4000 \
+        --requests 200 --concurrency 16 --size 512
+"""
+
+import argparse
+import io
+import json
+import sys
+import threading
+import time
+from urllib.parse import urlparse
+
+import numpy as np
+
+
+def make_document_png(size: int) -> bytes:
+    """Synthetic scanned-document page: white ground, text lines, glare."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img = np.full((size, size), 235, np.uint8)
+    for r in range(size // 12, size - 10, size // 24):
+        mask = rng.random(size) < 0.4
+        img[r : r + max(2, size // 64), mask] = 40
+    yy, xx = np.mgrid[0:size, 0:size]
+    glare = (80 * np.exp(-(((yy - size * 0.4) / (size * 0.5)) ** 2
+                           + ((xx - size * 0.6) / (size * 0.6)) ** 2)))
+    img = np.clip(img.astype(np.int32) + glare.astype(np.int32), 0, 255)
+    buf = io.BytesIO()
+    Image.fromarray(img.astype(np.uint8), "L").save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--url", default="http://127.0.0.1:4000")
+    ap.add_argument("--requests", type=int, default=200)
+    ap.add_argument("--concurrency", type=int, default=16)
+    ap.add_argument("--size", type=int, default=512)
+    args = ap.parse_args()
+
+    import http.client
+
+    png = make_document_png(args.size)
+    boundary = "LOADTESTBOUND"
+    body = (
+        f'--{boundary}\r\nContent-Disposition: form-data; name="image"; '
+        f'filename="doc.png"\r\nContent-Type: image/png\r\n\r\n'
+    ).encode() + png + f"\r\n--{boundary}--\r\n".encode()
+    headers = {"Content-Type": f"multipart/form-data; boundary={boundary}"}
+    u = urlparse(args.url)
+
+    lock = threading.Lock()
+    remaining = [args.requests]
+    latencies: list[float] = []
+    errors = [0]
+
+    def worker():
+        conn = http.client.HTTPConnection(u.hostname, u.port, timeout=120)
+        while True:
+            with lock:
+                if remaining[0] <= 0:
+                    break
+                remaining[0] -= 1
+            t0 = time.perf_counter()
+            try:
+                conn.request("POST", "/infer", body=body, headers=headers)
+                resp = conn.getresponse()
+                data = resp.read()
+                ok = resp.status == 200 and b"image" in data
+            except Exception:
+                ok = False
+                conn.close()
+                conn = http.client.HTTPConnection(u.hostname, u.port, timeout=120)
+            dt = time.perf_counter() - t0
+            with lock:
+                if ok:
+                    latencies.append(dt)
+                else:
+                    errors[0] += 1
+        conn.close()
+
+    # one warm request (compiles/warms everything before the clock starts)
+    w = http.client.HTTPConnection(u.hostname, u.port, timeout=600)
+    w.request("POST", "/infer", body=body, headers=headers)
+    w.getresponse().read()
+    w.close()
+
+    threads = [threading.Thread(target=worker) for _ in range(args.concurrency)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    lat = sorted(latencies)
+
+    def pct(p):
+        return lat[min(len(lat) - 1, int(p * len(lat)))] * 1000 if lat else None
+
+    print(json.dumps({
+        "requests_ok": len(latencies),
+        "errors": errors[0],
+        "concurrency": args.concurrency,
+        "input": f"{args.size}x{args.size} document PNG ({len(png)} B)",
+        "wall_s": round(wall, 2),
+        "req_per_s": round(len(latencies) / wall, 1),
+        "latency_ms_p50": round(pct(0.50), 1),
+        "latency_ms_p95": round(pct(0.95), 1),
+    }))
+    return 0 if errors[0] == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -123,3 +123,144 @@ def test_prefetcher_propagates_worker_errors():
     next(it)  # first batch fine
     with pytest.raises(RuntimeError, match="decode exploded"):
         list(it)
+
+
+# ---------------------------------------------------- heavy-augment parity
+# albumentations is not installable here, so each transform is pinned
+# against hand-derived goldens of the albumentations spec
+# (reference: src/dataset.py:96-116).
+
+
+class _FakeRng:
+    """Feeds predetermined uniform/normal draws to an augmentation."""
+
+    def __init__(self, uniforms):
+        self.uniforms = list(uniforms)
+
+    def uniform(self, lo, hi, size=None):
+        u = self.uniforms.pop(0)
+        return lo + (hi - lo) * u
+
+    def random(self):
+        return self.uniforms.pop(0)
+
+    def normal(self, mean, std, shape):
+        rng = np.random.default_rng(0)
+        return rng.normal(mean, std, shape)
+
+
+def test_brightness_contrast_matches_albumentations_formula():
+    """RandomBrightnessContrast (brightness_by_max=True, float image):
+    out = clip(img * (1 + contrast) + brightness * max_value)."""
+    from image_enhancement_deglaring_tpu.data.augment import _brightness_contrast
+
+    img = np.linspace(0, 1, 16, dtype=np.float32).reshape(4, 4)
+    # draws: contrast u=0.75 -> alpha = 1 + (-0.2 + 0.4*0.75) = 1.1
+    #        brightness u=0.25 -> beta = -0.2 + 0.4*0.25 = -0.1
+    out = _brightness_contrast(img, _FakeRng([0.75, 0.25]))
+    np.testing.assert_allclose(out, np.clip(img * 1.1 - 0.1, 0, 1), atol=1e-6)
+
+
+def test_gamma_matches_albumentations_range_and_formula():
+    """RandomGamma(gamma_limit=(80,120)): out = img ** (U(80,120)/100)."""
+    from image_enhancement_deglaring_tpu.data.augment import heavy_augment
+
+    img = np.full((8, 8), 0.25, np.float32)
+    tgt = np.full((8, 8), 0.5, np.float32)
+    # draws: rot90 no (.9), hflip no (.9), vflip no (.9), affine no (.9),
+    # noise/blur no (.9), second OneOf yes (.1), pick gamma (.5),
+    # gamma draw u=1.0 -> gamma = 1.2
+    out, tgt_out = heavy_augment(img, tgt, _FakeRng(
+        [0.9, 0.9, 0.9, 0.9, 0.9, 0.1, 0.5, 1.0]))
+    np.testing.assert_allclose(out, 0.25 ** 1.2, atol=1e-6)
+    np.testing.assert_array_equal(tgt_out, tgt)  # pixel ops never touch mask
+
+
+def test_gauss_noise_variance_scale():
+    """GaussNoise default var_limit=(10, 50) on the 0-255 scale: residual
+    std must land in [sqrt(10)/255, sqrt(50)/255] (mid-gray, no clipping)."""
+    from image_enhancement_deglaring_tpu.data.augment import _gauss_noise
+
+    img = np.full((256, 256), 0.5, np.float32)
+    rng = np.random.default_rng(7)
+    lo, hi = np.sqrt(10.0) / 255.0, np.sqrt(50.0) / 255.0
+    for _ in range(5):
+        res = _gauss_noise(img, rng) - img
+        assert lo * 0.9 <= res.std() <= hi * 1.1
+        assert abs(res.mean()) < 3e-4  # zero-mean
+
+
+def test_gaussian_blur_matches_cv2_separable_kernel():
+    """GaussianBlur(blur_limit=3): ksize=3, sigma=0 -> cv2's [1,2,1]/4
+    separable kernel. Interior pixels must equal the hand convolution."""
+    import cv2
+
+    rng = np.random.default_rng(3)
+    img = rng.random((12, 12)).astype(np.float32)
+    out = cv2.GaussianBlur(img, (3, 3), 0)
+    w = np.array([0.25, 0.5, 0.25], np.float32)
+    expect = np.zeros_like(img)
+    for di, wi in zip((-1, 0, 1), w):
+        for dj, wj in zip((-1, 0, 1), w):
+            expect[1:-1, 1:-1] += wi * wj * img[1 + di : 11 + di, 1 + dj : 11 + dj]
+    np.testing.assert_allclose(out[1:-1, 1:-1], expect[1:-1, 1:-1], atol=1e-6)
+
+
+def test_affine_constant_zero_border():
+    """A.Affine default border is constant 0 (NOT reflect-101, which was
+    ShiftScaleRotate's default): rotating an all-ones image must produce
+    black corners."""
+    from image_enhancement_deglaring_tpu.data.augment import _affine
+
+    ones = np.ones((64, 64), np.float32)
+    out = _affine(ones, scale=1.0, tx=0.0, ty=0.0, angle=15.0)
+    assert out[0, 0] == 0.0 and out[0, -1] == 0.0
+    assert out[-1, 0] == 0.0 and out[-1, -1] == 0.0
+    assert out[32, 32] == pytest.approx(1.0)
+
+
+def test_affine_translation_golden():
+    """translate_percent tx shifts content by round(tx * W) pixels."""
+    from image_enhancement_deglaring_tpu.data.augment import _affine
+
+    img = np.zeros((16, 16), np.float32)
+    img[8, 4] = 1.0
+    out = _affine(img, scale=1.0, tx=0.25, ty=0.0, angle=0.0)
+    assert out[8, 8] == pytest.approx(1.0)  # moved 0.25 * 16 = 4 px right
+    assert out[8, 4] == 0.0
+
+
+def test_clahe_clip_limit_sampled_from_1_to_4():
+    """A.CLAHE(clip_limit=4.0): scalar means U(1, 4) per call; output is
+    the uint8 CLAHE rendering back in [0, 1]."""
+    import cv2
+
+    from image_enhancement_deglaring_tpu.data.augment import _clahe
+
+    rng = np.random.default_rng(11)
+    img = (np.linspace(0.4, 0.6, 64 * 64, dtype=np.float32)
+           .reshape(64, 64))  # low contrast
+    # golden: u=0.5 -> limit = 2.5
+    out = _clahe(img, _FakeRng([0.5]))
+    u8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    want = cv2.createCLAHE(clipLimit=2.5, tileGridSize=(8, 8)).apply(u8)
+    np.testing.assert_array_equal((out * 255).astype(np.uint8), want)
+    # property: CLAHE stretches low-contrast input
+    assert _clahe(img, rng).std() > img.std()
+
+
+def test_heavy_augment_geometry_applies_to_both_image_and_mask():
+    from image_enhancement_deglaring_tpu.data.augment import heavy_augment
+
+    rng = np.random.default_rng(0)
+    img = rng.random((32, 32)).astype(np.float32)
+    tgt = rng.random((32, 32)).astype(np.float32)
+    # draws: rot90 yes (k from integers), hflip yes, vflip no, affine no,
+    # both OneOf no
+    class _R(_FakeRng):
+        def integers(self, lo, hi):
+            return 1
+
+    out_i, out_t = heavy_augment(img, tgt, _R([0.1, 0.1, 0.9, 0.9, 0.9, 0.9]))
+    np.testing.assert_array_equal(out_i, np.rot90(img, 1)[:, ::-1])
+    np.testing.assert_array_equal(out_t, np.rot90(tgt, 1)[:, ::-1])

@@ -502,3 +502,110 @@ def test_http_tile_mode_full_resolution(engine, small_model, tmp_path_factory, r
     out = Image.open(io.BytesIO(base64.b64decode(json.loads(data)["image"])))
     assert out.size == (SIZE + 24, SIZE * 2)
     assert out.mode == "L"
+
+
+# ------------------------------------------------------- keep-alive & IPC
+
+
+def test_http_keepalive_connection_reuse(live_server, rng):
+    """Multiple requests over ONE persistent connection; server advertises
+    keep-alive and honors an explicit Connection: close."""
+    host, port = live_server
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    for i in range(3):
+        conn.request("GET", "/ping")
+        resp = conn.getresponse()
+        data = resp.read()
+        assert resp.status == 200 and data == b'{"message":"pong"}'
+        assert resp.getheader("Connection") == "keep-alive"
+    # an infer request over the same socket still works
+    img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    body, headers = _multipart_png(img)
+    conn.request("POST", "/infer", body=body, headers=headers)
+    resp = conn.getresponse()
+    assert resp.status == 200 and b"image" in resp.read()
+    # Connection: close is honored
+    conn.request("GET", "/ping", headers={"Connection": "close"})
+    resp = conn.getresponse()
+    resp.read()
+    assert resp.getheader("Connection") == "close"
+    conn.close()
+
+
+def test_remote_engine_ipc_roundtrip(small_model, rng, tmp_path):
+    """RemoteEngine <-> EngineIPCServer: frames cross the unix socket and
+    results come back identical to the in-process engine."""
+    from image_enhancement_deglaring_tpu.serve.ipc import (
+        EngineIPCServer,
+        RemoteEngine,
+    )
+
+    apply_fn, params = small_model
+    eng = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=4,
+                          batch_timeout_ms=2.0, compute_dtype=jnp.float32,
+                          warmup=False)
+    addr = str(tmp_path / "engine.sock")
+    ipc = EngineIPCServer(eng, addr)
+    ipc.start()
+    try:
+        remote = RemoteEngine(addr)
+        imgs = (rng.random((5, SIZE, SIZE)) * 255).astype(np.uint8)
+        futs = [remote.submit(im) for im in imgs]
+        outs = np.stack([f.result(timeout=60) for f in futs])
+        want = eng.infer_batch(imgs)
+        diff = np.abs(outs.astype(np.int16) - want.astype(np.int16))
+        assert diff.max() <= 1  # floor()-boundary wobble across batchings
+        stats = remote.stats()
+        assert stats["requests_served"] >= 5
+        remote.stop()
+    finally:
+        ipc.stop()
+        eng.stop()
+
+
+def test_multiprocess_workers_end_to_end(small_model, rng, tmp_path):
+    """2 spawned HTTP worker processes (SO_REUSEPORT) share one engine
+    over IPC; requests through either worker return correct results."""
+    from image_enhancement_deglaring_tpu.serve.ipc import serve_multiprocess
+
+    apply_fn, params = small_model
+    eng = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=4,
+                          batch_timeout_ms=2.0, compute_dtype=jnp.float32,
+                          warmup=False)
+    eng.start()
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    ipc, procs = serve_multiprocess(
+        eng, host="127.0.0.1", port=port, image_size=SIZE, n_workers=2,
+        log_dir=str(tmp_path / "logs"), address=str(tmp_path / "e.sock"),
+    )
+    try:
+        deadline = time.time() + 60
+        last_err = None
+        while time.time() < deadline:
+            try:
+                status, data = _request("127.0.0.1", port, "GET", "/ping")
+                assert data == b'{"message":"pong"}'
+                break
+            except OSError as e:
+                last_err = e
+                time.sleep(0.5)
+        else:
+            raise AssertionError(f"workers never came up: {last_err}")
+
+        img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+        body, headers = _multipart_png(img)
+        for _ in range(4):  # several requests -> lands on both workers
+            status, data = _request("127.0.0.1", port, "POST", "/infer",
+                                    body, headers)
+            assert status == 200
+            out = Image.open(io.BytesIO(base64.b64decode(
+                json.loads(data)["image"])))
+            assert out.size == (SIZE, SIZE)
+        assert all(p.is_alive() for p in procs)
+    finally:
+        for p in procs:
+            p.terminate()
+        ipc.stop()
+        eng.stop()
