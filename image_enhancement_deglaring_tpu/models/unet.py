@@ -69,6 +69,9 @@ class ConvBlock(nn.Module):
     features: int
     num_groups: int = 8
     fused: bool = False
+    #: fuse each GroupNorm+SiLU pair into one Pallas kernel (one HBM read +
+    #: one write, vs XLA's two reads + one write); convs stay on XLA
+    pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -88,10 +91,19 @@ class ConvBlock(nn.Module):
             y = fused_conv3x3_gn_silu(x, w1, s1, b1, num_groups=g)
             return fused_conv3x3_gn_silu(y, w2, s2, b2, num_groups=g)
 
+        if self.pallas_gn:
+            from ..ops.pallas_kernels import fused_group_norm_silu as _gns
+
+            def gn_silu(y, s, b):
+                return _gns(y, s, b, num_groups=g)
+        else:
+            def gn_silu(y, s, b):
+                return silu(group_norm(y, s, b, num_groups=g))
+
         y = conv2d(x, w1, padding=1)
-        y = silu(group_norm(y, s1, b1, num_groups=g))
+        y = gn_silu(y, s1, b1)
         y = conv2d(y, w2, padding=1)
-        y = silu(group_norm(y, s2, b2, num_groups=g))
+        y = gn_silu(y, s2, b2)
         return y
 
 
@@ -106,6 +118,7 @@ class DualConvBlock(nn.Module):
 
     features: int
     num_groups: int = 8
+    pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, x_up: jax.Array, x_skip: jax.Array) -> jax.Array:
@@ -119,7 +132,8 @@ class DualConvBlock(nn.Module):
             "gn2_scale": self.param("gn2_scale", nn.initializers.ones, (f,)),
             "gn2_bias": self.param("gn2_bias", nn.initializers.zeros, (f,)),
         }
-        return conv_block_dual(x_up, x_skip, params, num_groups=g)
+        return conv_block_dual(x_up, x_skip, params, num_groups=g,
+                               pallas_gn=self.pallas_gn)
 
 
 class UpConv2x(nn.Module):
@@ -156,6 +170,9 @@ class LightweightUNet(nn.Module):
     remat: bool = False
     #: use the Pallas fused conv+GN+SiLU kernel where profitable
     fused_blocks: bool = False
+    #: fuse GN+SiLU pairs via the flat single-HBM-pass Pallas kernel
+    #: (convs stay on XLA); no-op off TPU
+    pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -163,11 +180,13 @@ class LightweightUNet(nn.Module):
         f = [f0, f0 * 2, f0 * 4, f0 * 8, f0 * 16]
         g = self.num_groups
 
-        block = partial(ConvBlock, fused=self.fused_blocks)
-        dual = DualConvBlock
+        block = partial(ConvBlock, fused=self.fused_blocks,
+                        pallas_gn=self.pallas_gn)
+        dual = partial(DualConvBlock, pallas_gn=self.pallas_gn)
         if self.remat:
-            block = partial(nn.remat(ConvBlock), fused=self.fused_blocks)
-            dual = nn.remat(DualConvBlock)
+            block = partial(nn.remat(ConvBlock), fused=self.fused_blocks,
+                            pallas_gn=self.pallas_gn)
+            dual = partial(nn.remat(DualConvBlock), pallas_gn=self.pallas_gn)
 
         x = x.astype(self.dtype)
 

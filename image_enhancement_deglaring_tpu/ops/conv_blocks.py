@@ -146,6 +146,7 @@ def conv_block_dual(
     *,
     num_groups: int,
     eps: float = 1e-5,
+    pallas_gn: bool = False,
 ) -> jax.Array:
     """Decoder block: conv_block(concat([x_up, x_skip]), ...) computed
     WITHOUT materializing the concatenation.
@@ -157,16 +158,23 @@ def conv_block_dual(
     the widest tensors in the network (channel order matches the reference
     torch.cat((dec, enc), dim=1), reference: src/model.py:116).
     """
+    if pallas_gn:
+        from .pallas_kernels import fused_group_norm_silu as _gns
+
+        def gn_silu(y, s, b):
+            return _gns(y, s, b, num_groups=num_groups, eps=eps)
+    else:
+        def gn_silu(y, s, b):
+            return silu(group_norm(y, s, b, num_groups=num_groups, eps=eps))
+
     f = x_up.shape[-1]
     w1 = params["conv1"]
     y = conv2d(x_up, w1[:, :, :f, :], padding=1) + conv2d(
         x_skip, w1[:, :, f:, :], padding=1
     )
-    y = group_norm(y, params["gn1_scale"], params["gn1_bias"], num_groups=num_groups, eps=eps)
-    y = silu(y)
+    y = gn_silu(y, params["gn1_scale"], params["gn1_bias"])
     y = conv2d(y, params["conv2"], padding=1)
-    y = group_norm(y, params["gn2_scale"], params["gn2_bias"], num_groups=num_groups, eps=eps)
-    y = silu(y)
+    y = gn_silu(y, params["gn2_scale"], params["gn2_bias"])
     return y
 
 

@@ -119,28 +119,167 @@ def _fused_gn_silu_pallas(x, scale, bias, *, num_groups: int, eps: float,
       jnp.asarray(_group_mask(c, num_groups)))
 
 
+def _flat_eligible(x, num_groups: int) -> bool:
+    n, h, w, c = x.shape
+    wc = w * c
+    return (
+        c % num_groups == 0
+        and wc % 128 == 0
+        and h >= 8
+        and h * wc * x.dtype.itemsize <= _FLAT_SLAB_LIMIT
+    )
+
+
 def fused_group_norm_silu(x: jax.Array, scale: jax.Array, bias: jax.Array, *,
                           num_groups: int, eps: float = 1e-5,
                           use_pallas: bool | None = None) -> jax.Array:
     """GroupNorm followed by SiLU, fused on TPU via Pallas.
 
-    ``use_pallas=None`` auto-selects: Pallas on TPU backends (any size —
-    the kernel streams H tiles), XLA elsewhere. Numerics are validated
-    equivalent to group_norm+silu (see tests/test_pallas.py).
+    ``use_pallas=None`` auto-selects: the flat single-HBM-pass kernel when
+    the flattened (H, W*C) image is lane-aligned and fits VMEM (every level
+    of the production U-Net qualifies, including C=8 at 512^2); the H-tiled
+    streaming kernel for larger high-channel slabs; XLA elsewhere. Numerics
+    validated equivalent to group_norm+silu (see tests/test_pallas.py).
     """
-    if use_pallas is None:
-        # C < 64 pads catastrophically on the 128-lane dim (the tile layout
-        # blows the scoped-VMEM budget); leave those to XLA.
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and x.shape[-1] % num_groups == 0
-            and x.shape[-1] >= 64
-        )
-    if not use_pallas:
-        return silu(group_norm(x, scale, bias, num_groups=num_groups, eps=eps))
-    interpret = jax.default_backend() != "tpu"
-    return _fused_gn_silu_pallas(x, scale, bias, num_groups=num_groups,
-                                 eps=eps, interpret=interpret)
+    on_tpu = jax.default_backend() == "tpu"
+    interpret = not on_tpu
+    if use_pallas is None or use_pallas:
+        flat_ok = _flat_eligible(x, num_groups)
+        stream_ok = x.shape[-1] % num_groups == 0 and x.shape[-1] >= 64
+        if use_pallas is None and not on_tpu:
+            flat_ok = stream_ok = False  # XLA off-TPU unless forced
+        if flat_ok:
+            n, h, w, c = x.shape
+            wc = w * c
+            y = _fused_gn_silu_flat(
+                x.reshape(n, h, wc), scale, bias, w=w, num_groups=num_groups,
+                eps=eps, tile_h=_pick_tile_h(h, wc), interpret=interpret,
+            )
+            return y.reshape(x.shape)
+        if stream_ok:
+            return _fused_gn_silu_pallas(x, scale, bias,
+                                         num_groups=num_groups, eps=eps,
+                                         interpret=interpret)
+        if use_pallas:
+            raise ValueError(
+                f"no Pallas GN+SiLU path for shape {x.shape}, "
+                f"groups={num_groups}"
+            )
+    return silu(group_norm(x, scale, bias, num_groups=num_groups, eps=eps))
+
+
+# ----------------------------------------- flat single-HBM-pass GroupNorm+SiLU
+#
+# Key observation for this U-Net: W*C == 4096 at EVERY level (spatial halves
+# exactly as channels double), so flattening (B, H, W, C) -> (B, H, W*C)
+# makes every GN site perfectly 128-lane aligned — including the 512^2 C=8
+# level that the padded-channel layout excluded (C=8 pads 16x on lanes).
+# Per-group statistics reduce over lanes with a tiny (W*C, G) 0/1 mask
+# matmul and broadcast back with its transpose.
+#
+# Traffic: ONE HBM read + ONE HBM write per activation. The whole flattened
+# image sits in VMEM in the compute dtype; the two statistical passes run
+# over VMEM-resident row tiles (f32 temporaries stay tile-sized, avoiding
+# the whole-slab f32 materialization that OOM'd the naive version). XLA's
+# lowering is 2 reads + 1 write (reduce pass + apply pass), so this saves
+# a third of the GN+SiLU bandwidth — the measured tail of every block.
+
+
+def _lane_masks(w: int, c: int, groups: int):
+    """(W*C, G) one-hot lane->group and its (G, W*C) transpose."""
+    lane_ch = np.arange(w * c) % c
+    lane_g = lane_ch // (c // groups)
+    l2g = (lane_g[:, None] == np.arange(groups)[None, :]).astype(np.float32)
+    return l2g, np.ascontiguousarray(l2g.T)
+
+
+def _gn_silu_flat_kernel(x_ref, sl_ref, bl_ref, l2g_ref, g2l_ref, o_ref, *,
+                         eps: float, denom: float, tile_h: int):
+    h = x_ref.shape[1]
+    n_tiles = h // tile_h
+
+    def stats_body(i, carry):
+        s, s2 = carry
+        xt = x_ref[0, pl.ds(i * tile_h, tile_h), :].astype(jnp.float32)
+        return (s + jnp.sum(xt, axis=0, keepdims=True),
+                s2 + jnp.sum(xt * xt, axis=0, keepdims=True))
+
+    wc = x_ref.shape[2]
+    init = (jnp.zeros((1, wc), jnp.float32), jnp.zeros((1, wc), jnp.float32))
+    s, s2 = jax.lax.fori_loop(0, n_tiles, stats_body, init)
+
+    sum_g = jnp.dot(s, l2g_ref[...], preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)
+    sum2_g = jnp.dot(s2, l2g_ref[...], preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
+    mean_g = sum_g / denom
+    var_g = sum2_g / denom - mean_g * mean_g
+    rstd_g = lax.rsqrt(var_g + eps)
+    mean_l = jnp.dot(mean_g, g2l_ref[...], preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
+    rstd_l = jnp.dot(rstd_g, g2l_ref[...], preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
+    a_l = rstd_l * sl_ref[...].astype(jnp.float32)  # (1, WC)
+    b_l = bl_ref[...].astype(jnp.float32) - mean_l * a_l
+
+    def apply_body(i, _):
+        xt = x_ref[0, pl.ds(i * tile_h, tile_h), :].astype(jnp.float32)
+        y = xt * a_l + b_l
+        o_ref[0, pl.ds(i * tile_h, tile_h), :] = (
+            y * jax.nn.sigmoid(y)
+        ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, apply_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "num_groups", "eps",
+                                             "tile_h", "interpret"))
+def _fused_gn_silu_flat(x_flat, scale, bias, *, w: int, num_groups: int,
+                        eps: float, tile_h: int, interpret: bool = False):
+    """x_flat: (N, H, W*C); scale/bias: (C,)."""
+    n, h, wc = x_flat.shape
+    c = wc // w
+    denom = float(h * w * (c // num_groups))
+    l2g, g2l = _lane_masks(w, c, num_groups)
+    scale_l = jnp.tile(scale.astype(jnp.float32), w).reshape(1, wc)
+    bias_l = jnp.tile(bias.astype(jnp.float32), w).reshape(1, wc)
+
+    kernel = functools.partial(_gn_silu_flat_kernel, eps=eps, denom=denom,
+                               tile_h=tile_h)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x_flat.shape, x_flat.dtype),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wc, num_groups), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_groups, wc), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_flat, scale_l, bias_l, jnp.asarray(l2g), jnp.asarray(g2l))
+
+
+#: largest flattened per-image slab (bytes) the single-pass kernel keeps
+#: resident in VMEM (block + output block + f32 row-tile temps + pipeline
+#: headroom must stay under ~16 MB)
+_FLAT_SLAB_LIMIT = 4 * 1024 * 1024
+
+
+def _pick_tile_h(h: int, wc: int) -> int:
+    """Largest row-tile divisor of h keeping (tile_h, wc) f32 temps <= 1MB."""
+    budget = max(1, (1024 * 1024) // (wc * 4))
+    t = min(h, budget)
+    while t > 1 and h % t != 0:
+        t -= 1
+    return t
 
 
 # ------------------------------------------------- fused conv3x3 + GN + SiLU

@@ -39,7 +39,7 @@ class InferenceEngine:
     def __init__(self, apply_fn, params, *, image_size: int = 512,
                  max_batch_size: int = 8, batch_timeout_ms: float = 3.0,
                  compute_dtype=jnp.bfloat16, warmup: bool = True, mesh=None,
-                 quantize: str | None = None):
+                 quantize: str | None = None, pipeline_depth: int = 4):
         """``mesh``: optional 1-D jax.sharding.Mesh — params replicate and
         request batches shard across it, scaling serving data-parallel over
         a slice's chips. Batch buckets then snap to multiples of the mesh
@@ -81,6 +81,13 @@ class InferenceEngine:
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._worker: threading.Thread | None = None
+        # in-flight device batches: jax dispatch is asynchronous, so the
+        # collector issues up to ``pipeline_depth`` batches before the first
+        # result is fetched — hiding the dispatch round-trip (PCIe or
+        # tunnel) behind device compute instead of serializing on it
+        self.pipeline_depth = max(1, pipeline_depth)
+        self._inflight: queue.Queue = queue.Queue(maxsize=self.pipeline_depth)
+        self._drainer: threading.Thread | None = None
         # rolling serving stats (last 1024 requests)
         from collections import deque
 
@@ -179,21 +186,36 @@ class InferenceEngine:
             return
         self._stop.clear()
         self._worker = threading.Thread(target=self._collector_loop, daemon=True)
+        self._drainer = threading.Thread(target=self._drain_loop, daemon=True)
         self._worker.start()
+        self._drainer.start()
 
     def stop(self) -> None:
         self._stop.set()
         if self._worker is not None:
             self._worker.join(timeout=5)
             self._worker = None
+        if self._drainer is not None:
+            self._inflight.put(None)  # sentinel wakes the drainer
+            self._drainer.join(timeout=5)
+            self._drainer = None
         # resolve anything still queued so callers don't block forever
-        while True:
-            try:
-                _img, fut, _t = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            if not fut.done():
-                fut.set_exception(RuntimeError("engine stopped"))
+        for q in (self._queue, self._inflight):
+            while True:
+                try:
+                    item = q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is None:
+                    continue
+                if q is self._queue:
+                    _img, fut, _t = item
+                    if not fut.done():
+                        fut.set_exception(RuntimeError("engine stopped"))
+                else:
+                    for _, fut, _t in item[0]:
+                        if not fut.done():
+                            fut.set_exception(RuntimeError("engine stopped"))
 
     def submit(self, img_u8: np.ndarray) -> Future:
         """Enqueue one uint8 (S,S) frame; resolves to uint8 (S,S)."""
@@ -204,6 +226,9 @@ class InferenceEngine:
         return fut
 
     def _collector_loop(self) -> None:
+        """Drains the request queue into bucketed device batches and
+        DISPATCHES them without blocking on results (the drainer fetches);
+        up to pipeline_depth batches ride the dispatch queue at once."""
         while not self._stop.is_set():
             try:
                 first = self._queue.get(timeout=0.1)
@@ -225,7 +250,32 @@ class InferenceEngine:
                     break
             imgs = np.stack([b[0] for b in batch])
             try:
-                outs = self.infer_batch(imgs)
+                squeeze = imgs.ndim == 3
+                if squeeze:
+                    imgs = imgs[..., None]
+                b = imgs.shape[0]
+                bucket = self._bucket_for(b)
+                if bucket > b:
+                    pad = np.zeros((bucket - b,) + imgs.shape[1:], np.uint8)
+                    imgs = np.concatenate([imgs, pad])
+                y = self._step(self._params, self._put(imgs))  # async dispatch
+                self._inflight.put((batch, y, b, squeeze))  # blocks at depth
+            except Exception as e:  # pragma: no cover
+                for _, fut, _t in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def _drain_loop(self) -> None:
+        """Fetches completed device batches and resolves request futures."""
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            batch, y, b, squeeze = item
+            try:
+                outs = np.asarray(y)[:b]
+                if squeeze:
+                    outs = outs[..., 0]
                 done = _now()
                 for (_, fut, t_enq), out in zip(batch, outs):
                     fut.set_result(out)

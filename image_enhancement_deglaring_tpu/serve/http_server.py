@@ -169,6 +169,14 @@ class DeglareServer:
         self.tiler = tiler
         self.logger = make_api_logger(log_dir)
         self._server: asyncio.AbstractServer | None = None
+        # request-processing pool: asyncio's default executor is ~5 threads,
+        # which caps concurrent requests (each blocks on the engine future
+        # for a device round-trip) far below what the micro-batcher can
+        # coalesce; threads waiting on futures don't hold the GIL
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._executor = ThreadPoolExecutor(max_workers=64,
+                                            thread_name_prefix="infer")
 
     # ------------------------------------------------------------ handlers
     def _ping(self):
@@ -291,7 +299,8 @@ class DeglareServer:
                 elif method == "POST" and path == "/infer":
                     loop = asyncio.get_running_loop()
                     status, payload = await loop.run_in_executor(
-                        None, self._infer, body, headers.get("content-type", "")
+                        self._executor, self._infer, body,
+                        headers.get("content-type", ""),
                     )
                 else:
                     status, payload = 404, {"detail": "Not Found"}

@@ -36,13 +36,61 @@ def make_document_png(size: int) -> bytes:
     return buf.getvalue()
 
 
+class _PassthroughEngine:
+    """Instant engine: isolates the HTTP/host layer (multipart, PIL decode,
+    resizes, PNG encode, base64, keep-alive loop) from device/link speed."""
+
+    def submit(self, img_u8):
+        from concurrent.futures import Future
+
+        fut = Future()
+        fut.set_result(img_u8)
+        return fut
+
+    def stats(self):
+        return {"requests_served": -1}
+
+    def stop(self):
+        pass
+
+
+def _start_selftest_server(port: int):
+    import threading
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from image_enhancement_deglaring_tpu.serve.http_server import DeglareServer
+
+    server = DeglareServer(_PassthroughEngine(), host="127.0.0.1", port=port,
+                           image_size=512, log_dir="/tmp/loadtest_logs")
+    t = threading.Thread(target=server.run, daemon=True)
+    t.start()
+    import http.client
+    for _ in range(100):
+        try:
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=1)
+            c.request("GET", "/ping")
+            c.getresponse().read()
+            return server
+        except OSError:
+            time.sleep(0.1)
+    raise RuntimeError("selftest server failed to start")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--url", default="http://127.0.0.1:4000")
     ap.add_argument("--requests", type=int, default=200)
     ap.add_argument("--concurrency", type=int, default=16)
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--selftest", action="store_true",
+                    help="spin up an in-process server with a passthrough "
+                         "engine: measures the HTTP/host layer alone")
     args = ap.parse_args()
+    if args.selftest:
+        port = 4973
+        _start_selftest_server(port)
+        args.url = f"http://127.0.0.1:{port}"
 
     import http.client
 

@@ -86,3 +86,65 @@ def test_fused_conv_dispatcher_falls_back_on_cpu(rng):
                            num_groups=8))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
                                atol=1e-5)
+
+
+# ------------------------------------- flat single-HBM-pass GroupNorm+SiLU
+
+
+from image_enhancement_deglaring_tpu.ops.pallas_kernels import (
+    _flat_eligible,
+    _fused_gn_silu_flat,
+    _pick_tile_h,
+)
+
+
+@pytest.mark.parametrize("shape,groups", [
+    ((2, 64, 64, 8), 8),    # enc1 geometry: low C, W*C lane-aligned
+    ((2, 32, 32, 16), 8),   # enc2 geometry
+    ((1, 16, 16, 128), 8),  # bottleneck geometry
+    ((2, 24, 48, 32), 8),   # non-square, H not a power of two
+    ((3, 8, 16, 8), 4),
+])
+def test_flat_gn_silu_matches_xla(rng, shape, groups):
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 2 + 0.5)
+    n, h, w, c = shape
+    scale = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    want = silu(group_norm(x, scale, bias, num_groups=groups))
+    got = _fused_gn_silu_flat(
+        x.reshape(n, h, w * c), scale, bias, w=w, num_groups=groups,
+        eps=1e-5, tile_h=_pick_tile_h(h, w * c), interpret=True,
+    ).reshape(shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flat_gn_silu_bf16(rng):
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
+    got = _fused_gn_silu_flat(
+        x.astype(jnp.bfloat16).reshape(2, 16, 128), jnp.ones(8), jnp.zeros(8),
+        w=16, num_groups=8, eps=1e-5, tile_h=16, interpret=True,
+    )
+    assert got.dtype == jnp.bfloat16
+    want = silu(group_norm(x.astype(jnp.bfloat16).astype(jnp.float32),
+                           jnp.ones(8), jnp.zeros(8), num_groups=8))
+    np.testing.assert_allclose(np.asarray(got).astype(np.float32).reshape(want.shape),
+                               np.asarray(want), atol=0.06)
+
+
+def test_flat_eligibility_covers_every_unet_level():
+    """W*C == 4096 at every production level -> all flat-eligible in bf16."""
+    levels = [(512, 512, 8), (256, 256, 16), (128, 128, 32),
+              (64, 64, 64), (32, 32, 128)]
+    for h, w, c in levels:
+        x = jnp.zeros((1, h, w, c), jnp.bfloat16)
+        assert _flat_eligible(x, 8), (h, w, c)
+        assert (w * c) == 4096
+    # oversized f32 slab at 512^2 falls back to streaming/XLA
+    assert not _flat_eligible(jnp.zeros((1, 512, 512, 8), jnp.float32), 8)
+
+
+def test_pick_tile_h_divides():
+    for h in [8, 24, 512, 100, 96]:
+        t = _pick_tile_h(h, 4096)
+        assert h % t == 0 and t >= 1
