@@ -168,11 +168,18 @@ class LightweightUNet(nn.Module):
     #: trades ~1/3 more FLOPs for dropping stored activations, enabling
     #: much larger training batches in HBM
     remat: bool = False
-    #: use the Pallas fused conv+GN+SiLU kernel where profitable
-    fused_blocks: bool = False
-    #: fuse GN+SiLU pairs via the flat single-HBM-pass Pallas kernel
+    #: Pallas fused conv+GN+SiLU kernels: False = XLA everywhere,
+    #: True = fused at every encoder/bottleneck block, "auto" = only the
+    #: high-channel blocks (f >= 64) where the MXU contraction is efficient
+    fused_blocks: Any = False
+    #: fuse GN+SiLU pairs via the flat streaming Pallas kernel
     #: (convs stay on XLA); no-op off TPU
     pallas_gn: bool = False
+
+    def _fused_for(self, features: int):
+        if self.fused_blocks == "auto":
+            return features >= 64
+        return bool(self.fused_blocks)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -180,13 +187,12 @@ class LightweightUNet(nn.Module):
         f = [f0, f0 * 2, f0 * 4, f0 * 8, f0 * 16]
         g = self.num_groups
 
-        block = partial(ConvBlock, fused=self.fused_blocks,
-                        pallas_gn=self.pallas_gn)
-        dual = partial(DualConvBlock, pallas_gn=self.pallas_gn)
-        if self.remat:
-            block = partial(nn.remat(ConvBlock), fused=self.fused_blocks,
-                            pallas_gn=self.pallas_gn)
-            dual = partial(nn.remat(DualConvBlock), pallas_gn=self.pallas_gn)
+        conv_block = nn.remat(ConvBlock) if self.remat else ConvBlock
+        block = lambda feats, groups, name: conv_block(
+            feats, groups, fused=self._fused_for(feats),
+            pallas_gn=self.pallas_gn, name=name)
+        dual_block = nn.remat(DualConvBlock) if self.remat else DualConvBlock
+        dual = partial(dual_block, pallas_gn=self.pallas_gn)
 
         x = x.astype(self.dtype)
 

@@ -122,12 +122,7 @@ def _fused_gn_silu_pallas(x, scale, bias, *, num_groups: int, eps: float,
 def _flat_eligible(x, num_groups: int) -> bool:
     n, h, w, c = x.shape
     wc = w * c
-    return (
-        c % num_groups == 0
-        and wc % 128 == 0
-        and h >= 8
-        and h * wc * x.dtype.itemsize <= _FLAT_SLAB_LIMIT
-    )
+    return c % num_groups == 0 and wc % 128 == 0 and h >= 8
 
 
 def fused_group_norm_silu(x: jax.Array, scale: jax.Array, bias: jax.Array, *,
@@ -135,11 +130,16 @@ def fused_group_norm_silu(x: jax.Array, scale: jax.Array, bias: jax.Array, *,
                           use_pallas: bool | None = None) -> jax.Array:
     """GroupNorm followed by SiLU, fused on TPU via Pallas.
 
-    ``use_pallas=None`` auto-selects: the flat single-HBM-pass kernel when
-    the flattened (H, W*C) image is lane-aligned and fits VMEM (every level
-    of the production U-Net qualifies, including C=8 at 512^2); the H-tiled
-    streaming kernel for larger high-channel slabs; XLA elsewhere. Numerics
-    validated equivalent to group_norm+silu (see tests/test_pallas.py).
+    ``use_pallas=None`` auto-selects: the flat streaming kernel when the
+    flattened (H, W*C) row is 128-lane aligned (every level of the
+    production U-Net qualifies, including C=8 at 512^2); the channel-
+    padded streaming kernel for other high-channel shapes; XLA elsewhere.
+    Numerics validated equivalent to group_norm+silu (tests/test_pallas.py).
+
+    Measured guidance (docs/PERF.md §7): standalone this beats XLA's
+    standalone lowering at most levels, but XLA fuses the GN epilogue
+    into a *producing conv*, so inside conv pipelines the XLA composition
+    wins — which is why the model's ``pallas_gn`` knob defaults off.
     """
     on_tpu = jax.default_backend() == "tpu"
     interpret = not on_tpu
@@ -193,44 +193,53 @@ def _lane_masks(w: int, c: int, groups: int):
     return l2g, np.ascontiguousarray(l2g.T)
 
 
-def _gn_silu_flat_kernel(x_ref, sl_ref, bl_ref, l2g_ref, g2l_ref, o_ref, *,
-                         eps: float, denom: float, tile_h: int):
-    h = x_ref.shape[1]
-    n_tiles = h // tile_h
+def _gn_silu_flat_kernel(x_ref, sl_ref, bl_ref, l2g_ref, g2l_ref, o_ref,
+                         acc_ref, *, eps: float, denom: float):
+    """Two-phase streaming over row tiles of the flattened (H, W*C) image:
+    phase 0 accumulates per-lane sums; phase 1 finalizes the per-lane
+    affine (a, b) once, then applies normalize+SiLU tile by tile. The
+    output block index is p*t, so phase 0 never stores a phantom tile —
+    HBM traffic is exactly 2 reads + 1 write, in one fused kernel."""
+    p = pl.program_id(1)
+    t = pl.program_id(2)
 
-    def stats_body(i, carry):
-        s, s2 = carry
-        xt = x_ref[0, pl.ds(i * tile_h, tile_h), :].astype(jnp.float32)
-        return (s + jnp.sum(xt, axis=0, keepdims=True),
-                s2 + jnp.sum(xt * xt, axis=0, keepdims=True))
+    @pl.when((p == 0) & (t == 0))
+    def _reset():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    wc = x_ref.shape[2]
-    init = (jnp.zeros((1, wc), jnp.float32), jnp.zeros((1, wc), jnp.float32))
-    s, s2 = jax.lax.fori_loop(0, n_tiles, stats_body, init)
+    @pl.when(p == 0)
+    def _accumulate():
+        xt = x_ref[0].astype(jnp.float32)  # (TH, WC)
+        acc_ref[0:1, :] += jnp.sum(xt, axis=0, keepdims=True)
+        acc_ref[1:2, :] += jnp.sum(xt * xt, axis=0, keepdims=True)
 
-    sum_g = jnp.dot(s, l2g_ref[...], preferred_element_type=jnp.float32,
-                    precision=lax.Precision.HIGHEST)
-    sum2_g = jnp.dot(s2, l2g_ref[...], preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
-    mean_g = sum_g / denom
-    var_g = sum2_g / denom - mean_g * mean_g
-    rstd_g = lax.rsqrt(var_g + eps)
-    mean_l = jnp.dot(mean_g, g2l_ref[...], preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
-    rstd_l = jnp.dot(rstd_g, g2l_ref[...], preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
-    a_l = rstd_l * sl_ref[...].astype(jnp.float32)  # (1, WC)
-    b_l = bl_ref[...].astype(jnp.float32) - mean_l * a_l
+    @pl.when((p == 1) & (t == 0))
+    def _finalize():
+        sum_g = jnp.dot(acc_ref[0:1, :], l2g_ref[...],
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
+        sum2_g = jnp.dot(acc_ref[1:2, :], l2g_ref[...],
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
+        mean_g = sum_g / denom
+        var_g = sum2_g / denom - mean_g * mean_g
+        rstd_g = lax.rsqrt(var_g + eps)
+        mean_l = jnp.dot(mean_g, g2l_ref[...],
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
+        rstd_l = jnp.dot(rstd_g, g2l_ref[...],
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
+        a_l = rstd_l * sl_ref[...].astype(jnp.float32)
+        b_l = bl_ref[...].astype(jnp.float32) - mean_l * a_l
+        acc_ref[0:1, :] = a_l  # reuse the accumulator as (a, b) storage
+        acc_ref[1:2, :] = b_l
 
-    def apply_body(i, _):
-        xt = x_ref[0, pl.ds(i * tile_h, tile_h), :].astype(jnp.float32)
-        y = xt * a_l + b_l
-        o_ref[0, pl.ds(i * tile_h, tile_h), :] = (
-            y * jax.nn.sigmoid(y)
-        ).astype(o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, n_tiles, apply_body, 0)
+    @pl.when(p == 1)
+    def _apply():
+        xt = x_ref[0].astype(jnp.float32)
+        y = xt * acc_ref[0:1, :] + acc_ref[1:2, :]
+        o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("w", "num_groups", "eps",
@@ -244,38 +253,39 @@ def _fused_gn_silu_flat(x_flat, scale, bias, *, w: int, num_groups: int,
     l2g, g2l = _lane_masks(w, c, num_groups)
     scale_l = jnp.tile(scale.astype(jnp.float32), w).reshape(1, wc)
     bias_l = jnp.tile(bias.astype(jnp.float32), w).reshape(1, wc)
+    n_tiles = h // tile_h
 
-    kernel = functools.partial(_gn_silu_flat_kernel, eps=eps, denom=denom,
-                               tile_h=tile_h)
+    kernel = functools.partial(_gn_silu_flat_kernel, eps=eps, denom=denom)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x_flat.shape, x_flat.dtype),
-        grid=(n,),
+        grid=(n, 2, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, tile_h, wc), lambda i, p, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wc, num_groups), lambda i: (0, 0),
+            pl.BlockSpec((1, wc), lambda i, p, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_groups, wc), lambda i: (0, 0),
+            pl.BlockSpec((1, wc), lambda i, p, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wc, num_groups), lambda i, p, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_groups, wc), lambda i, p, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0),
+        # p*t: every phase-0 step aliases tile 0's slot, which phase 1
+        # rewrites before it is ever flushed -> no phantom stores
+        out_specs=pl.BlockSpec((1, tile_h, wc), lambda i, p, t: (i, p * t, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, wc), jnp.float32)],
         interpret=interpret,
     )(x_flat, scale_l, bias_l, jnp.asarray(l2g), jnp.asarray(g2l))
 
 
-#: largest flattened per-image slab (bytes) the single-pass kernel keeps
-#: resident in VMEM (block + output block + f32 row-tile temps + pipeline
-#: headroom must stay under ~16 MB)
-_FLAT_SLAB_LIMIT = 4 * 1024 * 1024
-
-
 def _pick_tile_h(h: int, wc: int) -> int:
-    """Largest row-tile divisor of h keeping (tile_h, wc) f32 temps <= 1MB."""
-    budget = max(1, (1024 * 1024) // (wc * 4))
+    """Largest row-tile divisor of h keeping (tile_h, wc) f32 temps <= 2MB
+    (tile_h=128 at the model's universal wc=4096 — measured fastest; 256
+    blows scoped VMEM)."""
+    budget = max(1, (2 * 1024 * 1024) // (wc * 4))
     t = min(h, budget)
     while t > 1 and h % t != 0:
         t -= 1
@@ -350,6 +360,87 @@ def _fused_conv_gn_silu_pallas(x, w, scale, bias, *, num_groups: int,
             pl.BlockSpec((cout, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, wd, cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((h + 2, wd + 2, cin), x.dtype)],
+        interpret=interpret,
+    )(x, w9, scale.reshape(1, cout), bias.reshape(1, cout),
+      jnp.asarray(_group_mask(cout, num_groups)))
+
+
+def _conv_gn_silu_batched_kernel(x_ref, w_ref, scale_ref, bias_ref,
+                                 gmask_ref, o_ref, xpad_ref, *, eps: float,
+                                 denom: float, conv_precision, images: int):
+    """K images per grid step: same fused [3x3 conv -> GN -> SiLU] body as
+    the per-image kernel, looped over the block's image axis — fewer,
+    fatter grid steps give the DMA pipeline K-image chunks to overlap
+    with compute (the round-1 per-image grid starved it)."""
+    h, w, cin = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    cout = o_ref.shape[3]
+
+    def body(k, _):
+        xpad_ref[...] = jnp.zeros_like(xpad_ref)
+        xpad_ref[1 : h + 1, 1 : w + 1, :] = x_ref[k]
+
+        acc = jnp.zeros((h, w, cout), jnp.float32)
+        for t in range(9):
+            dy, dx = t // 3, t % 3
+            patch = xpad_ref[dy : dy + h, dx : dx + w, :]
+            acc += lax.dot_general(
+                patch, w_ref[t],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=conv_precision,
+            )
+
+        gmask = gmask_ref[...]
+        sum_c = _sum_hw(acc)
+        mean_c = jnp.dot(sum_c, gmask, preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST) / denom
+        d = acc - mean_c
+        var_c = jnp.dot(_sum_hw(d * d), gmask,
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST) / denom
+        rstd_c = lax.rsqrt(var_c + eps)
+        y = d * (rstd_c * scale_ref[...].astype(jnp.float32))
+        y = y + bias_ref[...].astype(jnp.float32)
+        y = y * jax.nn.sigmoid(y)
+        o_ref[k] = y.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, images, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups", "eps", "images",
+                                             "interpret"))
+def _fused_conv_gn_silu_batched(x, w, scale, bias, *, num_groups: int,
+                                eps: float, images: int,
+                                interpret: bool = False):
+    """x: (N, H, W, Cin) with N % images == 0; w: (3, 3, Cin, Cout) HWIO."""
+    n, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    w9 = w.astype(x.dtype).reshape(9, cin, cout)
+    denom = float(h * wd * (cout // num_groups))
+    conv_precision = (
+        lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
+    )
+    kernel = functools.partial(_conv_gn_silu_batched_kernel, eps=eps,
+                               denom=denom, conv_precision=conv_precision,
+                               images=images)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h, wd, cout), x.dtype),
+        grid=(n // images,),
+        in_specs=[
+            pl.BlockSpec((images, h, wd, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((images, h, wd, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((h + 2, wd + 2, cin), x.dtype)],
         interpret=interpret,

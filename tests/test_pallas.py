@@ -140,8 +140,10 @@ def test_flat_eligibility_covers_every_unet_level():
         x = jnp.zeros((1, h, w, c), jnp.bfloat16)
         assert _flat_eligible(x, 8), (h, w, c)
         assert (w * c) == 4096
-    # oversized f32 slab at 512^2 falls back to streaming/XLA
-    assert not _flat_eligible(jnp.zeros((1, 512, 512, 8), jnp.float32), 8)
+    # f32 at 512^2 is fine too (streaming row tiles, not whole-slab VMEM)
+    assert _flat_eligible(jnp.zeros((1, 512, 512, 8), jnp.float32), 8)
+    # lane-misaligned W*C is not
+    assert not _flat_eligible(jnp.zeros((1, 64, 5, 10), jnp.float32), 2)
 
 
 def test_pick_tile_h_divides():
