@@ -283,7 +283,6 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         input_dtype = np.dtype("bfloat16") if model_dtype == jnp.bfloat16 else None
         train_iter = DevicePrefetcher(train_loader, sharding=sharding,
                                       input_dtype=input_dtype)
-        running, n_seen = 0.0, 0
         it = train_iter
         if progress:
             try:
@@ -293,11 +292,21 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                           desc=f"Epoch {epoch + 1}/{epochs} [Train]")
             except ImportError:
                 pass
+        # keep per-step losses ON DEVICE: float(loss) every step would force
+        # a host sync per step, stalling the dispatch pipeline (steps can't
+        # overlap with the next batch's transfer); fetch once per epoch
+        step_losses: list = []
+        step_sizes: list[int] = []
         for x, y in it:
             state, loss = train_step(state, x, y)
-            b = x.shape[0]
-            running += float(loss) * b
-            n_seen += b
+            step_losses.append(loss)
+            step_sizes.append(x.shape[0])
+        n_seen = sum(step_sizes)
+        if step_losses:  # one stacked fetch, not one sync per scalar
+            losses_np = np.asarray(jnp.stack(step_losses), np.float64)
+            running = float(losses_np @ np.asarray(step_sizes, np.float64))
+        else:
+            running = 0.0
         train_loss = running / max(n_seen, 1)
         history["train_loss"].append(train_loss)
         train_secs = time.time() - t0
@@ -312,33 +321,33 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         log_images = logger is not None and (
             (epoch + 1) % log_images_every == 0 or epoch == 0 or epoch == epochs - 1
         )
-        val_running, val_seen = 0.0, 0
-        val_psnr_sum, val_ssim_sum, val_batches = 0.0, 0.0, 0
+        val_stats: list = []  # per-batch (loss, psnr, ssim, n_real) on device
         for batch_idx, (x, y, mask) in enumerate(
             DevicePrefetcher(padded_val, sharding=sharding)
         ):
             loss, psnr, ssim, out = val_step(state.params, state.model_state,
                                              x, y, mask)
-            b = int(float(jnp.sum(mask)))
-            val_running += float(loss) * b
-            val_seen += b
-            val_batches += 1
-            if calc_metrics:
-                val_psnr_sum += float(psnr)
-                val_ssim_sum += float(ssim)
+            val_stats.append(jnp.stack([loss, psnr, ssim, jnp.sum(mask)]))
             if log_images and batch_idx == 0:
-                k = min(2, b)
-                imgs = {}
                 out_np = np.asarray(out)
+                k = min(2, out_np.shape[0])
+                imgs = {}
                 for i in range(k):
                     imgs[f"input_{i}"] = np.asarray(x)[i, ..., 0]
                     imgs[f"prediction_{i}"] = np.clip(out_np[i, ..., 0], 0, 1)
                     imgs[f"target_{i}"] = np.asarray(y)[i, ..., 0]
                 logger.log_images("val", imgs, step=epoch + 1)
-        val_loss = val_running / max(val_seen, 1)
+        # one stacked fetch for the whole epoch's metrics (per-batch float()
+        # would sync the pipeline every step)
+        if val_stats:
+            vs = np.asarray(jnp.stack(val_stats), np.float64)  # (B, 4)
+            val_seen = float(vs[:, 3].sum())
+            val_loss = float(vs[:, 0] @ vs[:, 3]) / max(val_seen, 1.0)
+            val_psnr = float(vs[:, 1].mean())
+            val_ssim = float(vs[:, 2].mean())
+        else:
+            val_loss = val_psnr = val_ssim = 0.0
         history["val_loss"].append(val_loss)
-        val_psnr = val_psnr_sum / max(val_batches, 1)
-        val_ssim = val_ssim_sum / max(val_batches, 1)
 
         # --------------------------------------------- schedule / log / save
         new_lr = scheduler.step(val_loss)
