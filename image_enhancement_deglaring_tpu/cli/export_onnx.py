@@ -2,6 +2,8 @@
 
 Exports a checkpoint (orbax dir / .pth / .onnx re-export) as an opset-11
 ONNX model with dynamic batch/height/width axes named 'input'/'output'.
+Supports all three model families like the reference's importlib-driven
+exporter (reference: scripts/export_to_onnx.py:8-38 loads any model class).
 """
 
 from __future__ import annotations
@@ -13,21 +15,58 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Export the de-glaring model to ONNX")
     p.add_argument("--model_path", type=str, required=True,
                    help="orbax checkpoint dir, .pth, or .onnx")
+    p.add_argument("--model", type=str, default="lightweight",
+                   choices=["lightweight", "optimized", "enhanced"],
+                   help="model family the checkpoint belongs to")
     p.add_argument("--output", type=str, default="best_model.onnx")
     return p.parse_args(argv)
 
 
+def _load_enhanced(model_path: str):
+    """(params, batch_stats) for EnhancedUNet from .pth or .onnx."""
+    lower = model_path.lower()
+    if lower.endswith((".pth", ".pt")):
+        from ..modelio import (
+            enhanced_unet_params_from_state_dict,
+            load_torch_state_dict,
+        )
+
+        return enhanced_unet_params_from_state_dict(load_torch_state_dict(model_path))
+    if lower.endswith(".onnx"):
+        from ..modelio import enhanced_unet_params_from_onnx
+
+        return enhanced_unet_params_from_onnx(model_path)
+    raise SystemExit(
+        "EnhancedUNet export needs a .pth or .onnx checkpoint "
+        "(BatchNorm running stats travel with the weights)"
+    )
+
+
 def main(argv=None):
     args = parse_args(argv)
-    from ..eval.harness import load_model_for_eval
-    from ..modelio.onnx_writer import export_lightweight_unet
-
-    _, params = load_model_for_eval(args.model_path)
-    import jax
     import numpy as np
 
-    params = jax.tree_util.tree_map(np.asarray, params)
-    out = export_lightweight_unet(params, args.output)
+    if args.model == "enhanced":
+        from ..modelio.onnx_writer import export_enhanced_unet
+
+        params, stats = _load_enhanced(args.model_path)
+        out = export_enhanced_unet(params, stats, args.output)
+    else:
+        import jax
+
+        from ..eval.harness import load_model_for_eval
+        from ..modelio.onnx_writer import (
+            export_lightweight_unet,
+            export_optimized_unet,
+        )
+
+        _, params = load_model_for_eval(args.model_path, model_arch=args.model)
+        params = jax.tree_util.tree_map(np.asarray, params)
+        if args.model == "optimized":
+            out = export_optimized_unet(params, args.output)
+        else:
+            out = export_lightweight_unet(params, args.output)
+
     import os
 
     print(f"Model exported to {out} ({os.path.getsize(out):,} bytes, "

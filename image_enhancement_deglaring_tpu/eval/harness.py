@@ -176,9 +176,15 @@ def load_model_for_eval(model_path: str, *, model_arch: str = "lightweight",
 
     lower = model_path.lower()
     if lower.endswith(".onnx"):
-        from ..modelio import lightweight_unet_params_from_onnx
+        from ..modelio import (
+            lightweight_unet_params_from_onnx,
+            optimized_unet_params_from_onnx,
+        )
 
-        params = lightweight_unet_params_from_onnx(model_path)
+        if model_arch == "optimized":
+            params = optimized_unet_params_from_onnx(model_path)
+        else:
+            params = lightweight_unet_params_from_onnx(model_path)
     elif lower.endswith(".npz"):
         flat = np.load(model_path)
         params = {}

@@ -157,14 +157,16 @@ def _parse_attribute(buf: bytes, start: int, end: int) -> tuple[str, object]:
             val = v
         elif fn == 4:  # s (bytes)
             val = buf[v[0] : v[1]]
-        elif fn == 7 and wt == 0:  # ints (repeated)
+        elif fn == 8 and wt == 0:  # ints (repeated, onnx.proto3 field 8)
             ints.append(v)
-        elif fn == 7 and wt == 2:  # packed ints
+        elif fn == 8 and wt == 2:  # packed ints
             s, e = v
             i = s
             while i < e:
                 d, i = _read_varint(buf, i)
                 ints.append(d)
+        elif fn == 7 and wt == 0:  # legacy: our pre-fix exporter wrote ints
+            ints.append(v)         # under field 7 (spec: floats) unpacked
         elif fn == 5:  # t (tensor)
             val = _parse_tensor(buf, v[0], v[1])[1]
     if ints:

@@ -60,8 +60,9 @@ def _attribute(name: str, value) -> bytes:
     elif isinstance(value, float):
         msg += _tag(2, 5) + struct.pack("<f", value) + _int_field(20, _ATTR_FLOAT)
     elif isinstance(value, (list, tuple)):
+        # AttributeProto.ints is field 8 (field 7 is floats — onnx.proto3)
         for v in value:
-            msg += _tag(7, 0) + _varint(int(v))
+            msg += _tag(8, 0) + _varint(int(v))
         msg += _int_field(20, _ATTR_INTS)
     elif isinstance(value, np.ndarray):
         msg += _len_field(5, _tensor(None, value)) + _int_field(20, _ATTR_TENSOR)
@@ -173,36 +174,57 @@ def _conv_oihw(w_hwio: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(np.asarray(w_hwio), (3, 2, 0, 1))).astype(np.float32)
 
 
+def _emit_gn(g: OnnxGraphBuilder, x: str, groups: int,
+             scale: np.ndarray, bias: np.ndarray,
+             scale_name: str, bias_name: str) -> str:
+    """GroupNorm via the torch opset-11 lowering: Reshape [0, G, -1] ->
+    InstanceNorm -> Reshape(Shape(x)) -> Mul(scale) -> Add(bias)."""
+    c = int(np.asarray(scale).shape[0])
+    shape_i = g.init_tensor(g.uid("gnshape"), np.asarray([0, groups, -1], np.int64))
+    (r,) = g.add("Reshape", [x, shape_i])
+    ones = g.init_tensor(g.uid("gn_ones"), np.ones(groups, np.float32))
+    zeros = g.init_tensor(g.uid("gn_zeros"), np.zeros(groups, np.float32))
+    (inorm,) = g.add("InstanceNormalization", [r, ones, zeros], epsilon=1e-5)
+    (shp,) = g.add("Shape", [x])
+    (x,) = g.add("Reshape", [inorm, shp])
+    # Named like the torch state dict so our own importer (and
+    # extract_weights-style tools) can read them straight back.
+    s = g.init_tensor(scale_name, np.asarray(scale, np.float32).reshape(c, 1, 1))
+    b = g.init_tensor(bias_name, np.asarray(bias, np.float32).reshape(c, 1, 1))
+    (x,) = g.add("Mul", [x, s])
+    (x,) = g.add("Add", [x, b])
+    return x
+
+
+def _emit_silu(g: OnnxGraphBuilder, x: str) -> str:
+    (sig,) = g.add("Sigmoid", [x])
+    (x,) = g.add("Mul", [x, sig])
+    return x
+
+
+def _emit_conv(g: OnnxGraphBuilder, x: str, w_name: str, w_hwio,
+               bias_name: str | None = None, bias=None, *,
+               kernel: int = 3, pad: int = 1, dilation: int = 1) -> str:
+    w = g.init_tensor(w_name, _conv_oihw(w_hwio))
+    inputs = [x, w]
+    if bias is not None:
+        inputs.append(g.init_tensor(bias_name, np.asarray(bias, np.float32)))
+    (x,) = g.add("Conv", inputs, dilations=[dilation, dilation], group=1,
+                 kernel_shape=[kernel, kernel],
+                 pads=[pad, pad, pad, pad], strides=[1, 1])
+    return x
+
+
 def _emit_block(g: OnnxGraphBuilder, x: str, blk: str, p: dict, groups: int = 8) -> str:
     """[Conv3x3 -> GN(opset-11 lowering) -> SiLU] x 2."""
     for conv_key, gn_s, gn_b, idx in (
         ("conv1", "gn1_scale", "gn1_bias", 0),
         ("conv2", "gn2_scale", "gn2_bias", 3),
     ):
-        w = g.init_tensor(f"{blk}.{idx}.weight", _conv_oihw(p[conv_key]))
-        (x,) = g.add("Conv", [x, w], dilations=[1, 1], group=1,
-                     kernel_shape=[3, 3], pads=[1, 1, 1, 1], strides=[1, 1])
-        c = int(np.asarray(p[gn_s]).shape[0])
-        # GroupNorm lowering: Reshape [0, G, -1] -> InstanceNorm ->
-        # Reshape(Shape(x)) -> Mul(scale) -> Add(bias)
-        shape_i = g.init_tensor(g.uid("gnshape"), np.asarray([0, groups, -1], np.int64))
-        (r,) = g.add("Reshape", [x, shape_i])
-        ones = g.init_tensor(g.uid("gn_ones"), np.ones(groups, np.float32))
-        zeros = g.init_tensor(g.uid("gn_zeros"), np.zeros(groups, np.float32))
-        (inorm,) = g.add("InstanceNormalization", [r, ones, zeros], epsilon=1e-5)
-        (shp,) = g.add("Shape", [x])
-        (x,) = g.add("Reshape", [inorm, shp])
-        # Named like the torch state dict so our own importer (and
-        # extract_weights-style tools) can read them straight back.
-        scale = g.init_tensor(f"{blk}.{idx + 1}.weight",
-                              np.asarray(p[gn_s], np.float32).reshape(c, 1, 1))
-        bias = g.init_tensor(f"{blk}.{idx + 1}.bias",
-                             np.asarray(p[gn_b], np.float32).reshape(c, 1, 1))
-        (x,) = g.add("Mul", [x, scale])
-        (x,) = g.add("Add", [x, bias])
-        # SiLU = x * sigmoid(x)
-        (sig,) = g.add("Sigmoid", [x])
-        (x,) = g.add("Mul", [x, sig])
+        x = _emit_conv(g, x, f"{blk}.{idx}.weight", p[conv_key])
+        x = _emit_gn(g, x, groups, p[gn_s], p[gn_b],
+                     f"{blk}.{idx + 1}.weight", f"{blk}.{idx + 1}.bias")
+        x = _emit_silu(g, x)
     return x
 
 
@@ -233,6 +255,172 @@ def export_lightweight_unet(params: dict, path: str, *, groups: int = 8) -> str:
                          np.asarray(params["output_conv_bias"], np.float32))
     g.add_named("Conv", [x, wout, bout], ["output"], dilations=[1, 1], group=1,
                 kernel_shape=[1, 1], pads=[0, 0, 0, 0], strides=[1, 1])
+
+    with open(path, "wb") as f:
+        f.write(g.model_bytes(opset=11))
+    return path
+
+
+def export_optimized_unet(params: dict, path: str) -> str:
+    """Write OptimizedUNet params as an opset-11 .onnx file.
+
+    Same capability as running the reference exporter on its OptimizedUNet
+    (reference: scripts/export_to_onnx.py:41 with src/optimized_model.py:6):
+    nearest-2x decoder upsampling becomes Resize(nearest/asymmetric/floor)
+    — torch's own lowering of Upsample — and the squeeze-excite gates
+    become GlobalAveragePool + 1x1 Convs. Initializers carry torch-style
+    names (``enc1.0.weight``, ``attention4.fc.0.weight``, ...).
+    """
+    from ..ops.conv_blocks import resolve_group_count
+
+    g = OnnxGraphBuilder("deglare_optimized_unet")
+    g.inputs.append(_value_info("input", ["batch_size", 1, "height", "width"]))
+    g.outputs.append(_value_info("output", ["batch_size", 1, "height", "width"]))
+
+    def block_groups(blk: str) -> int:
+        f = int(np.asarray(params[blk]["gn1_scale"]).shape[0])
+        return resolve_group_count(f, 1 if blk == "enc1" else
+                                   8 if blk == "bottleneck" else 4)
+
+    def se_gate(x: str, att: str) -> str:
+        p = params[att]
+        (avg,) = g.add("GlobalAveragePool", [x])
+        h = _emit_conv(g, avg, f"{att}.fc.0.weight", p["fc1"], kernel=1, pad=0)
+        h = _emit_silu(g, h)
+        gate = _emit_conv(g, h, f"{att}.fc.2.weight", p["fc2"], kernel=1, pad=0)
+        (gate,) = g.add("Sigmoid", [gate])
+        (y,) = g.add("Mul", [x, gate])
+        return y
+
+    x = "input"
+    skips = {}
+    for blk in ("enc1", "enc2", "enc3", "enc4"):
+        x = _emit_block(g, x, blk, params[blk], block_groups(blk))
+        skips[blk] = x
+        (x,) = g.add("AveragePool", [x], kernel_shape=[2, 2], strides=[2, 2])
+    x = _emit_block(g, x, "bottleneck", params["bottleneck"],
+                    block_groups("bottleneck"))
+
+    for up, dec, skip, att in (
+        ("upconv4", "dec4", "enc4", "attention4"),
+        ("upconv3", "dec3", "enc3", "attention3"),
+        ("upconv2", "dec2", "enc2", "attention2"),
+        ("upconv1", "dec1", "enc1", "attention1"),
+    ):
+        p = params[up]
+        roi = g.init_tensor(g.uid("resize_roi"), np.zeros(0, np.float32))
+        scales = g.init_tensor(g.uid("resize_scales"),
+                               np.asarray([1, 1, 2, 2], np.float32))
+        (x,) = g.add("Resize", [x, roi, scales], mode="nearest",
+                     coordinate_transformation_mode="asymmetric",
+                     nearest_mode="floor")
+        x = _emit_conv(g, x, f"{up}.1.weight", p["conv"])
+        x = _emit_gn(g, x, 4, p["gn_scale"], p["gn_bias"],
+                     f"{up}.2.weight", f"{up}.2.bias")
+        x = _emit_silu(g, x)
+        a = se_gate(skips[skip], att)
+        (x,) = g.add("Concat", [x, a], axis=1)
+        x = _emit_block(g, x, dec, params[dec], block_groups(dec))
+
+    wout = g.init_tensor("output.weight", _conv_oihw(params["output_weight"]))
+    bout = g.init_tensor("output.bias", np.asarray(params["output_bias"], np.float32))
+    g.add_named("Conv", [x, wout, bout], ["output"], dilations=[1, 1], group=1,
+                kernel_shape=[1, 1], pads=[0, 0, 0, 0], strides=[1, 1])
+
+    with open(path, "wb") as f:
+        f.write(g.model_bytes(opset=11))
+    return path
+
+
+def export_enhanced_unet(params: dict, batch_stats: dict, path: str) -> str:
+    """Write EnhancedUNet params (+ BatchNorm running stats) as opset-11 ONNX.
+
+    Inference-mode graph (Dropout omitted, BatchNormalization uses the
+    running statistics), mirroring what the reference exporter produces for
+    its EnhancedUNet (reference: scripts/export_to_onnx.py:41 with
+    src/model.py:240-313). Initializer names match the torch state dict
+    (``enc1.conv_block.0.weight``, ``attention5.W_g.1.running_mean``, ...)
+    so ``enhanced_unet_params_from_onnx`` round-trips them.
+    """
+    g = OnnxGraphBuilder("deglare_enhanced_unet")
+    g.inputs.append(_value_info("input", ["batch_size", 1, "height", "width"]))
+    g.outputs.append(_value_info("output", ["batch_size", 1, "height", "width"]))
+
+    def bn(x: str, prefix: str, p: dict, s: dict) -> str:
+        names = [
+            g.init_tensor(f"{prefix}.weight", np.asarray(p["scale"], np.float32)),
+            g.init_tensor(f"{prefix}.bias", np.asarray(p["bias"], np.float32)),
+            g.init_tensor(f"{prefix}.running_mean", np.asarray(s["mean"], np.float32)),
+            g.init_tensor(f"{prefix}.running_var", np.asarray(s["var"], np.float32)),
+        ]
+        (x,) = g.add("BatchNormalization", [x, *names], epsilon=1e-5)
+        return x
+
+    def residual(x: str, blk: str) -> str:
+        p, s = params[blk], batch_stats[blk]
+        y = _emit_conv(g, x, f"{blk}.conv_block.0.weight", p["conv1"])
+        y = bn(y, f"{blk}.conv_block.1", p["bn1"], s["bn1"])
+        (y,) = g.add("Relu", [y])
+        y = _emit_conv(g, y, f"{blk}.conv_block.4.weight", p["conv2"])
+        y = bn(y, f"{blk}.conv_block.5", p["bn2"], s["bn2"])
+        if "shortcut_conv" in p:
+            sc = _emit_conv(g, x, f"{blk}.shortcut.0.weight",
+                            p["shortcut_conv"], kernel=1, pad=0)
+            sc = bn(sc, f"{blk}.shortcut.1", p["shortcut_bn"], s["shortcut_bn"])
+        else:
+            sc = x
+        (y,) = g.add("Add", [y, sc])
+        (y,) = g.add("Relu", [y])
+        return y
+
+    def attention(gate: str, x: str, att: str) -> str:
+        p, s = params[att], batch_stats[att]
+        g1 = _emit_conv(g, gate, f"{att}.W_g.0.weight", p["w_g"],
+                        f"{att}.W_g.0.bias", p["w_g_bias"], kernel=1, pad=0)
+        g1 = bn(g1, f"{att}.W_g.1", p["bn_g"], s["bn_g"])
+        x1 = _emit_conv(g, x, f"{att}.W_x.0.weight", p["w_x"],
+                        f"{att}.W_x.0.bias", p["w_x_bias"], kernel=1, pad=0)
+        x1 = bn(x1, f"{att}.W_x.1", p["bn_x"], s["bn_x"])
+        (psi,) = g.add("Add", [g1, x1])
+        (psi,) = g.add("Relu", [psi])
+        psi = _emit_conv(g, psi, f"{att}.psi.0.weight", p["psi"],
+                         f"{att}.psi.0.bias", p["psi_bias"], kernel=1, pad=0)
+        psi = bn(psi, f"{att}.psi.1", p["bn_psi"], s["bn_psi"])
+        (psi,) = g.add("Sigmoid", [psi])
+        (y,) = g.add("Mul", [x, psi])
+        return y
+
+    x = "input"
+    encs: dict[str, str] = {}
+    for blk in ("enc1", "enc2", "enc3", "enc4", "enc5"):
+        if blk != "enc1":
+            (x,) = g.add("MaxPool", [x], kernel_shape=[2, 2], strides=[2, 2])
+        x = residual(x, blk)
+        encs[blk] = x
+
+    # dilated bottleneck
+    (x,) = g.add("MaxPool", [x], kernel_shape=[2, 2], strides=[2, 2])
+    x = _emit_conv(g, x, "bottleneck.0.weight", params["bottleneck_conv1"],
+                   pad=2, dilation=2)
+    x = bn(x, "bottleneck.1", params["bottleneck_bn1"], batch_stats["bottleneck_bn1"])
+    (x,) = g.add("Relu", [x])
+    x = _emit_conv(g, x, "bottleneck.4.weight", params["bottleneck_conv2"],
+                   pad=2, dilation=2)
+    x = bn(x, "bottleneck.5", params["bottleneck_bn2"], batch_stats["bottleneck_bn2"])
+    (x,) = g.add("Relu", [x])
+
+    for k in (5, 4, 3, 2, 1):
+        up = params[f"upconv{k}"]
+        w = g.init_tensor(f"upconv{k}.weight", np.asarray(up["weight"], np.float32))
+        b = g.init_tensor(f"upconv{k}.bias", np.asarray(up["bias"], np.float32))
+        (x,) = g.add("ConvTranspose", [x, w, b], kernel_shape=[2, 2], strides=[2, 2])
+        a = attention(x, encs[f"enc{k}"], f"attention{k}")
+        (x,) = g.add("Concat", [x, a], axis=1)
+        x = residual(x, f"dec{k}")
+
+    x = _emit_conv(g, x, "output.0.weight", params["output_weight"],
+                   "output.0.bias", params["output_bias"], kernel=1, pad=0)
+    g.add_named("Sigmoid", [x], ["output"])
 
     with open(path, "wb") as f:
         f.write(g.model_bytes(opset=11))

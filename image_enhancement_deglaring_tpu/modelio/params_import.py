@@ -178,6 +178,30 @@ def enhanced_unet_params_from_state_dict(sd: dict[str, np.ndarray]):
     return params, stats
 
 
+def optimized_unet_params_from_onnx(path: str) -> dict:
+    """Read an OptimizedUNet .onnx written by our exporter back into the
+    Flax params pytree (initializers carry torch-style names; the SE gate
+    weights are stored as 1x1 conv kernels (O, I, 1, 1) and squeeze back
+    to torch Linear (O, I) layout)."""
+    g = load_onnx(path)
+    sd: dict[str, np.ndarray] = {}
+    for name, arr in g.initializers.items():
+        arr = np.asarray(arr, dtype=np.float32)
+        if ".fc." in name and arr.ndim == 4:
+            arr = arr.reshape(arr.shape[0], arr.shape[1])
+        sd[name] = arr
+    return optimized_unet_params_from_state_dict(sd)
+
+
+def enhanced_unet_params_from_onnx(path: str):
+    """Read an EnhancedUNet .onnx written by our exporter back into
+    (params, batch_stats) — initializer names match the torch state dict."""
+    g = load_onnx(path)
+    sd = {name: np.asarray(arr, dtype=np.float32)
+          for name, arr in g.initializers.items()}
+    return enhanced_unet_params_from_state_dict(sd)
+
+
 def lightweight_unet_params_from_onnx(path: str) -> dict:
     """Parse the reference best_model.onnx and build our params pytree.
 
