@@ -58,6 +58,16 @@ def test_index_injects_config(frontend):
     assert b"apiUrl" in body
 
 
+def test_index_has_batch_ui(frontend):
+    """Drag-and-drop zone, multi-file input, comparison slider, and
+    download-all are part of the page contract."""
+    status, body = _get(*frontend, "/")
+    assert status == 200
+    for needle in (b"multiple", b"downloadall", b"cmp-handle",
+                   b"dataTransfer.files"):
+        assert needle in body
+
+
 def test_api_status_reports_offline(frontend):
     status, body = _get(*frontend, "/api_status")
     assert status == 200
