@@ -10,8 +10,11 @@ def parse_args(argv=None):
     p.add_argument("--data_dir", type=str, default="SD1/val")
     p.add_argument("--model_path", type=str, default="./best_model.ckpt",
                    help=".onnx, .pth, or orbax checkpoint directory")
-    p.add_argument("--model", type=str, choices=["optimized", "lightweight"],
-                   default="lightweight")
+    # reference choices are optimized/lightweight (reference: evaluate.py:24);
+    # "auto" (artifact-based detection) and "enhanced" are supersets
+    p.add_argument("--model", type=str,
+                   choices=["auto", "optimized", "lightweight", "enhanced"],
+                   default="auto")
     p.add_argument("--model_type", type=str, choices=["pth", "onnx", "ckpt"],
                    default="ckpt")
     p.add_argument("--batch_size", type=int, default=16)

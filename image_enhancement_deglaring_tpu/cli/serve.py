@@ -20,6 +20,11 @@ def parse_args(argv=None):
                                           "deploy/models/best_model.onnx"))
     p.add_argument("--mode", type=str, default="resize", choices=["resize", "tile"],
                    help="resize = reference-parity 512^2; tile = full-res tiled")
+    p.add_argument("--model", type=str, default="auto",
+                   choices=["auto", "lightweight", "optimized", "enhanced"],
+                   help="model family of the checkpoint; auto detects from "
+                        "the artifact (the reference serves any .onnx via "
+                        "ORT — this is the engine-level equivalent)")
     p.add_argument("--max_batch_size", type=int, default=8)
     p.add_argument("--batch_timeout_ms", type=float, default=3.0)
     p.add_argument("--tile_overlap", type=int, default=32)
@@ -46,6 +51,7 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     server = create_server(
         args.model_path, host=args.host, port=args.port, mode=args.mode,
+        model_arch=args.model,
         max_batch_size=args.max_batch_size,
         batch_timeout_ms=args.batch_timeout_ms, compute_dtype=dtype,
         tile_overlap=args.tile_overlap, log_dir=args.log_dir,

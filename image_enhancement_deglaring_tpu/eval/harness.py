@@ -161,20 +161,60 @@ def _save_visualizations(x, y, apply_fn, params, b, out_dir, vis_count,
     return vis_count
 
 
-def load_model_for_eval(model_path: str, *, model_arch: str = "lightweight",
+def load_model_for_eval(model_path: str, *, model_arch: str = "auto",
                         compute_dtype=jnp.float32):
     """Load (apply_fn, params) from .onnx / .pth / orbax checkpoint dir.
 
-    Extension-based autodetect mirrors reference: evaluate.py:338-345.
+    Extension-based format autodetect mirrors reference: evaluate.py:338-345;
+    ``model_arch="auto"`` additionally recovers the model *family* from the
+    artifact (modelio.detect_model_arch) — matching the reference serving
+    behavior where ORT executes whichever graph the .onnx holds
+    (reference: api/app.py:84) — with explicit
+    lightweight/optimized/enhanced overrides.
     """
-    from ..models import LightweightUNet, OptimizedUNet
+    from ..models import EnhancedUNet, LightweightUNet, OptimizedUNet
+
+    lower = model_path.lower()
+    if model_arch == "auto":
+        from ..modelio import detect_model_arch
+
+        model_arch = detect_model_arch(model_path)
+
+    if model_arch == "enhanced":
+        # BatchNorm running stats travel with the weights; bind them (and
+        # inference mode) into the apply so engines/harnesses can treat the
+        # model like the stateless families.
+        from ..modelio import (
+            enhanced_unet_params_from_onnx,
+            enhanced_unet_params_from_state_dict,
+            load_torch_state_dict,
+        )
+
+        if lower.endswith(".onnx"):
+            params, stats = enhanced_unet_params_from_onnx(model_path)
+        elif lower.endswith((".pth", ".pt")):
+            params, stats = enhanced_unet_params_from_state_dict(
+                load_torch_state_dict(model_path))
+        else:
+            raise ValueError(
+                "EnhancedUNet needs a .pth or .onnx checkpoint "
+                "(BatchNorm running stats travel with the weights)")
+        model = EnhancedUNet(dtype=compute_dtype)
+        stats = jax.tree_util.tree_map(jnp.asarray, stats)
+
+        def apply_fn(variables, x):
+            return model.apply(
+                {"params": variables["params"], "batch_stats": stats},
+                x, train=False)
+
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        return apply_fn, params
 
     if model_arch == "optimized":
         model = OptimizedUNet(dtype=compute_dtype)
     else:
         model = LightweightUNet(dtype=compute_dtype)
 
-    lower = model_path.lower()
     if lower.endswith(".onnx"):
         from ..modelio import (
             lightweight_unet_params_from_onnx,

@@ -178,6 +178,36 @@ def enhanced_unet_params_from_state_dict(sd: dict[str, np.ndarray]):
     return params, stats
 
 
+def detect_model_arch(path: str) -> str:
+    """Autodetect which model family a checkpoint belongs to.
+
+    The reference never needs this because ORT executes whatever graph the
+    .onnx contains (reference: api/app.py:84); our serving engine binds a
+    Flax architecture, so we recover the family from the artifact instead:
+    - .onnx: op census — BatchNormalization appears only in EnhancedUNet,
+      Resize/GlobalAveragePool only in OptimizedUNet, else LightweightUNet;
+    - .pth: state-dict key shapes (``*.conv_block.*`` / ``*.fc.*``).
+    Orbax checkpoint dirs carry no architecture tag -> "lightweight".
+    """
+    lower = path.lower()
+    if lower.endswith(".onnx"):
+        g = load_onnx(path)
+        ops = {n.op_type for n in g.nodes}
+        if "BatchNormalization" in ops:
+            return "enhanced"
+        if "Resize" in ops or "GlobalAveragePool" in ops:
+            return "optimized"
+        return "lightweight"
+    if lower.endswith((".pth", ".pt")):
+        sd = load_torch_state_dict(path)
+        if any(".conv_block." in k for k in sd):
+            return "enhanced"
+        if any(".fc." in k for k in sd):
+            return "optimized"
+        return "lightweight"
+    return "lightweight"
+
+
 def optimized_unet_params_from_onnx(path: str) -> dict:
     """Read an OptimizedUNet .onnx written by our exporter back into the
     Flax params pytree (initializers carry torch-style names; the SE gate

@@ -345,6 +345,7 @@ class DeglareServer:
 
 
 def create_server(model_path: str, *, host: str = "0.0.0.0", port: int = 4000,
+                  model_arch: str = "auto",
                   mode: str = "resize", max_batch_size: int = 8,
                   batch_timeout_ms: float = 3.0, compute_dtype=None,
                   tile_overlap: int = 32, log_dir: str | None = None,
@@ -357,7 +358,8 @@ def create_server(model_path: str, *, host: str = "0.0.0.0", port: int = 4000,
     from .engine import InferenceEngine
 
     dtype = compute_dtype or jnp.bfloat16
-    apply_fn, params = load_model_for_eval(model_path, compute_dtype=dtype)
+    apply_fn, params = load_model_for_eval(model_path, model_arch=model_arch,
+                                           compute_dtype=dtype)
     engine = InferenceEngine(
         apply_fn, params, image_size=image_size, max_batch_size=max_batch_size,
         batch_timeout_ms=batch_timeout_ms, compute_dtype=dtype, warmup=warmup,

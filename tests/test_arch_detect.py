@@ -1,0 +1,107 @@
+"""Model-family autodetection and arch-generic loading/serving.
+
+The reference serves whatever graph its .onnx holds because ORT executes
+it directly (reference: api/app.py:84); our engine binds a Flax
+architecture, so ``detect_model_arch`` + ``load_model_for_eval("auto")``
+recover the family from the artifact instead."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_enhancement_deglaring_tpu.eval import load_model_for_eval
+from image_enhancement_deglaring_tpu.modelio import detect_model_arch
+from image_enhancement_deglaring_tpu.modelio.onnx_writer import (
+    export_enhanced_unet,
+    export_lightweight_unet,
+    export_optimized_unet,
+)
+from image_enhancement_deglaring_tpu.models import (
+    EnhancedUNet,
+    LightweightUNet,
+    OptimizedUNet,
+)
+
+SIZE = 64
+
+
+def _init(model, seed=0):
+    return jax.tree_util.tree_map(
+        np.asarray,
+        jax.jit(model.init)(jax.random.PRNGKey(seed), jnp.zeros((1, SIZE, SIZE, 1))),
+    )
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    d = tmp_path_factory.mktemp("arch")
+    paths = {}
+    paths["lightweight"] = export_lightweight_unet(
+        _init(LightweightUNet())["params"], str(d / "lw.onnx"))
+    paths["optimized"] = export_optimized_unet(
+        _init(OptimizedUNet())["params"], str(d / "opt.onnx"))
+    v = _init(EnhancedUNet())
+    paths["enhanced"] = export_enhanced_unet(
+        v["params"], v["batch_stats"], str(d / "enh.onnx"))
+    return paths
+
+
+def test_detect_arch_from_onnx(artifacts):
+    for arch, path in artifacts.items():
+        assert detect_model_arch(path) == arch
+
+
+def test_detect_arch_reference_artifact():
+    import os
+
+    ref = "/root/reference/best_model.onnx"
+    if not os.path.exists(ref):
+        pytest.skip("reference onnx missing")
+    assert detect_model_arch(ref) == "lightweight"
+
+
+def test_detect_arch_from_torch_state_dict(tmp_path):
+    import torch
+
+    cases = {
+        "lightweight": {"enc1.0.weight": torch.zeros(8, 1, 3, 3)},
+        "optimized": {"enc1.0.weight": torch.zeros(16, 1, 3, 3),
+                      "attention4.fc.0.weight": torch.zeros(8, 128)},
+        "enhanced": {"enc1.conv_block.0.weight": torch.zeros(16, 1, 3, 3)},
+    }
+    for arch, sd in cases.items():
+        p = tmp_path / f"{arch}.pth"
+        torch.save(sd, str(p))
+        assert detect_model_arch(str(p)) == arch
+
+
+@pytest.mark.parametrize("arch", ["lightweight", "optimized", "enhanced"])
+def test_auto_load_and_serve_each_family(artifacts, arch):
+    """auto-loaded apply runs inside the serving engine for every family."""
+    from image_enhancement_deglaring_tpu.serve.engine import InferenceEngine
+
+    apply_fn, params = load_model_for_eval(artifacts[arch], model_arch="auto")
+    eng = InferenceEngine(apply_fn, jax.tree_util.tree_map(np.asarray, params),
+                          image_size=SIZE, max_batch_size=4, warmup=False,
+                          compute_dtype=jnp.float32)
+    x = (np.random.default_rng(0).random((3, SIZE, SIZE)) * 255).astype(np.uint8)
+    out = eng.infer_batch(x)
+    assert out.shape == x.shape and out.dtype == np.uint8
+
+
+def test_enhanced_auto_load_matches_flax(artifacts):
+    """The batch_stats-bound apply equals the raw Flax inference forward."""
+    apply_fn, params = load_model_for_eval(artifacts["enhanced"],
+                                           model_arch="auto")
+    model = EnhancedUNet()
+    v = _init(EnhancedUNet())
+    x = np.random.default_rng(1).random((1, SIZE, SIZE, 1), np.float32)
+    got = np.asarray(apply_fn({"params": params}, jnp.asarray(x)))
+    want = np.asarray(model.apply(v, x, train=False))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_enhanced_load_rejects_orbax_dir(tmp_path):
+    with pytest.raises(ValueError):
+        load_model_for_eval(str(tmp_path), model_arch="enhanced")

@@ -22,7 +22,10 @@ def test_evaluate_parser_defaults():
     args = parse_args([])
     assert args.data_dir == "SD1/val"
     assert args.batch_size == 16 and args.image_size == 512
-    assert args.model == "lightweight"
+    # "auto" resolves to the artifact's family at load time; explicit
+    # lightweight/optimized (the reference's choices) remain accepted
+    assert args.model == "auto"
+    assert parse_args(["--model", "lightweight"]).model == "lightweight"
 
 
 def test_serve_parser_env_model_path(monkeypatch):
