@@ -17,6 +17,10 @@ def main(argv=None):
     )
     p.add_argument("checkpoint_path")
     p.add_argument("output_path")
+    p.add_argument("--model", type=str, default="auto",
+                   choices=["auto", "lightweight", "optimized", "enhanced"],
+                   help="model family of the checkpoint (auto = detect "
+                        "from the artifact)")
     args = p.parse_args(argv)
 
     if not os.path.exists(args.checkpoint_path):
@@ -26,9 +30,30 @@ def main(argv=None):
     import jax
     import numpy as np
 
-    from ..eval.harness import load_model_for_eval
+    from ..modelio import detect_model_arch
 
-    _, params = load_model_for_eval(args.checkpoint_path)
+    arch = args.model
+    if arch == "auto":
+        arch = detect_model_arch(args.checkpoint_path)
+
+    stats = None
+    if arch == "enhanced":
+        # params + BatchNorm running stats travel together
+        from ..modelio import (
+            enhanced_unet_params_from_onnx,
+            enhanced_unet_params_from_state_dict,
+            load_torch_state_dict,
+        )
+
+        if args.checkpoint_path.lower().endswith(".onnx"):
+            params, stats = enhanced_unet_params_from_onnx(args.checkpoint_path)
+        else:
+            params, stats = enhanced_unet_params_from_state_dict(
+                load_torch_state_dict(args.checkpoint_path))
+    else:
+        from ..eval.harness import load_model_for_eval
+
+        _, params = load_model_for_eval(args.checkpoint_path, model_arch=arch)
     params = jax.tree_util.tree_map(np.asarray, params)
 
     if args.output_path.endswith(".npz"):
@@ -41,12 +66,29 @@ def main(argv=None):
                 out["/".join(prefix)] = tree
             return out
 
-        np.savez(args.output_path, **flat(params))
+        # for EnhancedUNet the BatchNorm running stats are part of the
+        # weights (the torch state dict carries them too); nest both
+        # collections so nothing is silently dropped
+        tree = {"params": params, "batch_stats": stats} if stats else params
+        np.savez(args.output_path, **flat(tree))
     elif args.output_path.endswith(".onnx"):
-        from ..modelio.onnx_writer import export_lightweight_unet
+        from ..modelio.onnx_writer import (
+            export_enhanced_unet,
+            export_lightweight_unet,
+            export_optimized_unet,
+        )
 
-        export_lightweight_unet(params, args.output_path)
+        if arch == "enhanced":
+            export_enhanced_unet(params, stats, args.output_path)
+        elif arch == "optimized":
+            export_optimized_unet(params, args.output_path)
+        else:
+            export_lightweight_unet(params, args.output_path)
     else:
+        if stats is not None:
+            raise SystemExit(
+                "EnhancedUNet extraction to an orbax dir would drop the "
+                "BatchNorm running stats; write a .onnx or .npz instead")
         from ..train.checkpoint import save_checkpoint
 
         save_checkpoint(args.output_path, params=params)

@@ -105,3 +105,35 @@ def test_enhanced_auto_load_matches_flax(artifacts):
 def test_enhanced_load_rejects_orbax_dir(tmp_path):
     with pytest.raises(ValueError):
         load_model_for_eval(str(tmp_path), model_arch="enhanced")
+
+
+@pytest.mark.parametrize("arch", ["optimized", "enhanced"])
+def test_extract_weights_cli_autodetects_family(artifacts, tmp_path, arch):
+    """extract_weights re-exports non-lightweight ONNX artifacts intact."""
+    from image_enhancement_deglaring_tpu.cli.extract_weights import main
+    from image_enhancement_deglaring_tpu.modelio import run_onnx
+
+    out = str(tmp_path / f"{arch}_re.onnx")
+    assert main([artifacts[arch], out]) == 0
+    assert detect_model_arch(out) == arch
+    x = np.random.default_rng(0).random((1, 1, SIZE, SIZE), np.float32)
+    a = run_onnx(artifacts[arch], {"input": x})["output"]
+    b = run_onnx(out, {"input": x})["output"]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_extract_weights_cli_enhanced_npz_keeps_stats(artifacts, tmp_path):
+    from image_enhancement_deglaring_tpu.cli.extract_weights import main
+
+    out = str(tmp_path / "enh.npz")
+    assert main([artifacts["enhanced"], out]) == 0
+    flat = np.load(out)
+    assert any(k.startswith("batch_stats/") for k in flat.files)
+    assert any(k.startswith("params/") for k in flat.files)
+
+
+def test_extract_weights_cli_enhanced_orbax_refuses(artifacts, tmp_path):
+    from image_enhancement_deglaring_tpu.cli.extract_weights import main
+
+    with pytest.raises(SystemExit):
+        main([artifacts["enhanced"], str(tmp_path / "ckptdir")])
