@@ -18,8 +18,11 @@ def parse_args(argv=None):
     p.add_argument("--model_path", type=str,
                    default=os.environ.get("MODEL_PATH",
                                           "deploy/models/best_model.onnx"))
-    p.add_argument("--mode", type=str, default="resize", choices=["resize", "tile"],
-                   help="resize = reference-parity 512^2; tile = full-res tiled")
+    p.add_argument("--mode", type=str, default="resize",
+                   choices=["resize", "tile", "both"],
+                   help="resize = reference-parity 512^2; tile = full-res "
+                        "tiled; both = resize default with per-request "
+                        "?mode=tile override")
     p.add_argument("--model", type=str, default="auto",
                    choices=["auto", "lightweight", "optimized", "enhanced"],
                    help="model family of the checkpoint; auto detects from "

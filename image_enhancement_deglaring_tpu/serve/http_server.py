@@ -182,11 +182,24 @@ class DeglareServer:
     def _ping(self):
         return 200, {"message": "pong"}
 
-    def _infer(self, body: bytes, content_type: str):
+    def _infer(self, body: bytes, content_type: str, query: str = ""):
         from PIL import Image
 
         request_id = base64.urlsafe_b64encode(os.urandom(6)).decode("ascii")
         log = self.logger
+        # per-request mode override (?mode=tile|resize) — an addition beyond
+        # the reference API, which always downsamples (reference:
+        # api/app.py:150); the server default is self.mode
+        mode = self.mode
+        if query:
+            from urllib.parse import parse_qs
+
+            requested = parse_qs(query).get("mode", [mode])[0]
+            if requested not in ("resize", "tile"):
+                return 400, {"detail": f"Unknown mode '{requested}'"}
+            if requested == "tile" and self.tiler is None:
+                return 400, {"detail": "tile mode not enabled on this server"}
+            mode = requested
         fields = parse_multipart(body, content_type)
         contents = fields.get("image")
         if contents is None or len(contents) == 0:
@@ -205,7 +218,7 @@ class DeglareServer:
             else:
                 img_gray = img_np
 
-            if self.mode == "tile" and self.tiler is not None:
+            if mode == "tile" and self.tiler is not None:
                 log.info(f"[{request_id}] Tiled full-resolution inference "
                          f"({self.tiler.num_tiles(*img_gray.shape)} tiles)")
                 enhanced_u8 = self.tiler(img_gray.astype(np.uint8))
@@ -291,16 +304,17 @@ class DeglareServer:
                         reader.readexactly(length), timeout=self.READ_TIMEOUT_S
                     )
 
-                if method == "GET" and path == "/ping":
+                route, _, query = path.partition("?")
+                if method == "GET" and route == "/ping":
                     status, payload = self._ping()
-                elif method == "GET" and path == "/stats":
+                elif method == "GET" and route == "/stats":
                     # serving observability (addition beyond the reference API)
                     status, payload = 200, self.engine.stats()
-                elif method == "POST" and path == "/infer":
+                elif method == "POST" and route == "/infer":
                     loop = asyncio.get_running_loop()
                     status, payload = await loop.run_in_executor(
                         self._executor, self._infer, body,
-                        headers.get("content-type", ""),
+                        headers.get("content-type", ""), query,
                     )
                 else:
                     status, payload = 404, {"detail": "Not Found"}
@@ -366,11 +380,13 @@ def create_server(model_path: str, *, host: str = "0.0.0.0", port: int = 4000,
         mesh=mesh, quantize=quantize,
     )
     tiler = None
-    if mode == "tile":
+    if mode in ("tile", "both"):
         from .tiling import TiledInference
 
         tiler = TiledInference(apply_fn, params, tile=image_size,
                                overlap=tile_overlap, compute_dtype=dtype,
                                mesh=mesh)
-    return DeglareServer(engine, host=host, port=port, mode=mode, tiler=tiler,
-                         log_dir=log_dir, image_size=image_size)
+    # "both" serves resize by default with ?mode=tile available per request
+    default_mode = "tile" if mode == "tile" else "resize"
+    return DeglareServer(engine, host=host, port=port, mode=default_mode,
+                         tiler=tiler, log_dir=log_dir, image_size=image_size)

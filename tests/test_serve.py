@@ -504,6 +504,59 @@ def test_http_tile_mode_full_resolution(engine, small_model, tmp_path_factory, r
     assert out.mode == "L"
 
 
+def test_http_per_request_mode_override(engine, small_model, tmp_path_factory,
+                                        rng):
+    """A server with both backends (mode="both" in create_server terms)
+    serves resize by default and honors ?mode=tile per request."""
+    apply_fn, params = small_model
+    tiler = TiledInference(apply_fn, params, tile=SIZE, overlap=8,
+                           compute_dtype=jnp.float32)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = DeglareServer(engine, host="127.0.0.1", port=port,
+                           image_size=SIZE, mode="resize", tiler=tiler,
+                           log_dir=str(tmp_path_factory.mktemp("modelogs")))
+    t = threading.Thread(target=server.run, daemon=True)
+    t.start()
+    time.sleep(0.3)
+    big = (rng.random((SIZE * 2, SIZE)) * 255).astype(np.uint8)
+    body, headers = _multipart_png(big)
+
+    # default: reference resize path — result == engine on the downsampled img
+    status, data = _request("127.0.0.1", port, "POST", "/infer", body, headers)
+    assert status == 200
+    got = np.array(Image.open(io.BytesIO(
+        base64.b64decode(json.loads(data)["image"]))))
+    small = np.array(Image.fromarray(big).resize((SIZE, SIZE), Image.LANCZOS))
+    want = np.array(Image.fromarray(
+        engine.infer_one(small.astype(np.uint8))).resize(
+            (SIZE, SIZE * 2), Image.LANCZOS))
+    np.testing.assert_array_equal(got, want)
+
+    # ?mode=tile: exact tiler output at full resolution
+    status, data = _request("127.0.0.1", port, "POST", "/infer?mode=tile",
+                            body, headers)
+    assert status == 200
+    got_tile = np.array(Image.open(io.BytesIO(
+        base64.b64decode(json.loads(data)["image"]))))
+    np.testing.assert_array_equal(got_tile, tiler(big))
+
+    # unknown mode -> 400
+    status, data = _request("127.0.0.1", port, "POST", "/infer?mode=bogus",
+                            body, headers)
+    assert status == 400
+
+
+def test_http_tile_override_without_tiler_400(live_server, rng):
+    img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    body, headers = _multipart_png(img)
+    status, data = _request(*live_server, "POST", "/infer?mode=tile",
+                            body, headers)
+    assert status == 400
+    assert json.loads(data) == {"detail": "tile mode not enabled on this server"}
+
+
 # ------------------------------------------------------- keep-alive & IPC
 
 
