@@ -64,7 +64,7 @@ def test_index_has_batch_ui(frontend):
     status, body = _get(*frontend, "/")
     assert status == 200
     for needle in (b"multiple", b"downloadall", b"cmp-handle",
-                   b"dataTransfer.files"):
+                   b"dataTransfer.files", b"tilemode", b"mode=tile"):
         assert needle in body
 
 
