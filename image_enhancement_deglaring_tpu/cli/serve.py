@@ -41,6 +41,9 @@ def parse_args(argv=None):
                    help="HTTP worker processes (SO_REUSEPORT) sharing one "
                         "engine process over IPC; scales the host-bound "
                         "PIL/PNG work across CPUs (resize mode only)")
+    p.add_argument("--allow_reload", action="store_true",
+                   help="expose POST /reload for zero-downtime weight swaps "
+                        "from a same-family checkpoint on this filesystem")
     p.add_argument("--log_dir", type=str, default=None)
     return p.parse_args(argv)
 
@@ -59,6 +62,7 @@ def main(argv=None):
         batch_timeout_ms=args.batch_timeout_ms, compute_dtype=dtype,
         tile_overlap=args.tile_overlap, log_dir=args.log_dir,
         image_size=args.image_size, quantize=args.quantize,
+        allow_reload=args.allow_reload,
     )
     if args.workers > 1:
         if args.mode != "resize":

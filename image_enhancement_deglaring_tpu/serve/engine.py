@@ -35,6 +35,19 @@ def _bucket_sizes(max_batch: int) -> list[int]:
     return sizes
 
 
+def _check_same_tree(old, new) -> None:
+    """Reject a weight swap that would invalidate compiled programs."""
+    if jax.tree_util.tree_structure(old) != jax.tree_util.tree_structure(new):
+        raise ValueError(
+            "new params tree structure does not match the running engine's "
+            "(weight reload must keep the same model family)")
+    for a, b in zip(jax.tree_util.tree_leaves(old),
+                    jax.tree_util.tree_leaves(new)):
+        if a.shape != b.shape:
+            raise ValueError(
+                f"param shape mismatch on reload: {a.shape} vs {b.shape}")
+
+
 class InferenceEngine:
     def __init__(self, apply_fn, params, *, image_size: int = 512,
                  max_batch_size: int = 8, batch_timeout_ms: float = 3.0,
@@ -98,6 +111,25 @@ class InferenceEngine:
         self._step = jax.jit(partial(self._device_step, apply_fn, compute_dtype))
         if warmup:
             self.warmup()
+
+    def reload_params(self, params) -> None:
+        """Zero-downtime weight swap: the new pytree must match the engine's
+        structure and shapes (same model family), so every compiled bucket
+        stays valid. In-flight batches finish on the old weights; batches
+        dispatched after the swap use the new ones (the attribute rebind is
+        atomic under the GIL and each dispatch reads it once)."""
+        new = jax.tree_util.tree_map(jnp.asarray, params)
+        if self.quantize == "int8":
+            from ..models.model_utils import quantize_params_int8
+
+            q, s = quantize_params_int8(new, per_channel=True)
+            new = {"q": q, "s": s}
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+
+            new = replicate(new, self.mesh)
+        _check_same_tree(self._params, new)
+        self._params = new
 
     def stats(self) -> dict:
         """Serving observability: request latencies and batch fill."""

@@ -154,12 +154,16 @@ class DeglareServer:
 
     def __init__(self, engine, *, host: str = "0.0.0.0", port: int = 4000,
                  image_size: int = 512, mode: str = "resize",
-                 tiler=None, log_dir: str | None = None):
+                 tiler=None, log_dir: str | None = None,
+                 allow_reload: bool = False):
         """Args:
             engine: InferenceEngine (512^2 path).
             mode: "resize" reproduces the reference API exactly (downsample
                 any input to 512^2, upsample back); "tile" uses ``tiler``
                 for true full-resolution inference.
+            allow_reload: expose POST /reload (zero-downtime weight swap
+                from a checkpoint path on the server's filesystem). Off by
+                default — it lets callers point the server at local files.
         """
         self.engine = engine
         self.host = host
@@ -167,6 +171,7 @@ class DeglareServer:
         self.image_size = image_size
         self.mode = mode
         self.tiler = tiler
+        self.allow_reload = allow_reload
         self.logger = make_api_logger(log_dir)
         self._server: asyncio.AbstractServer | None = None
         # request-processing pool: asyncio's default executor is ~5 threads,
@@ -253,6 +258,44 @@ class DeglareServer:
             log.error(f"[{request_id}] Error: {e}\n{traceback.format_exc()}")
             return 500, {"detail": str(e)}
 
+    def _reload(self, body: bytes):
+        """Zero-downtime weight swap (addition beyond the reference API):
+        POST /reload {"model_path": "..."} loads a same-family checkpoint
+        and atomically swaps the engine's (and tiler's) weights; in-flight
+        batches finish on the old weights."""
+        log = self.logger
+        try:
+            req = json.loads(body or b"{}")
+            model_path = req.get("model_path")
+            if not model_path or not os.path.exists(model_path):
+                return 400, {"detail": f"model_path not found: {model_path!r}"}
+            from ..modelio import detect_model_arch
+
+            arch = req.get("model", "auto")
+            if arch == "auto":
+                arch = detect_model_arch(model_path)
+            if arch == "enhanced":
+                # the engine's apply closes over BatchNorm running stats;
+                # swapping params alone would silently mix checkpoints
+                return 400, {"detail": "EnhancedUNet weights cannot be "
+                                       "hot-reloaded; restart the server"}
+            from ..eval.harness import load_model_for_eval
+
+            _, params = load_model_for_eval(model_path, model_arch=arch)
+            self.engine.reload_params(params)
+            if self.tiler is not None:
+                self.tiler.reload_params(params)
+            log.info(f"Reloaded weights from {model_path} (arch={arch})")
+            return 200, {"status": "reloaded", "model_path": model_path,
+                         "model": arch}
+        except ValueError as e:
+            return 400, {"detail": str(e)}
+        except Exception as e:
+            import traceback
+
+            log.error(f"Reload error: {e}\n{traceback.format_exc()}")
+            return 500, {"detail": str(e)}
+
     # ------------------------------------------------------------ plumbing
     async def _handle(self, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter) -> None:
@@ -316,6 +359,12 @@ class DeglareServer:
                         self._executor, self._infer, body,
                         headers.get("content-type", ""), query,
                     )
+                elif (method == "POST" and route == "/reload"
+                      and self.allow_reload):
+                    loop = asyncio.get_running_loop()
+                    status, payload = await loop.run_in_executor(
+                        self._executor, self._reload, body,
+                    )
                 else:
                     status, payload = 404, {"detail": "Not Found"}
                 await self._respond(writer, status, payload,
@@ -364,7 +413,8 @@ def create_server(model_path: str, *, host: str = "0.0.0.0", port: int = 4000,
                   batch_timeout_ms: float = 3.0, compute_dtype=None,
                   tile_overlap: int = 32, log_dir: str | None = None,
                   image_size: int = 512, warmup: bool = True,
-                  mesh=None, quantize: str | None = None) -> DeglareServer:
+                  mesh=None, quantize: str | None = None,
+                  allow_reload: bool = False) -> DeglareServer:
     """Build engine + (optional) tiler + server from a model artifact path."""
     import jax.numpy as jnp
 
@@ -389,4 +439,5 @@ def create_server(model_path: str, *, host: str = "0.0.0.0", port: int = 4000,
     # "both" serves resize by default with ?mode=tile available per request
     default_mode = "tile" if mode == "tile" else "resize"
     return DeglareServer(engine, host=host, port=port, mode=default_mode,
-                         tiler=tiler, log_dir=log_dir, image_size=image_size)
+                         tiler=tiler, log_dir=log_dir, image_size=image_size,
+                         allow_reload=allow_reload)

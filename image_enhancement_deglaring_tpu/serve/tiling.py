@@ -75,6 +75,19 @@ class TiledInference:
 
             self.params = replicate(self.params, mesh)
 
+    def reload_params(self, params) -> None:
+        """Zero-downtime weight swap; same constraints as
+        InferenceEngine.reload_params (matching structure and shapes)."""
+        from .engine import _check_same_tree
+
+        new = jax.tree_util.tree_map(jnp.asarray, params)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+
+            new = replicate(new, self.mesh)
+        _check_same_tree(self.params, new)
+        self.params = new
+
     @property
     def compiled_bucket_count(self) -> int:
         """Distinct device programs compiled so far — one per tile-batch

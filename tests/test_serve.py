@@ -548,6 +548,89 @@ def test_http_per_request_mode_override(engine, small_model, tmp_path_factory,
     assert status == 400
 
 
+def test_engine_reload_params_swaps_weights(small_model, rng):
+    apply_fn, params = small_model
+    eng = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=2,
+                          warmup=False, compute_dtype=jnp.float32)
+    model2 = LightweightUNet()
+    params2 = jax.jit(model2.init)(jax.random.PRNGKey(7),
+                                   jnp.zeros((1, SIZE, SIZE, 1)))["params"]
+    img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    before = eng.infer_one(img)
+    eng.reload_params(params2)
+    after = eng.infer_one(img)
+    assert np.any(before != after)
+    # and the swap is exact: a fresh engine on params2 agrees
+    eng2 = InferenceEngine(apply_fn, params2, image_size=SIZE,
+                           max_batch_size=2, warmup=False,
+                           compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(after, eng2.infer_one(img))
+    eng.stop(); eng2.stop()
+
+
+def test_engine_reload_rejects_mismatched_tree(small_model):
+    apply_fn, params = small_model
+    eng = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=2,
+                          warmup=False, compute_dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        eng.reload_params({"not": np.zeros((2, 2), np.float32)})
+    eng.stop()
+
+
+def test_http_reload_disabled_404(live_server):
+    status, _ = _request(*live_server, "POST", "/reload",
+                         json.dumps({"model_path": "/tmp/x"}).encode())
+    assert status == 404
+
+
+def test_http_reload_endpoint(engine, small_model, tmp_path_factory, rng):
+    """POST /reload swaps weights with zero downtime; bad requests get 400."""
+    from image_enhancement_deglaring_tpu.modelio.onnx_writer import (
+        export_lightweight_unet,
+    )
+
+    d = tmp_path_factory.mktemp("reload")
+    model2 = LightweightUNet()
+    params2 = jax.tree_util.tree_map(
+        np.asarray,
+        jax.jit(model2.init)(jax.random.PRNGKey(9),
+                             jnp.zeros((1, SIZE, SIZE, 1)))["params"])
+    new_path = export_lightweight_unet(params2, str(d / "new.onnx"))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = DeglareServer(engine, host="127.0.0.1", port=port,
+                           image_size=SIZE, allow_reload=True,
+                           log_dir=str(tmp_path_factory.mktemp("rllogs")))
+    t = threading.Thread(target=server.run, daemon=True)
+    t.start()
+    time.sleep(0.3)
+
+    img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    body, headers = _multipart_png(img)
+    _, data = _request("127.0.0.1", port, "POST", "/infer", body, headers)
+    before = np.array(Image.open(io.BytesIO(
+        base64.b64decode(json.loads(data)["image"]))))
+
+    status, data = _request("127.0.0.1", port, "POST", "/reload",
+                            json.dumps({"model_path": new_path}).encode())
+    assert status == 200
+    assert json.loads(data)["status"] == "reloaded"
+
+    _, data = _request("127.0.0.1", port, "POST", "/infer", body, headers)
+    after = np.array(Image.open(io.BytesIO(
+        base64.b64decode(json.loads(data)["image"]))))
+    assert np.any(before != after)
+
+    # missing path -> 400
+    status, _ = _request("127.0.0.1", port, "POST", "/reload",
+                         json.dumps({"model_path": "/nope.onnx"}).encode())
+    assert status == 400
+    # restore the fixture engine's original weights for later tests
+    engine.reload_params(small_model[1])
+
+
 def test_http_tile_override_without_tiler_400(live_server, rng):
     img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
     body, headers = _multipart_png(img)
