@@ -45,11 +45,27 @@ def main(argv=None):
             load_torch_state_dict,
         )
 
-        if args.checkpoint_path.lower().endswith(".onnx"):
+        lower = args.checkpoint_path.lower()
+        if lower.endswith(".onnx"):
             params, stats = enhanced_unet_params_from_onnx(args.checkpoint_path)
-        else:
+        elif lower.endswith((".pth", ".pt")):
             params, stats = enhanced_unet_params_from_state_dict(
                 load_torch_state_dict(args.checkpoint_path))
+        elif lower.endswith(".npz"):
+            from ..eval.harness import _unflatten_npz
+
+            tree = _unflatten_npz(args.checkpoint_path)
+            params, stats = tree["params"], tree["batch_stats"]
+        else:  # orbax training checkpoint
+            from ..train.checkpoint import restore_checkpoint
+
+            item, _ = restore_checkpoint(args.checkpoint_path)
+            params = item["params"]
+            stats = item.get("model_state", {}).get("batch_stats")
+            if stats is None:
+                raise SystemExit(
+                    f"{args.checkpoint_path} holds no batch_stats; an "
+                    "EnhancedUNet artifact needs the BatchNorm running stats")
     else:
         from ..eval.harness import load_model_for_eval
 
@@ -85,13 +101,13 @@ def main(argv=None):
         else:
             export_lightweight_unet(params, args.output_path)
     else:
-        if stats is not None:
-            raise SystemExit(
-                "EnhancedUNet extraction to an orbax dir would drop the "
-                "BatchNorm running stats; write a .onnx or .npz instead")
         from ..train.checkpoint import save_checkpoint
 
-        save_checkpoint(args.output_path, params=params)
+        # for EnhancedUNet the BatchNorm running stats ride along as
+        # model_state, the same layout the training loop checkpoints
+        save_checkpoint(
+            args.output_path, params=params,
+            model_state={"batch_stats": stats} if stats is not None else None)
     print(f"Model parameters saved to: {args.output_path}")
     return 0
 

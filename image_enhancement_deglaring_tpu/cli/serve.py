@@ -67,6 +67,10 @@ def main(argv=None):
     if args.workers > 1:
         if args.mode != "resize":
             raise SystemExit("--workers > 1 requires --mode resize")
+        if args.allow_reload:
+            # worker processes proxy frames only; /reload would 404 on them
+            raise SystemExit("--allow_reload requires --workers 1 "
+                             "(the engine process owns the weights)")
         from ..serve.ipc import serve_multiprocess
 
         server.engine.start()

@@ -161,6 +161,19 @@ def _save_visualizations(x, y, apply_fn, params, b, out_dir, vis_count,
     return vis_count
 
 
+def _unflatten_npz(path: str) -> dict:
+    """Rebuild the nested pytree from flat ``a/b/c`` npz keys."""
+    tree: dict = {}
+    with np.load(path) as flat:
+        for key in flat.files:
+            node = tree
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = flat[key]
+    return tree
+
+
 def load_model_for_eval(model_path: str, *, model_arch: str = "auto",
                         compute_dtype=jnp.float32):
     """Load (apply_fn, params) from .onnx / .pth / orbax checkpoint dir.
@@ -195,10 +208,25 @@ def load_model_for_eval(model_path: str, *, model_arch: str = "auto",
         elif lower.endswith((".pth", ".pt")):
             params, stats = enhanced_unet_params_from_state_dict(
                 load_torch_state_dict(model_path))
+        elif lower.endswith(".npz"):
+            tree = _unflatten_npz(model_path)
+            params, stats = tree["params"], tree["batch_stats"]
+        elif os.path.isdir(model_path):
+            # repo-trained orbax checkpoint: save_checkpoint stores the
+            # running stats alongside params as model_state.batch_stats
+            from ..train.checkpoint import restore_checkpoint
+
+            item, _ = restore_checkpoint(model_path)
+            params = item["params"]
+            stats = item.get("model_state", {}).get("batch_stats")
+            if stats is None:
+                raise ValueError(
+                    f"{model_path} holds no batch_stats; EnhancedUNet needs "
+                    "the BatchNorm running stats saved with the weights")
         else:
             raise ValueError(
-                "EnhancedUNet needs a .pth or .onnx checkpoint "
-                "(BatchNorm running stats travel with the weights)")
+                "EnhancedUNet needs a .pth/.onnx/.npz checkpoint or an orbax "
+                "dir (BatchNorm running stats travel with the weights)")
         model = EnhancedUNet(dtype=compute_dtype)
         stats = jax.tree_util.tree_map(jnp.asarray, stats)
 
@@ -226,14 +254,11 @@ def load_model_for_eval(model_path: str, *, model_arch: str = "auto",
         else:
             params = lightweight_unet_params_from_onnx(model_path)
     elif lower.endswith(".npz"):
-        flat = np.load(model_path)
-        params = {}
-        for key, arr in flat.items():
-            node = params
-            parts = key.split("/")
-            for p in parts[:-1]:
-                node = node.setdefault(p, {})
-            node[parts[-1]] = arr
+        params = _unflatten_npz(model_path)
+        # extractions of stateful models nest the collections; stateless
+        # families may still arrive wrapped the same way
+        if set(params.keys()) <= {"params", "batch_stats"}:
+            params = params["params"]
     elif lower.endswith((".pth", ".pt")):
         from ..modelio import load_torch_state_dict
         from ..modelio.params_import import (

@@ -22,6 +22,7 @@ from .onnx_writer import (
     export_optimized_unet,
 )
 from .params_import import (
+    arch_from_param_keys,
     detect_model_arch,
     enhanced_unet_params_from_onnx,
     enhanced_unet_params_from_state_dict,
@@ -38,6 +39,7 @@ __all__ = [
     "OnnxNode",
     "run_graph",
     "run_onnx",
+    "arch_from_param_keys",
     "detect_model_arch",
     "export_enhanced_unet",
     "export_lightweight_unet",

@@ -15,6 +15,7 @@ Layout conversions (torch OIHW -> our HWIO NHWC):
 
 from __future__ import annotations
 
+import os
 import re
 
 import numpy as np
@@ -178,6 +179,21 @@ def enhanced_unet_params_from_state_dict(sd: dict[str, np.ndarray]):
     return params, stats
 
 
+def arch_from_param_keys(keys) -> str:
+    """Family from a params pytree's TOP-LEVEL module names.
+
+    EnhancedUNet alone has a 5th level ("attention5"/"enc5") and BatchNorm
+    bottleneck modules; OptimizedUNet alone adds SE gates ("attention1..4")
+    to a 4-level net; LightweightUNet has neither.
+    """
+    keys = set(keys)
+    if keys & {"attention5", "enc5", "bottleneck_bn1"}:
+        return "enhanced"
+    if "attention4" in keys:
+        return "optimized"
+    return "lightweight"
+
+
 def detect_model_arch(path: str) -> str:
     """Autodetect which model family a checkpoint belongs to.
 
@@ -186,8 +202,10 @@ def detect_model_arch(path: str) -> str:
     Flax architecture, so we recover the family from the artifact instead:
     - .onnx: op census — BatchNormalization appears only in EnhancedUNet,
       Resize/GlobalAveragePool only in OptimizedUNet, else LightweightUNet;
-    - .pth: state-dict key shapes (``*.conv_block.*`` / ``*.fc.*``).
-    Orbax checkpoint dirs carry no architecture tag -> "lightweight".
+    - .pth: state-dict key shapes (``*.conv_block.*`` / ``*.fc.*``);
+    - .npz: flat ``a/b/c`` key census (arch_from_param_keys);
+    - orbax dir: the ``model_arch`` tag save_checkpoint records, else the
+      restored params' module names.
     """
     lower = path.lower()
     if lower.endswith(".onnx"):
@@ -205,6 +223,27 @@ def detect_model_arch(path: str) -> str:
         if any(".fc." in k for k in sd):
             return "optimized"
         return "lightweight"
+    if lower.endswith(".npz"):
+        with np.load(path) as flat:
+            tops = set()
+            for key in flat.files:
+                parts = key.split("/")
+                # extractions of stateful models nest under params/batch_stats
+                tops.add(parts[1] if parts[0] in ("params", "batch_stats")
+                         and len(parts) > 1 else parts[0])
+            return arch_from_param_keys(tops)
+    if os.path.isdir(path):
+        import json
+
+        meta_path = os.path.join(path, "train_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                arch = json.load(f).get("model_arch")
+            if arch:
+                return arch
+        from ..train.checkpoint import restore_params
+
+        return arch_from_param_keys(restore_params(path).keys())
     return "lightweight"
 
 

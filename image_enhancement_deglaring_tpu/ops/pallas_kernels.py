@@ -456,12 +456,19 @@ _CONV_VMEM_LIMIT = 6 * 1024 * 1024
 def fused_conv3x3_gn_silu(x: jax.Array, w: jax.Array, scale: jax.Array,
                           bias: jax.Array, *, num_groups: int,
                           eps: float = 1e-5,
-                          use_pallas: bool | None = None) -> jax.Array:
+                          use_pallas: bool | None = None,
+                          images_per_step: int | None = None) -> jax.Array:
     """Conv3x3(same, no bias) -> GroupNorm -> SiLU, fully fused on TPU.
 
     Auto-dispatch targets the U-Net's high-channel levels (the MXU-friendly
     regime: C >= 64 lanes, small spatial slabs that sit in VMEM); elsewhere
     it falls back to the XLA composition in ops.conv_blocks.
+
+    ``images_per_step=K`` routes to the batched-grid variant (K images per
+    grid step; requires batch % K == 0). Measured SLOWER than the per-image
+    grid on v5e (docs/PERF.md §7 — Mosaic pipelines grid steps better than
+    an in-kernel image loop); kept as validated infrastructure for shapes
+    where fatter DMA chunks could win.
     """
     from .conv_blocks import conv2d
 
@@ -484,5 +491,12 @@ def fused_conv3x3_gn_silu(x: jax.Array, w: jax.Array, scale: jax.Array,
         y = conv2d(x, w, padding=1)
         return silu(group_norm(y, scale, bias, num_groups=num_groups, eps=eps))
     interpret = jax.default_backend() != "tpu"
+    if images_per_step is not None and images_per_step > 1:
+        if n % images_per_step != 0:
+            raise ValueError(
+                f"batch {n} not divisible by images_per_step {images_per_step}")
+        return _fused_conv_gn_silu_batched(
+            x, w, scale, bias, num_groups=num_groups, eps=eps,
+            images=images_per_step, interpret=interpret)
     return _fused_conv_gn_silu_pallas(x, w, scale, bias, num_groups=num_groups,
                                       eps=eps, interpret=interpret)

@@ -93,6 +93,7 @@ class InferenceEngine:
 
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
+        self._lifecycle = threading.Lock()
         self._worker: threading.Thread | None = None
         # in-flight device batches: jax dispatch is asynchronous, so the
         # collector issues up to ``pipeline_depth`` batches before the first
@@ -214,40 +215,40 @@ class InferenceEngine:
 
     # ---------------------------------------------------------------- async
     def start(self) -> None:
-        if self._worker is not None:
-            return
-        self._stop.clear()
-        self._worker = threading.Thread(target=self._collector_loop, daemon=True)
-        self._drainer = threading.Thread(target=self._drain_loop, daemon=True)
-        self._worker.start()
-        self._drainer.start()
+        # the lock serializes concurrent first-submit() starts (the HTTP
+        # executor has 64 threads) so exactly one collector/drainer pair runs
+        with self._lifecycle:
+            if self._worker is not None:
+                return
+            self._stop.clear()
+            self._worker = threading.Thread(
+                target=self._collector_loop, args=(self._queue, self._inflight),
+                daemon=True)
+            self._drainer = threading.Thread(
+                target=self._drain_loop, args=(self._inflight,), daemon=True)
+            self._worker.start()
+            self._drainer.start()
 
     def stop(self) -> None:
-        self._stop.set()
-        if self._worker is not None:
-            self._worker.join(timeout=5)
+        """Shutdown ordering: the collector exits first and owns the drainer's
+        None sentinel (FIFO after its last dispatched batch, so nothing is
+        stranded even if stop() races a slow bucket compile); its exit path
+        also fails any still-unclaimed queued requests."""
+        with self._lifecycle:
+            if self._worker is None:
+                return
+            self._stop.set()
+            self._worker.join(timeout=10)
+            self._drainer.join(timeout=10)
+            detached = self._worker.is_alive() or self._drainer.is_alive()
             self._worker = None
-        if self._drainer is not None:
-            self._inflight.put(None)  # sentinel wakes the drainer
-            self._drainer.join(timeout=5)
             self._drainer = None
-        # resolve anything still queued so callers don't block forever
-        for q in (self._queue, self._inflight):
-            while True:
-                try:
-                    item = q.get_nowait()
-                except queue.Empty:
-                    break
-                if item is None:
-                    continue
-                if q is self._queue:
-                    _img, fut, _t = item
-                    if not fut.done():
-                        fut.set_exception(RuntimeError("engine stopped"))
-                else:
-                    for _, fut, _t in item[0]:
-                        if not fut.done():
-                            fut.set_exception(RuntimeError("engine stopped"))
+            if detached:
+                # a bucket compile outlived the join: the old daemon pair will
+                # still finish its batch and exit via the sentinel chain; give
+                # any future start() fresh queues so the pairs can't cross
+                self._queue = queue.Queue()
+                self._inflight = queue.Queue(maxsize=self.pipeline_depth)
 
     def submit(self, img_u8: np.ndarray) -> Future:
         """Enqueue one uint8 (S,S) frame; resolves to uint8 (S,S)."""
@@ -257,50 +258,60 @@ class InferenceEngine:
         self._queue.put((img_u8, fut, _now()))
         return fut
 
-    def _collector_loop(self) -> None:
+    def _collector_loop(self, req_queue: queue.Queue,
+                        inflight: queue.Queue) -> None:
         """Drains the request queue into bucketed device batches and
         DISPATCHES them without blocking on results (the drainer fetches);
         up to pipeline_depth batches ride the dispatch queue at once."""
-        while not self._stop.is_set():
-            try:
-                first = self._queue.get(timeout=0.1)
-            except queue.Empty:
-                continue
-            if self._stop.is_set():
-                if not first[1].done():
-                    first[1].set_exception(RuntimeError("engine stopped"))
-                continue
-            batch = [first]
-            deadline = _now() + self.batch_timeout_s
-            while len(batch) < self.max_batch_size:
-                remaining = deadline - _now()
-                if remaining <= 0:
-                    break
+        try:
+            while not self._stop.is_set():
                 try:
-                    batch.append(self._queue.get(timeout=remaining))
+                    first = req_queue.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+                batch = [first]
+                deadline = _now() + self.batch_timeout_s
+                while len(batch) < self.max_batch_size:
+                    remaining = deadline - _now()
+                    if remaining <= 0:
+                        break
+                    try:
+                        batch.append(req_queue.get(timeout=remaining))
+                    except queue.Empty:
+                        break
+                imgs = np.stack([b[0] for b in batch])
+                try:
+                    squeeze = imgs.ndim == 3
+                    if squeeze:
+                        imgs = imgs[..., None]
+                    b = imgs.shape[0]
+                    bucket = self._bucket_for(b)
+                    if bucket > b:
+                        pad = np.zeros((bucket - b,) + imgs.shape[1:], np.uint8)
+                        imgs = np.concatenate([imgs, pad])
+                    y = self._step(self._params, self._put(imgs))  # async dispatch
+                    inflight.put((batch, y, b, squeeze))  # blocks at depth
+                except Exception as e:  # pragma: no cover
+                    for _, fut, _t in batch:
+                        if not fut.done():
+                            fut.set_exception(e)
+        finally:
+            # fail unclaimed requests, THEN wake the drainer: the sentinel
+            # lands after every batch this collector dispatched (FIFO), so
+            # the drainer resolves them all before exiting
+            while True:
+                try:
+                    _img, fut, _t = req_queue.get_nowait()
                 except queue.Empty:
                     break
-            imgs = np.stack([b[0] for b in batch])
-            try:
-                squeeze = imgs.ndim == 3
-                if squeeze:
-                    imgs = imgs[..., None]
-                b = imgs.shape[0]
-                bucket = self._bucket_for(b)
-                if bucket > b:
-                    pad = np.zeros((bucket - b,) + imgs.shape[1:], np.uint8)
-                    imgs = np.concatenate([imgs, pad])
-                y = self._step(self._params, self._put(imgs))  # async dispatch
-                self._inflight.put((batch, y, b, squeeze))  # blocks at depth
-            except Exception as e:  # pragma: no cover
-                for _, fut, _t in batch:
-                    if not fut.done():
-                        fut.set_exception(e)
+                if not fut.done():
+                    fut.set_exception(RuntimeError("engine stopped"))
+            inflight.put(None)
 
-    def _drain_loop(self) -> None:
+    def _drain_loop(self, inflight: queue.Queue) -> None:
         """Fetches completed device batches and resolves request futures."""
         while True:
-            item = self._inflight.get()
+            item = inflight.get()
             if item is None:
                 return
             batch, y, b, squeeze = item

@@ -242,7 +242,11 @@ class DeglareServer:
                     )
                 # submit() goes through the micro-batching queue so
                 # concurrent requests coalesce into one device batch
-                enhanced_u8 = self.engine.submit(resized.astype(np.uint8)).result()
+                # bounded wait: if the engine dies mid-request the thread
+                # must not block forever (futures error out on stop(), but a
+                # wedged device step would otherwise hang the connection)
+                enhanced_u8 = self.engine.submit(
+                    resized.astype(np.uint8)).result(timeout=120)
                 enhanced_img = Image.fromarray(enhanced_u8, mode="L")
                 if original_size != (s, s):
                     enhanced_img = enhanced_img.resize(original_size, Image.LANCZOS)
@@ -351,8 +355,14 @@ class DeglareServer:
                 if method == "GET" and route == "/ping":
                     status, payload = self._ping()
                 elif method == "GET" and route == "/stats":
-                    # serving observability (addition beyond the reference API)
-                    status, payload = 200, self.engine.stats()
+                    # serving observability (addition beyond the reference
+                    # API); via the executor — with multi-process workers
+                    # stats() is a blocking IPC round-trip that must not
+                    # stall the event loop's other connections
+                    loop = asyncio.get_running_loop()
+                    stats = await loop.run_in_executor(
+                        self._executor, self.engine.stats)
+                    status, payload = 200, stats
                 elif method == "POST" and route == "/infer":
                     loop = asyncio.get_running_loop()
                     status, payload = await loop.run_in_executor(

@@ -117,6 +117,9 @@ class TiledInference:
         n = tiles_u8.shape[0]
         out = np.empty(tiles_u8.shape, np.float32)
         step = self.max_tiles_per_batch
+        # snapshot the weights once so a concurrent reload_params() can't
+        # stitch one image from two different checkpoints mid-request
+        params = self.params
         pending = []  # dispatch every chunk, drain after — jax dispatch is
         for c0 in range(0, n, step):  # async, so chunks pipeline on device
             chunk = tiles_u8[c0 : c0 + step]
@@ -134,7 +137,7 @@ class TiledInference:
                 batch = jax.device_put(batch, batch_sharding(self.mesh))
             else:
                 batch = jnp.asarray(batch)
-            pending.append((c0, b, self._forward(self.params, batch)))
+            pending.append((c0, b, self._forward(params, batch)))
         for c0, b, res in pending:
             out[c0 : c0 + b] = np.asarray(res)[:b]
         return out

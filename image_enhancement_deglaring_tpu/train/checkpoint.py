@@ -35,7 +35,13 @@ def save_checkpoint(path: str, *, params, opt_state=None, model_state=None,
     if model_state:
         item["model_state"] = _to_numpy_tree(model_state)
     ckptr.save(path, item, force=True)
-    meta = {"epoch": epoch, "val_loss": val_loss, **(extra or {})}
+    # record the model family so eval/serving 'auto' detection works on
+    # orbax dirs (the params pytree's own module names identify it)
+    from ..modelio.params_import import arch_from_param_keys
+
+    meta = {"epoch": epoch, "val_loss": val_loss,
+            "model_arch": arch_from_param_keys(item["params"].keys()),
+            **(extra or {})}
     with open(os.path.join(path, "train_meta.json"), "w") as f:
         json.dump(meta, f)
     return path

@@ -150,7 +150,10 @@ def main():
     lat = sorted(latencies)
 
     def pct(p):
-        return lat[min(len(lat) - 1, int(p * len(lat)))] * 1000 if lat else None
+        # None when every request failed — the summary (with the error
+        # count) must still print instead of crashing on round(None)
+        return round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1000, 1) \
+            if lat else None
 
     print(json.dumps({
         "requests_ok": len(latencies),
@@ -159,8 +162,8 @@ def main():
         "input": f"{args.size}x{args.size} document PNG ({len(png)} B)",
         "wall_s": round(wall, 2),
         "req_per_s": round(len(latencies) / wall, 1),
-        "latency_ms_p50": round(pct(0.50), 1),
-        "latency_ms_p95": round(pct(0.95), 1),
+        "latency_ms_p50": pct(0.50),
+        "latency_ms_p95": pct(0.95),
     }))
     return 0 if errors[0] == 0 else 1
 

@@ -102,9 +102,73 @@ def test_enhanced_auto_load_matches_flax(artifacts):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
-def test_enhanced_load_rejects_orbax_dir(tmp_path):
-    with pytest.raises(ValueError):
-        load_model_for_eval(str(tmp_path), model_arch="enhanced")
+def test_enhanced_load_rejects_orbax_dir_without_stats(tmp_path):
+    """An orbax dir that carries no batch_stats cannot bind EnhancedUNet."""
+    from image_enhancement_deglaring_tpu.train.checkpoint import save_checkpoint
+
+    v = _init(LightweightUNet())
+    p = str(tmp_path / "lw_ckpt")
+    save_checkpoint(p, params=v["params"])
+    with pytest.raises(ValueError, match="batch_stats"):
+        load_model_for_eval(p, model_arch="enhanced")
+
+
+@pytest.mark.parametrize("model,arch", [
+    (LightweightUNet, "lightweight"),
+    (OptimizedUNet, "optimized"),
+])
+def test_detect_arch_orbax_dir(tmp_path, model, arch):
+    """Repo-trained orbax checkpoints autodetect their family — both via
+    the model_arch tag save_checkpoint records and, for tag-less dirs,
+    from the restored params' module names."""
+    import json
+    import os
+
+    from image_enhancement_deglaring_tpu.train.checkpoint import save_checkpoint
+
+    v = _init(model())
+    p = str(tmp_path / f"{arch}_ckpt")
+    save_checkpoint(p, params=v["params"])
+    assert detect_model_arch(p) == arch
+
+    meta = os.path.join(p, "train_meta.json")
+    with open(meta) as f:
+        assert json.load(f)["model_arch"] == arch
+    os.remove(meta)  # pre-tag checkpoint: fall back to param-key sniffing
+    assert detect_model_arch(p) == arch
+
+
+def test_auto_load_trained_optimized_orbax(tmp_path):
+    """The round-1 failure case: train --model optimized, then serve the
+    orbax best_model with --model auto — detection must NOT say
+    lightweight."""
+    from image_enhancement_deglaring_tpu.train.checkpoint import save_checkpoint
+
+    v = _init(OptimizedUNet())
+    p = str(tmp_path / "best_model")
+    save_checkpoint(p, params=v["params"])
+    apply_fn, params = load_model_for_eval(p, model_arch="auto")
+    x = np.random.default_rng(2).random((1, SIZE, SIZE, 1), np.float32)
+    got = np.asarray(apply_fn({"params": params}, jnp.asarray(x)))
+    want = np.asarray(OptimizedUNet().apply(v, x))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_enhanced_orbax_roundtrip(tmp_path):
+    """Enhanced orbax checkpoints (batch_stats in model_state, as the train
+    loop writes them) autodetect, load, and match the Flax forward."""
+    from image_enhancement_deglaring_tpu.train.checkpoint import save_checkpoint
+
+    v = _init(EnhancedUNet())
+    p = str(tmp_path / "enh_ckpt")
+    save_checkpoint(p, params=v["params"],
+                    model_state={"batch_stats": v["batch_stats"]})
+    assert detect_model_arch(p) == "enhanced"
+    apply_fn, params = load_model_for_eval(p, model_arch="auto")
+    x = np.random.default_rng(3).random((1, SIZE, SIZE, 1), np.float32)
+    got = np.asarray(apply_fn({"params": params}, jnp.asarray(x)))
+    want = np.asarray(EnhancedUNet().apply(v, x, train=False))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
 @pytest.mark.parametrize("arch", ["optimized", "enhanced"])
@@ -122,7 +186,9 @@ def test_extract_weights_cli_autodetects_family(artifacts, tmp_path, arch):
     np.testing.assert_array_equal(a, b)
 
 
-def test_extract_weights_cli_enhanced_npz_keeps_stats(artifacts, tmp_path):
+def test_extract_weights_cli_enhanced_npz_roundtrip(artifacts, tmp_path):
+    """The .npz an enhanced extraction writes must be readable by the
+    project's own loader (and keep the running stats)."""
     from image_enhancement_deglaring_tpu.cli.extract_weights import main
 
     out = str(tmp_path / "enh.npz")
@@ -131,9 +197,38 @@ def test_extract_weights_cli_enhanced_npz_keeps_stats(artifacts, tmp_path):
     assert any(k.startswith("batch_stats/") for k in flat.files)
     assert any(k.startswith("params/") for k in flat.files)
 
+    assert detect_model_arch(out) == "enhanced"
+    apply_fn, params = load_model_for_eval(out, model_arch="auto")
+    apply_onnx, params_onnx = load_model_for_eval(artifacts["enhanced"])
+    x = np.random.default_rng(4).random((1, SIZE, SIZE, 1), np.float32)
+    got = np.asarray(apply_fn({"params": params}, jnp.asarray(x)))
+    want = np.asarray(apply_onnx({"params": params_onnx}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
 
-def test_extract_weights_cli_enhanced_orbax_refuses(artifacts, tmp_path):
+
+def test_extract_weights_cli_lightweight_npz_roundtrip(artifacts, tmp_path):
     from image_enhancement_deglaring_tpu.cli.extract_weights import main
 
-    with pytest.raises(SystemExit):
-        main([artifacts["enhanced"], str(tmp_path / "ckptdir")])
+    out = str(tmp_path / "lw.npz")
+    assert main([artifacts["lightweight"], out]) == 0
+    assert detect_model_arch(out) == "lightweight"
+    apply_fn, params = load_model_for_eval(out, model_arch="auto")
+    x = np.random.default_rng(5).random((1, SIZE, SIZE, 1), np.float32)
+    out_arr = np.asarray(apply_fn({"params": params}, jnp.asarray(x)))
+    assert out_arr.shape == (1, SIZE, SIZE, 1)
+
+
+def test_extract_weights_cli_enhanced_orbax_roundtrip(artifacts, tmp_path):
+    """Enhanced extraction to an orbax dir keeps the stats as model_state
+    and the result loads back via auto-detection."""
+    from image_enhancement_deglaring_tpu.cli.extract_weights import main
+
+    out = str(tmp_path / "enh_ckpt")
+    assert main([artifacts["enhanced"], out]) == 0
+    assert detect_model_arch(out) == "enhanced"
+    apply_fn, params = load_model_for_eval(out, model_arch="auto")
+    apply_onnx, params_onnx = load_model_for_eval(artifacts["enhanced"])
+    x = np.random.default_rng(6).random((1, SIZE, SIZE, 1), np.float32)
+    got = np.asarray(apply_fn({"params": params}, jnp.asarray(x)))
+    want = np.asarray(apply_onnx({"params": params_onnx}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)

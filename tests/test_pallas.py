@@ -78,6 +78,33 @@ def test_fused_conv_matches_xla(rng, shape, cout, groups):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("images", [2, 4])
+def test_fused_conv_batched_grid_matches_per_image(rng, images):
+    """The batched-grid variant (K images per grid step, opt-in via
+    images_per_step) stays exact vs the XLA composition."""
+    from image_enhancement_deglaring_tpu.ops.pallas_kernels import (
+        _fused_conv_gn_silu_batched,
+    )
+
+    x = jnp.asarray(rng.standard_normal((4, 8, 8, 16)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 32)).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    want = silu(group_norm(conv2d(x, w, padding=1), scale, bias, num_groups=8))
+    got = _fused_conv_gn_silu_batched(x, w, scale, bias, num_groups=8,
+                                      eps=1e-5, images=images, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_conv_dispatcher_rejects_bad_images_per_step(rng):
+    x = jnp.asarray(rng.standard_normal((3, 8, 8, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 64, 64)).astype(np.float32) * 0.1)
+    with pytest.raises(ValueError, match="images_per_step"):
+        fused_conv3x3_gn_silu(x, w, jnp.ones(64), jnp.zeros(64), num_groups=8,
+                              use_pallas=True, images_per_step=2)
+
+
 def test_fused_conv_dispatcher_falls_back_on_cpu(rng):
     x = jnp.asarray(rng.standard_normal((1, 8, 8, 64)).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((3, 3, 64, 64)).astype(np.float32) * 0.1)

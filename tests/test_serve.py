@@ -73,6 +73,59 @@ def test_engine_async_micro_batching(engine, rng):
     assert (diff > 0).mean() < 1e-3
 
 
+def test_engine_concurrent_first_submits_single_worker_pair(small_model, rng):
+    """Racing first submits (the HTTP pool is 64 threads) must spawn exactly
+    one collector/drainer pair — duplicates would split micro-batches and
+    leak a drainer on stop()."""
+    apply_fn, params = small_model
+    eng = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=4,
+                          batch_timeout_ms=5.0, compute_dtype=jnp.float32,
+                          warmup=False)
+    try:
+        imgs = (rng.random((16, SIZE, SIZE)) * 255).astype(np.uint8)
+        futs = [None] * len(imgs)
+        barrier = threading.Barrier(len(imgs))
+
+        def submit(i):
+            barrier.wait()
+            futs[i] = eng.submit(imgs[i])
+
+        threads = [threading.Thread(target=submit, args=(i,))
+                   for i in range(len(imgs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        alive = [t for t in threading.enumerate()
+                 if t.name.startswith("Thread-")]
+        for f in futs:
+            assert f.result(timeout=60).shape == (SIZE, SIZE)
+        # exactly one collector and one drainer exist
+        assert eng._worker is not None and eng._drainer is not None
+        workers = [t for t in alive if t is eng._worker or t is eng._drainer]
+        assert len(workers) <= 2
+    finally:
+        eng.stop()
+
+
+def test_engine_stop_fails_pending_and_restarts(small_model, rng):
+    """stop() resolves every queued request (exception, not hang) and a
+    later submit() cleanly restarts the engine."""
+    apply_fn, params = small_model
+    eng = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=4,
+                          batch_timeout_ms=5.0, compute_dtype=jnp.float32,
+                          warmup=False)
+    img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    fut = eng.submit(img)
+    assert fut.result(timeout=60).shape == (SIZE, SIZE)
+    eng.stop()
+    assert eng._worker is None and eng._drainer is None
+    # engine restarts on the next submit
+    fut2 = eng.submit(img)
+    assert fut2.result(timeout=60).shape == (SIZE, SIZE)
+    eng.stop()
+
+
 def test_tiled_inference_matches_direct_on_interior(small_model, rng):
     apply_fn, params = small_model
     tiler = TiledInference(apply_fn, params, tile=SIZE, overlap=8,
