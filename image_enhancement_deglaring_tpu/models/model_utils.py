@@ -84,6 +84,32 @@ def quantize_params_int8(params, *, per_channel: bool = False):
     return qparams, scales
 
 
+def calibrate_act_scales(model, params, sample_batches, *, margin: float = 1.05):
+    """Static-PTQ calibration for int8-ACTIVATION serving (see ops.quant).
+
+    Runs ``model`` (a LightweightUNet) over ``sample_batches`` (iterable of
+    NHWC float arrays in [0,1]) in ``act_scales="calib"`` mode, collecting
+    per-site per-channel max|activation| via the ``act_stats`` collection,
+    and returns the scales pytree that ``model.apply(..., act_scales=...)``
+    consumes. ``margin`` leaves clip headroom above the calibration max.
+    """
+    from ..ops.quant import merge_act_stats, scales_from_act_stats
+
+    def unwrap(t):  # sow wraps each site's value in a 1-tuple
+        return t[0] if isinstance(t, tuple) else t
+
+    stats = None
+    for x in sample_batches:
+        _, v = model.apply({"params": params}, jnp.asarray(x),
+                           act_scales="calib", mutable=["act_stats"])
+        batch = jax.tree_util.tree_map(
+            unwrap, v["act_stats"], is_leaf=lambda t: isinstance(t, tuple))
+        stats = merge_act_stats(stats, batch)
+    if stats is None:
+        raise ValueError("calibration needs at least one sample batch")
+    return scales_from_act_stats(stats, margin=margin)
+
+
 def dequantize_params_int8(qparams, scales, dtype=jnp.float32):
     """Inverse of :func:`quantize_params_int8` (per-tensor or per-channel
     scales broadcast identically). jit-safe: used inside the serving

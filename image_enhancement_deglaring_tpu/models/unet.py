@@ -58,6 +58,35 @@ def _uniform_bias_init(fan_in: int):
     return init
 
 
+def _act_site(mdl: nn.Module, t: jax.Array, name: str, act_scales):
+    """One int8-activation quantization site (see ops.quant).
+
+    ``act_scales`` selects the mode: None = off (exact reference numerics);
+    "calib" = sow per-channel max|t| into the ``act_stats`` collection;
+    a pytree = store ``t`` as int8 in HBM with ``act_scales[name]`` scales.
+    """
+    if act_scales is None:
+        return t
+    if isinstance(act_scales, str):  # "calib"
+        mdl.sow("act_stats", name,
+                jnp.max(jnp.abs(t.astype(jnp.float32)), axis=(0, 1, 2)))
+        return t
+    scale = act_scales.get(name)
+    if scale is None:  # site excluded (e.g. low-traffic levels)
+        return t
+    from ..ops.quant import fake_quant_act_int8
+
+    return fake_quant_act_int8(t, scale)
+
+
+def _sub_scales(act_scales, name: str):
+    """Slice a child module's entry out of the scales pytree (pass-through
+    for the None / "calib" modes; missing key = child runs unquantized)."""
+    if act_scales is None or isinstance(act_scales, str):
+        return act_scales
+    return act_scales.get(name)
+
+
 class ConvBlock(nn.Module):
     """[Conv3x3(no bias) -> GroupNorm -> SiLU] x 2 (reference: src/model.py:92-99).
 
@@ -74,7 +103,7 @@ class ConvBlock(nn.Module):
     pallas_gn: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, act_scales=None) -> jax.Array:
         f = self.features
         g = resolve_group_count(f, self.num_groups)
         cin = x.shape[-1]
@@ -89,7 +118,9 @@ class ConvBlock(nn.Module):
             from ..ops.pallas_kernels import fused_conv3x3_gn_silu
 
             y = fused_conv3x3_gn_silu(x, w1, s1, b1, num_groups=g)
-            return fused_conv3x3_gn_silu(y, w2, s2, b2, num_groups=g)
+            y = _act_site(self, y, "a1", act_scales)
+            y = fused_conv3x3_gn_silu(y, w2, s2, b2, num_groups=g)
+            return _act_site(self, y, "a2", act_scales)
 
         if self.pallas_gn:
             from ..ops.pallas_kernels import fused_group_norm_silu as _gns
@@ -101,10 +132,9 @@ class ConvBlock(nn.Module):
                 return silu(group_norm(y, s, b, num_groups=g))
 
         y = conv2d(x, w1, padding=1)
-        y = gn_silu(y, s1, b1)
+        y = _act_site(self, gn_silu(y, s1, b1), "a1", act_scales)
         y = conv2d(y, w2, padding=1)
-        y = gn_silu(y, s2, b2)
-        return y
+        return _act_site(self, gn_silu(y, s2, b2), "a2", act_scales)
 
 
 class DualConvBlock(nn.Module):
@@ -121,7 +151,8 @@ class DualConvBlock(nn.Module):
     pallas_gn: bool = False
 
     @nn.compact
-    def __call__(self, x_up: jax.Array, x_skip: jax.Array) -> jax.Array:
+    def __call__(self, x_up: jax.Array, x_skip: jax.Array,
+                 act_scales=None) -> jax.Array:
         f = self.features
         g = resolve_group_count(f, self.num_groups)
         params = {
@@ -132,8 +163,10 @@ class DualConvBlock(nn.Module):
             "gn2_scale": self.param("gn2_scale", nn.initializers.ones, (f,)),
             "gn2_bias": self.param("gn2_bias", nn.initializers.zeros, (f,)),
         }
+        act_hook = (None if act_scales is None
+                    else lambda t, name: _act_site(self, t, name, act_scales))
         return conv_block_dual(x_up, x_skip, params, num_groups=g,
-                               pallas_gn=self.pallas_gn)
+                               pallas_gn=self.pallas_gn, act_hook=act_hook)
 
 
 class UpConv2x(nn.Module):
@@ -182,7 +215,12 @@ class LightweightUNet(nn.Module):
         return bool(self.fused_blocks)
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, act_scales=None) -> jax.Array:
+        """``act_scales``: optional int8-activation quantization (serving
+        only — see ops.quant). None = exact reference numerics; "calib" =
+        record per-site per-channel max|x| into the mutable ``act_stats``
+        collection; a scales pytree (from ops.quant.scales_from_act_stats)
+        = store every inter-fusion activation as int8 in HBM."""
         f0 = self.features_start
         f = [f0, f0 * 2, f0 * 4, f0 * 8, f0 * 16]
         g = self.num_groups
@@ -193,24 +231,30 @@ class LightweightUNet(nn.Module):
             pallas_gn=self.pallas_gn, name=name)
         dual_block = nn.remat(DualConvBlock) if self.remat else DualConvBlock
         dual = partial(dual_block, pallas_gn=self.pallas_gn)
+        aq = lambda t, name: _act_site(self, t, name, act_scales)
+        sub = lambda name: _sub_scales(act_scales, name)
 
         x = x.astype(self.dtype)
 
-        enc1 = block(f[0], g, name="enc1")(x)
-        enc2 = block(f[1], g, name="enc2")(avg_pool_2x2(enc1))
-        enc3 = block(f[2], g, name="enc3")(avg_pool_2x2(enc2))
-        enc4 = block(f[3], g, name="enc4")(avg_pool_2x2(enc3))
+        enc1 = block(f[0], g, name="enc1")(x, act_scales=sub("enc1"))
+        enc2 = block(f[1], g, name="enc2")(
+            aq(avg_pool_2x2(enc1), "p1"), act_scales=sub("enc2"))
+        enc3 = block(f[2], g, name="enc3")(
+            aq(avg_pool_2x2(enc2), "p2"), act_scales=sub("enc3"))
+        enc4 = block(f[3], g, name="enc4")(
+            aq(avg_pool_2x2(enc3), "p3"), act_scales=sub("enc4"))
 
-        bottleneck = block(f[4], g, name="bottleneck")(avg_pool_2x2(enc4))
+        bottleneck = block(f[4], g, name="bottleneck")(
+            aq(avg_pool_2x2(enc4), "p4"), act_scales=sub("bottleneck"))
 
-        d4 = UpConv2x(f[4], f[3], name="upconv4")(bottleneck)
-        d4 = dual(f[3], g, name="dec4")(d4, enc4)
-        d3 = UpConv2x(f[3], f[2], name="upconv3")(d4)
-        d3 = dual(f[2], g, name="dec3")(d3, enc3)
-        d2 = UpConv2x(f[2], f[1], name="upconv2")(d3)
-        d2 = dual(f[1], g, name="dec2")(d2, enc2)
-        d1 = UpConv2x(f[1], f[0], name="upconv1")(d2)
-        d1 = dual(f[0], g, name="dec1")(d1, enc1)
+        d4 = aq(UpConv2x(f[4], f[3], name="upconv4")(bottleneck), "u4")
+        d4 = dual(f[3], g, name="dec4")(d4, enc4, act_scales=sub("dec4"))
+        d3 = aq(UpConv2x(f[3], f[2], name="upconv3")(d4), "u3")
+        d3 = dual(f[2], g, name="dec3")(d3, enc3, act_scales=sub("dec3"))
+        d2 = aq(UpConv2x(f[2], f[1], name="upconv2")(d3), "u2")
+        d2 = dual(f[1], g, name="dec2")(d2, enc2, act_scales=sub("dec2"))
+        d1 = aq(UpConv2x(f[1], f[0], name="upconv1")(d2), "u1")
+        d1 = dual(f[0], g, name="dec1")(d1, enc1, act_scales=sub("dec1"))
 
         wout = self.param("output_conv_weight", torch_conv_kernel_init, (1, 1, f[0], self.out_channels))
         bout = self.param("output_conv_bias", _uniform_bias_init(f[0]), (self.out_channels,))

@@ -147,6 +147,7 @@ def conv_block_dual(
     num_groups: int,
     eps: float = 1e-5,
     pallas_gn: bool = False,
+    act_hook=None,
 ) -> jax.Array:
     """Decoder block: conv_block(concat([x_up, x_skip]), ...) computed
     WITHOUT materializing the concatenation.
@@ -173,8 +174,12 @@ def conv_block_dual(
         x_skip, w1[:, :, f:, :], padding=1
     )
     y = gn_silu(y, params["gn1_scale"], params["gn1_bias"])
+    if act_hook is not None:  # int8-activation site (see ops.quant)
+        y = act_hook(y, "a1")
     y = conv2d(y, params["conv2"], padding=1)
     y = gn_silu(y, params["gn2_scale"], params["gn2_bias"])
+    if act_hook is not None:
+        y = act_hook(y, "a2")
     return y
 
 
