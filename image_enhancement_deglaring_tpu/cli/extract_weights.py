@@ -73,20 +73,13 @@ def main(argv=None):
     params = jax.tree_util.tree_map(np.asarray, params)
 
     if args.output_path.endswith(".npz"):
-        def flat(tree, prefix=()):
-            out = {}
-            if isinstance(tree, dict):
-                for k, v in tree.items():
-                    out.update(flat(v, prefix + (k,)))
-            else:
-                out["/".join(prefix)] = tree
-            return out
+        from ..utils.pytree import flatten_tree
 
         # for EnhancedUNet the BatchNorm running stats are part of the
         # weights (the torch state dict carries them too); nest both
         # collections so nothing is silently dropped
         tree = {"params": params, "batch_stats": stats} if stats else params
-        np.savez(args.output_path, **flat(tree))
+        np.savez(args.output_path, **flatten_tree(tree))
     elif args.output_path.endswith(".onnx"):
         from ..modelio.onnx_writer import (
             export_enhanced_unet,

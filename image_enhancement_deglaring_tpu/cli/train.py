@@ -89,7 +89,7 @@ def main(argv=None):
         project=args.wandb_project, config=vars(args),
     )
 
-    best_params, best_val, _state = train_model(
+    best_params, best_model_state, best_val, _state = train_model(
         model, train_loader, val_loader, epochs=args.epochs, lr=args.lr,
         weight_decay=args.weight_decay, clip_grad_norm=args.clip_grad_norm,
         patience=args.patience, output_dir=args.output_dir,
@@ -101,12 +101,20 @@ def main(argv=None):
 
     from ..train import save_checkpoint
 
+    # best_model_state carries the matching mutable collections (BatchNorm
+    # batch_stats for EnhancedUNet) — final_model must stay loadable
     save_checkpoint(os.path.join(args.output_dir, "final_model"),
-                    params=best_params, val_loss=best_val)
+                    params=best_params, model_state=best_model_state or None,
+                    val_loss=best_val)
     import numpy as np
 
+    from ..utils.pytree import flatten_tree
+
+    weights_tree = ({"params": best_params, "batch_stats": best_model_state["batch_stats"]}
+                    if best_model_state and "batch_stats" in best_model_state
+                    else best_params)
     np.savez(os.path.join(args.output_dir, "model_weights.npz"),
-             **{"/".join(map(str, k)): v for k, v in _flatten(best_params).items()})
+             **flatten_tree(weights_tree))
     from ..models import get_model_size_mb
 
     size_mb = get_model_size_mb(best_params)
@@ -114,16 +122,6 @@ def main(argv=None):
     print(f"Final model size: {size_mb:.2f} MB "
           f"({count_parameters(best_params):,} parameters)")
     logger.finish()
-
-
-def _flatten(tree, prefix=()):
-    out = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out.update(_flatten(v, prefix + (k,)))
-    else:
-        out[prefix] = tree
-    return out
 
 
 if __name__ == "__main__":

@@ -29,7 +29,8 @@ from ..ops.metrics import ssim as ssim_fn
 
 @partial(jax.jit, static_argnums=0)
 def _eval_step(apply_fn, params, x, y, mask):
-    """Returns (masked batch-mean L1, per-image PSNR, per-image SSIM).
+    """Returns (masked batch-mean L1, per-image PSNR, per-image SSIM, raw
+    prediction — so visualizations don't pay a second forward pass).
 
     mask: (B,) 1.0 for real samples, 0.0 for padding.
     """
@@ -45,14 +46,11 @@ def _eval_step(apply_fn, params, x, y, mask):
 
     clipped = jnp.clip(out[..., 0], 0.0, 1.0)
     target = y[..., 0]
-    psnrs = jax.vmap(psnr_fn)(clipped, target) * mask
-    ssims = jax.vmap(ssim_fn)(clipped, target) * mask
-    return l1, psnrs, ssims
-
-
-@partial(jax.jit, static_argnums=0)
-def _jit_apply(apply_fn, params, x):
-    return apply_fn({"params": params}, x)
+    # where(), not *mask: a padded all-zero row can hit mse=0 -> psnr=inf,
+    # and inf * 0.0 = NaN would poison the totals
+    psnrs = jnp.where(mask > 0, jax.vmap(psnr_fn)(clipped, target), 0.0)
+    ssims = jnp.where(mask > 0, jax.vmap(ssim_fn)(clipped, target), 0.0)
+    return l1, psnrs, ssims, out
 
 
 def evaluate(apply_fn, params, val_loader, *, save_visualizations: bool = False,
@@ -90,6 +88,11 @@ def evaluate(apply_fn, params, val_loader, *, save_visualizations: bool = False,
         except ImportError:
             pass
 
+    if static_b is not None and mesh is not None:
+        # an explicit batch size must still divide the mesh evenly
+        n_dev = mesh.devices.size
+        static_b = -(-static_b // n_dev) * n_dev
+
     for x, y in iterator:
         b = x.shape[0]
         if static_b is None:
@@ -108,8 +111,8 @@ def evaluate(apply_fn, params, val_loader, *, save_visualizations: bool = False,
             x = jax.device_put(x, sharding)
             y = jax.device_put(y, sharding)
             mask = jax.device_put(mask, sharding)
-        l1, psnrs, ssims = _eval_step(apply_fn, params, jnp.asarray(x),
-                                      jnp.asarray(y), jnp.asarray(mask))
+        l1, psnrs, ssims, out = _eval_step(apply_fn, params, jnp.asarray(x),
+                                           jnp.asarray(y), jnp.asarray(mask))
         total_loss += float(l1)
         total_psnr += float(jnp.sum(psnrs))
         total_ssim += float(jnp.sum(ssims))
@@ -118,7 +121,7 @@ def evaluate(apply_fn, params, val_loader, *, save_visualizations: bool = False,
 
         if save_visualizations and visualizations_dir and vis_count < max_vis_samples:
             vis_count = _save_visualizations(
-                x, y, apply_fn, params, b, visualizations_dir, vis_count,
+                x, y, np.asarray(out), b, visualizations_dir, vis_count,
                 max_vis_samples, np.asarray(psnrs), np.asarray(ssims),
             )
 
@@ -130,16 +133,18 @@ def evaluate(apply_fn, params, val_loader, *, save_visualizations: bool = False,
     }
 
 
-def _save_visualizations(x, y, apply_fn, params, b, out_dir, vis_count,
+def _save_visualizations(x, y, pred, b, out_dir, vis_count,
                          max_vis, psnrs, ssims) -> int:
-    """3-panel input/prediction/target figures (reference: evaluate.py:275-305)."""
+    """3-panel input/prediction/target figures (reference: evaluate.py:275-305).
+
+    ``pred`` is the prediction _eval_step already computed — no second
+    forward pass."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     os.makedirs(out_dir, exist_ok=True)
-    pred = np.asarray(_jit_apply(apply_fn, params, jnp.asarray(x)))
     for i in range(b):
         if vis_count >= max_vis:
             break
@@ -163,15 +168,9 @@ def _save_visualizations(x, y, apply_fn, params, b, out_dir, vis_count,
 
 def _unflatten_npz(path: str) -> dict:
     """Rebuild the nested pytree from flat ``a/b/c`` npz keys."""
-    tree: dict = {}
-    with np.load(path) as flat:
-        for key in flat.files:
-            node = tree
-            parts = key.split("/")
-            for p in parts[:-1]:
-                node = node.setdefault(p, {})
-            node[parts[-1]] = flat[key]
-    return tree
+    from ..utils.pytree import load_npz_tree
+
+    return load_npz_tree(path)
 
 
 def load_model_for_eval(model_path: str, *, model_arch: str = "auto",

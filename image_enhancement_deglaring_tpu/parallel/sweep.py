@@ -295,55 +295,76 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
     """
     space = space or SearchSpace()
     rng = np.random.default_rng(seed)
-    sampler = sample_tpe if method == "tpe" else sample_random
-    history: list[Trial] = []
-    trials = sampler(rng, n_trials, space, history) if method == "tpe" else \
-        sample_random(rng, n_trials, space)
     os.makedirs(output_dir, exist_ok=True)
 
     rungs = hyperband_rungs(min_iter, max_epochs, eta)
-    by_bs: dict[int, list[Trial]] = {}
-    for t in trials:
-        by_bs.setdefault(t.batch_size, []).append(t)
-
     all_trials: list[Trial] = []
     best: Trial | None = None
-    for bs, bs_trials in sorted(by_bs.items()):
-        train_loader, val_loader = loader_factory(bs)
-        chunk = max_parallel_trials if max_parallel_trials > 0 else len(bs_trials)
-        for g0 in range(0, len(bs_trials), chunk):
-            group_trials = bs_trials[g0 : g0 + chunk]
-            group = VmappedTrialGroup(model_factory(), group_trials,
-                                      mesh=mesh, seed=seed)
-            epoch = 0
-            for rung_idx, rung in enumerate(rungs):
-                while epoch < rung and group.trials:
-                    group.train_epoch(train_loader, epoch)
-                    val_losses = group.val_epoch(val_loader)
-                    group.step_schedulers(val_losses)
-                    for t, v in zip(group.trials, val_losses):
-                        t.val_losses.append(float(v))
-                        if logger is not None:
-                            logger.log({f"trial_{t.trial_id}/val_loss": float(v),
-                                        f"trial_{t.trial_id}/lr": t.lr}, step=epoch)
-                    epoch += 1
-                if rung_idx < len(rungs) - 1 and len(group.trials) > 1:
-                    order = np.argsort([t.best_val_loss for t in group.trials])
-                    n_keep = max(1, len(group.trials) // eta)
-                    dropped = [group.trials[i] for i in order[n_keep:]]
-                    for t in dropped:
-                        t.stopped_at = epoch
-                        all_trials.append(t)
-                    group.keep([int(i) for i in order[:n_keep]])
-            all_trials.extend(group.trials)
-            for i, t in enumerate(group.trials):
-                if best is None or t.best_val_loss < best.best_val_loss:
-                    best = t
-                    np.savez(
-                        os.path.join(output_dir, "best_trial_params.npz"),
-                        **{"/".join(map(str, k)): v for k, v in
-                           _flatten(group.params_of(i)).items()},
-                    )
+
+    from ..utils.pytree import flatten_tree
+
+    def run_trial_batch(trials: list[Trial]) -> None:
+        nonlocal best
+        by_bs: dict[int, list[Trial]] = {}
+        for t in trials:
+            by_bs.setdefault(t.batch_size, []).append(t)
+        for bs, bs_trials in sorted(by_bs.items()):
+            train_loader, val_loader = loader_factory(bs)
+            chunk = (max_parallel_trials if max_parallel_trials > 0
+                     else len(bs_trials))
+            for g0 in range(0, len(bs_trials), chunk):
+                group_trials = bs_trials[g0 : g0 + chunk]
+                group = VmappedTrialGroup(model_factory(), group_trials,
+                                          mesh=mesh, seed=seed)
+                epoch = 0
+                # host snapshot of each trial's params at its BEST epoch —
+                # end-of-training weights can be worse than the best loss
+                # the results file reports
+                best_snap: dict[int, dict] = {}
+                for rung_idx, rung in enumerate(rungs):
+                    while epoch < rung and group.trials:
+                        group.train_epoch(train_loader, epoch)
+                        val_losses = group.val_epoch(val_loader)
+                        group.step_schedulers(val_losses)
+                        for i, (t, v) in enumerate(zip(group.trials, val_losses)):
+                            v = float(v)
+                            if v < t.best_val_loss:
+                                best_snap[t.trial_id] = group.params_of(i)
+                            t.val_losses.append(v)
+                            if logger is not None:
+                                # the scheduler's CURRENT lr, not the trial's
+                                # initial sample — plateau decays must show
+                                logger.log(
+                                    {f"trial_{t.trial_id}/val_loss": v,
+                                     f"trial_{t.trial_id}/lr": group.schedulers[i].lr},
+                                    step=epoch)
+                        epoch += 1
+                    if rung_idx < len(rungs) - 1 and len(group.trials) > 1:
+                        order = np.argsort([t.best_val_loss for t in group.trials])
+                        n_keep = max(1, len(group.trials) // eta)
+                        dropped = [group.trials[i] for i in order[n_keep:]]
+                        for t in dropped:
+                            t.stopped_at = epoch
+                            all_trials.append(t)
+                        group.keep([int(i) for i in order[:n_keep]])
+                all_trials.extend(group.trials)
+                for t in group.trials:
+                    if best is None or t.best_val_loss < best.best_val_loss:
+                        best = t
+                        np.savez(os.path.join(output_dir, "best_trial_params.npz"),
+                                 **flatten_tree(best_snap[t.trial_id]))
+
+    if method == "tpe":
+        # two-wave TPE: an exploratory random wave builds the history the
+        # good/bad density split needs (sampling everything upfront would
+        # degenerate to pure random — there is no history yet), then the
+        # remaining trials are drawn from the fitted densities
+        n_first = min(n_trials, max(4, n_trials // 2))
+        run_trial_batch(sample_random(rng, n_first, space))
+        if n_trials > n_first:
+            run_trial_batch(sample_tpe(rng, n_trials - n_first, space, all_trials))
+    else:
+        run_trial_batch(sample_random(rng, n_trials, space))
 
     result = {
         "best": _trial_dict(best),
@@ -367,16 +388,6 @@ def run_sweep_from_config(model_factory, loader_factory, cfg, *, mesh=None,
         output_dir=output_dir, space=space, logger=logger,
         max_parallel_trials=cfg.parallel_trials,
     )
-
-
-def _flatten(tree, prefix=()):
-    out = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out.update(_flatten(v, prefix + (k,)))
-    else:
-        out[prefix] = tree
-    return out
 
 
 def _trial_dict(t: Trial | None) -> dict | None:

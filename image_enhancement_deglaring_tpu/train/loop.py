@@ -140,12 +140,16 @@ def make_val_step(apply_fn, metric_subset: int = 4, *, stateful: bool = False):
         denom = jnp.maximum(jnp.sum(mask) * np.prod(x.shape[1:]), 1.0)
         loss = jnp.sum(jnp.abs(out - yf) * m) / denom
         k = min(metric_subset, x.shape[0])
-        pred = out[:k, ..., 0]
+        # metrics on CLIPPED output (loss stays unclipped) — the reference's
+        # eval semantics (reference: evaluate.py:251 vs :259-272)
+        pred = jnp.clip(out[:k, ..., 0], 0.0, 1.0)
         tgt = yf[:k, ..., 0]
         mk = mask[:k]
         mk_n = jnp.maximum(jnp.sum(mk), 1.0)
-        psnr = jnp.sum(jax.vmap(psnr_fn)(pred, tgt) * mk) / mk_n
-        ssim = jnp.sum(jax.vmap(ssim_fn)(pred, tgt) * mk) / mk_n
+        # where(), not *mask: a padded all-zero row can give mse=0 ->
+        # psnr=inf, and inf * 0.0 = NaN would poison the sum
+        psnr = jnp.sum(jnp.where(mk > 0, jax.vmap(psnr_fn)(pred, tgt), 0.0)) / mk_n
+        ssim = jnp.sum(jnp.where(mk > 0, jax.vmap(ssim_fn)(pred, tgt), 0.0)) / mk_n
         return loss, psnr, ssim, out
 
     return val_step
@@ -188,8 +192,11 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                 resume_from: str | None = None,
                 lr_controller: ReduceLROnPlateau | None = None,
                 watch_every: int = 0):
-    """Train ``model`` (a Flax module); returns (best_params, best_val_loss,
-    final_state).
+    """Train ``model`` (a Flax module); returns (best_params,
+    best_model_state, best_val_loss, final_state) — best_model_state is the
+    mutable-collection snapshot (e.g. BatchNorm batch_stats) taken at the
+    same epoch as best_params, so stateful models stay usable ({} for
+    stateless ones).
 
     ``mesh``: optional 1-D jax.sharding.Mesh for data parallelism; batches
     are sharded on its axis, state replicated.
@@ -269,7 +276,9 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
 
     best_val_loss = float("inf")
     best_params = None
+    best_model_state = None
     epochs_without_improvement = 0
+    warned_no_val = False
     history = {"train_loss": [], "val_loss": []}
 
     for epoch in range(start_epoch, epochs):
@@ -346,7 +355,16 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             val_psnr = float(vs[:, 1].mean())
             val_ssim = float(vs[:, 2].mean())
         else:
-            val_loss = val_psnr = val_ssim = 0.0
+            # no validation data: fall back to the train loss as the
+            # plateau/early-stop signal — a constant 0.0 here would silently
+            # early-stop after `patience` epochs and decay the LR forever
+            val_loss = train_loss
+            val_psnr = val_ssim = 0.0
+            if not warned_no_val:
+                warned_no_val = True
+                print("Warning: validation loader is empty — using the train "
+                      "loss for LR scheduling, early stopping, and "
+                      "best-model tracking")
         history["val_loss"].append(val_loss)
 
         # --------------------------------------------- schedule / log / save
@@ -390,6 +408,11 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             epochs_without_improvement = 0
             best_val_loss = val_loss
             best_params = jax.tree_util.tree_map(np.asarray, state.params)
+            # snapshot the MATCHING mutable collections (BatchNorm stats):
+            # best params with another epoch's running stats would be a
+            # silently different model
+            best_model_state = jax.tree_util.tree_map(np.asarray,
+                                                      state.model_state)
             save_checkpoint(
                 os.path.join(output_dir, "best_model"),
                 params=state.params, opt_state=state.opt_state,
@@ -422,7 +445,9 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
     _plot_losses(history, output_dir)
     if best_params is None:
         best_params = jax.tree_util.tree_map(np.asarray, state.params)
-    return best_params, best_val_loss, state
+    if best_model_state is None:
+        best_model_state = jax.tree_util.tree_map(np.asarray, state.model_state)
+    return best_params, best_model_state, best_val_loss, state
 
 
 def _plot_losses(history: dict, output_dir: str) -> None:

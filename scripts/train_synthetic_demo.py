@@ -57,7 +57,7 @@ def main():
 
     model = LightweightUNet(dtype=jnp.bfloat16)
     t0 = time.time()
-    best_params, best_val, _ = train_model(
+    best_params, _best_ms, best_val, _ = train_model(
         model, train_loader, val_loader, epochs=args.epochs,
         output_dir=args.out_dir, save_every=1000,
         validation_metrics_every=25, progress=False, patience=40,

@@ -93,3 +93,38 @@ def test_evaluate_mesh_sharded_matches_single_device(rng):
     np.testing.assert_allclose(sharded["l1_loss"], solo["l1_loss"], rtol=1e-5)
     np.testing.assert_allclose(sharded["psnr"], solo["psnr"], rtol=1e-5)
     np.testing.assert_allclose(sharded["ssim"], solo["ssim"], rtol=1e-5)
+
+
+def test_evaluate_mesh_with_explicit_nondivisible_batch(rng):
+    """An explicit --batch_size that doesn't divide the mesh must round up
+    to a mesh-aligned padded shape instead of crashing on uneven sharding."""
+    from image_enhancement_deglaring_tpu.parallel import make_mesh
+
+    batches = []
+    for b in (6, 6):
+        x = rng.random((b, 32, 32, 1)).astype(np.float32)
+        y = np.clip(x + rng.normal(0, 0.05, x.shape), 0, 1).astype(np.float32)
+        batches.append((x, y))
+    params = {"bias": jnp.asarray(0.02, jnp.float32)}
+    solo = evaluate(_identityish_apply, params, list(batches), batch_size=6,
+                    progress=False)
+    mesh = make_mesh(8)
+    sharded = evaluate(_identityish_apply, params, list(batches), batch_size=6,
+                       progress=False, mesh=mesh)
+    assert sharded["num_samples"] == solo["num_samples"] == 12
+    np.testing.assert_allclose(sharded["psnr"], solo["psnr"], rtol=1e-5)
+
+
+def test_evaluate_padded_identical_rows_stay_finite():
+    """mse=0 on a padded row gives psnr=inf; masking must not turn the
+    totals into NaN (inf * 0 = NaN with plain multiplication)."""
+    x = np.zeros((3, 32, 32, 1), np.float32)
+    y = np.zeros((3, 32, 32, 1), np.float32)
+    params = {"bias": jnp.asarray(0.0, jnp.float32)}  # exact identity
+    got = evaluate(_identityish_apply, params, [(x, y)], batch_size=4,
+                   progress=False)
+    # the REAL identical rows legitimately give psnr=+inf; the padded row
+    # must contribute exactly 0, never NaN
+    assert not np.isnan(got["psnr"])
+    assert np.isfinite(got["ssim"])
+    assert got["num_samples"] == 3

@@ -125,6 +125,33 @@ def test_run_sweep_end_to_end(tmp_path, toy):
     assert (tmp_path / "best_trial_params.npz").exists()
 
 
+def test_run_sweep_tpe_two_waves(tmp_path, toy):
+    """method='tpe' runs an exploratory random wave then samples the rest
+    from the fitted good/bad densities — the TPE trials (ids >= wave size)
+    must exist and carry real results, and the saved best params must be
+    the BEST-epoch snapshot (loadable via the shared npz convention)."""
+    from image_enhancement_deglaring_tpu.utils.pytree import load_npz_tree
+
+    x, y = toy
+
+    def loader_factory(bs):
+        return _ArrayLoader(x, y, bs), _ArrayLoader(x[:8], y[:8], bs)
+
+    result = run_sweep(
+        _tiny_model, loader_factory, n_trials=6, max_epochs=2, min_iter=2,
+        eta=2, method="tpe", seed=0, output_dir=str(tmp_path),
+        space=SearchSpace(batch_sizes=(8,)),
+    )
+    assert len(result["trials"]) == 6
+    # wave 1 = 4 random trials (ids 0..3), wave 2 = 2 TPE trials (ids 4,5)
+    ids = sorted(t["trial_id"] for t in result["trials"])
+    assert ids == [0, 1, 2, 3, 4, 5]
+    for t in result["trials"]:
+        assert t["epochs_run"] > 0, "every trial must have trained"
+    tree = load_npz_tree(str(tmp_path / "best_trial_params.npz"))
+    assert jax.tree_util.tree_leaves(tree), "best params must round-trip"
+
+
 def test_run_sweep_parallel_trials_cap_same_result(tmp_path, toy):
     """max_parallel_trials chunks vmapped groups without changing which
     hyperparameters win (trials are independent)."""

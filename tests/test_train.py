@@ -165,7 +165,7 @@ def test_train_model_end_to_end(tmp_path, toy_data):
     model = LightweightUNet()
     train_loader = _ArrayLoader(x[:8], y[:8], 4)
     val_loader = _ArrayLoader(x[8:], y[8:], 4)
-    best_params, best_val, state = train_model(
+    best_params, _bms, best_val, state = train_model(
         model, train_loader, val_loader, epochs=2, lr=1e-3,
         output_dir=str(tmp_path), save_every=10, progress=False,
     )
@@ -185,7 +185,7 @@ def test_stateful_training_enhanced_unet(tmp_path, toy_data):
     x64 = np.repeat(np.repeat(x[:8], 2, axis=1), 2, axis=2)
     y64 = np.repeat(np.repeat(y[:8], 2, axis=1), 2, axis=2)
     train_loader = _ArrayLoader(x64, y64, 4)
-    best_params, best_val, state = train_model(
+    best_params, _bms, best_val, state = train_model(
         EnhancedUNet(), train_loader, _ArrayLoader(x64[:4], y64[:4], 4),
         epochs=1, lr=1e-3, output_dir=str(tmp_path), progress=False,
     )
@@ -194,6 +194,50 @@ def test_stateful_training_enhanced_unet(tmp_path, toy_data):
     # running stats must have moved away from init
     bs = jax.tree_util.tree_leaves(state.model_state["batch_stats"])
     assert any(not np.allclose(np.asarray(b), 0) for b in bs)
+    # the returned best snapshot must carry the MATCHING batch_stats so a
+    # final_model saved from it stays loadable for eval/serving
+    assert "batch_stats" in _bms
+    from image_enhancement_deglaring_tpu.eval import load_model_for_eval
+
+    final = str(tmp_path / "final_model")
+    save_checkpoint(final, params=best_params, model_state=_bms)
+    apply_fn, loaded = load_model_for_eval(final, model_arch="auto")
+    out = apply_fn({"params": loaded}, jnp.zeros((1, 64, 64, 1)))
+    assert out.shape == (1, 64, 64, 1)
+
+
+def test_empty_val_loader_uses_train_loss(tmp_path, toy_data):
+    """No validation data: the loop must not silently early-stop after
+    `patience` epochs on a constant val_loss of 0.0."""
+    x, y = toy_data
+    train_loader = _ArrayLoader(x, y, 8)
+    empty = _ArrayLoader(x[:0], y[:0], 8)
+    best_params, _bms, best_val, _state = train_model(
+        _MODEL, train_loader, empty, epochs=4, lr=1e-3, patience=2,
+        output_dir=str(tmp_path), progress=False,
+    )
+    # best tracking follows the (decreasing) train loss -> finite, non-zero
+    assert np.isfinite(best_val) and best_val > 0
+
+
+def test_val_metrics_clipped_and_nan_safe(toy_data):
+    """Padded all-zero rows can give mse=0 -> psnr=inf; the masked metric
+    must stay finite. Metrics are computed on CLIPPED output (reference
+    eval semantics), loss on the raw output."""
+    from image_enhancement_deglaring_tpu.train.loop import make_val_step
+
+    val_step = make_val_step(_MODEL.apply)
+    params = jax.jit(_MODEL.init)(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, SIZE, SIZE, 1)))["params"]
+    x, y = toy_data
+    xb = np.concatenate([x[:2], np.zeros((2, SIZE, SIZE, 1), np.float32)])
+    yb = np.concatenate([y[:2], np.zeros((2, SIZE, SIZE, 1), np.float32)])
+    mask = np.array([1.0, 1.0, 0.0, 0.0], np.float32)
+    loss, psnr, ssim, _out = val_step(params, {}, jnp.asarray(xb),
+                                      jnp.asarray(yb), jnp.asarray(mask))
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(psnr))
+    assert np.isfinite(float(ssim))
 
 
 def test_resume_from_checkpoint_continues_exactly(tmp_path, toy_data):
@@ -203,18 +247,18 @@ def test_resume_from_checkpoint_continues_exactly(tmp_path, toy_data):
     train_loader = _ArrayLoader(x[:8], y[:8], 4)
     val_loader = _ArrayLoader(x[8:], y[8:], 4)
     model = _MODEL
-    _, _, state1 = train_model(
+    _, _, _, state1 = train_model(
         model, train_loader, val_loader, epochs=1, lr=1e-3,
         output_dir=str(tmp_path / "a"), save_every=1, progress=False,
     )
     # epoch-1 checkpoint exists; resume and run one more epoch
-    _, _, state2 = train_model(
+    _, _, _, state2 = train_model(
         model, train_loader, val_loader, epochs=2, lr=1e-3,
         output_dir=str(tmp_path / "b"), save_every=100, progress=False,
         resume_from=str(tmp_path / "a" / "checkpoint_epoch_1"),
     )
     # continuous run for 2 epochs from scratch
-    _, _, state_full = train_model(
+    _, _, _, state_full = train_model(
         model, train_loader, val_loader, epochs=2, lr=1e-3,
         output_dir=str(tmp_path / "c"), save_every=100, progress=False,
     )
@@ -243,9 +287,9 @@ def test_mesh_sharded_validation_matches_single_device(tmp_path, toy_data):
     train_loader = _ArrayLoader(x[:8], y[:8], 8)
     val_loader = _RaggedLoader(x[8:15], y[8:15], 4)  # batches of 4 and 3
     common = dict(epochs=2, lr=1e-3, save_every=100, progress=False)
-    _, best1, _ = train_model(_MODEL, train_loader, val_loader,
+    _, _, best1, _ = train_model(_MODEL, train_loader, val_loader,
                               output_dir=str(tmp_path / "single"), **common)
-    _, best8, _ = train_model(_MODEL, train_loader, val_loader,
+    _, _, best8, _ = train_model(_MODEL, train_loader, val_loader,
                               output_dir=str(tmp_path / "mesh"),
                               mesh=make_mesh(8), **common)
     np.testing.assert_allclose(best1, best8, rtol=2e-4)
