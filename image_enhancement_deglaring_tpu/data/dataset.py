@@ -136,6 +136,7 @@ class DevicePrefetcher:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
         error: list[BaseException] = []
 
         def worker():
@@ -148,7 +149,19 @@ class DevicePrefetcher:
                         batch = jax.device_put(batch, self.sharding)
                     else:
                         batch = jax.device_put(batch)
-                    q.put(batch)
+                    # bounded put with a stop check: if the consumer
+                    # abandons iteration (train-step exception, break,
+                    # generator GC) a plain q.put would block forever,
+                    # leaking the thread AND the device-resident batches
+                    # already in the queue
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surface in the consumer, don't
                 error.append(e)        # silently truncate the epoch
             finally:
@@ -156,12 +169,21 @@ class DevicePrefetcher:
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # drain so a blocked final put can't outlive us, then join
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5)
         if error:
             raise error[0]
 

@@ -46,6 +46,16 @@ def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
         shift += 7
 
 
+def _signed64(v: int) -> int:
+    """Reinterpret an unsigned varint as two's-complement int64.
+
+    Protobuf encodes negative int64 fields (ONNX int attributes like
+    axis=-1, and int64_data entries like Reshape shapes with -1) as
+    10-byte varints equal to v + 2^64; without this they'd decode as huge
+    positives and crash/corrupt the import."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _iter_fields(buf: bytes, start: int, end: int):
     """Yield (field_number, wire_type, value) over a message's bytes.
 
@@ -123,9 +133,9 @@ def _parse_tensor(buf: bytes, start: int, end: int) -> tuple[str, np.ndarray]:
             i = s
             while i < e:
                 d, i = _read_varint(buf, i)
-                int64_data.append(d)
+                int64_data.append(_signed64(d))
         elif fn == 7 and wt == 0:
-            int64_data.append(v)
+            int64_data.append(_signed64(v))
         elif fn == 8:  # name
             name = _span_str(buf, v)
         elif fn == 9:  # raw_data
@@ -154,19 +164,19 @@ def _parse_attribute(buf: bytes, start: int, end: int) -> tuple[str, object]:
         elif fn == 2:  # f (float, fixed32)
             val = struct.unpack("<f", struct.pack("<I", v))[0]
         elif fn == 3:  # i (int)
-            val = v
+            val = _signed64(v)
         elif fn == 4:  # s (bytes)
             val = buf[v[0] : v[1]]
         elif fn == 8 and wt == 0:  # ints (repeated, onnx.proto3 field 8)
-            ints.append(v)
+            ints.append(_signed64(v))
         elif fn == 8 and wt == 2:  # packed ints
             s, e = v
             i = s
             while i < e:
                 d, i = _read_varint(buf, i)
-                ints.append(d)
+                ints.append(_signed64(d))
         elif fn == 7 and wt == 0:  # legacy: our pre-fix exporter wrote ints
-            ints.append(v)         # under field 7 (spec: floats) unpacked
+            ints.append(_signed64(v))  # under field 7 (spec: floats) unpacked
         elif fn == 5:  # t (tensor)
             val = _parse_tensor(buf, v[0], v[1])[1]
     if ints:

@@ -21,6 +21,11 @@ import numpy as np
 
 
 def _varint(v: int) -> bytes:
+    if v < 0:
+        # protobuf stores negative int64 (e.g. axis=-1 attributes) as
+        # two's-complement 10-byte varints; Python's arithmetic shift would
+        # otherwise loop forever on a negative value
+        v &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = v & 0x7F

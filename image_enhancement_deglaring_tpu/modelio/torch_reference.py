@@ -15,27 +15,36 @@ from __future__ import annotations
 import numpy as np
 
 
-def torch_forward_lightweight(params: dict, x_nhwc: np.ndarray) -> np.ndarray:
+def torch_forward_lightweight(params: dict, x_nhwc: np.ndarray,
+                              num_groups: int = 8) -> np.ndarray:
     """Run the LightweightUNet computation with torch functional ops.
 
     Args:
         params: our Flax params pytree (see models/unet.py).
         x_nhwc: float32 (N, H, W, 1).
+        num_groups: the model's GroupNorm budget; the per-block count is
+            resolved with the same largest-divisor rule the Flax model
+            uses (reference: src/model.py:71-86), so non-default
+            features_start/num_groups configs stay comparable.
     Returns:
         float32 (N, H, W, 1).
     """
     import torch
     import torch.nn.functional as F
 
+    from ..ops.conv_blocks import resolve_group_count
+
     def t(a):
         return torch.from_numpy(np.asarray(a))
 
     def block(x, p):
+        g = resolve_group_count(int(np.asarray(p["gn1_scale"]).shape[0]),
+                                num_groups)
         x = F.conv2d(x, t(p["conv1"]).permute(3, 2, 0, 1), padding=1)
-        x = F.group_norm(x, 8, t(p["gn1_scale"]), t(p["gn1_bias"]))
+        x = F.group_norm(x, g, t(p["gn1_scale"]), t(p["gn1_bias"]))
         x = F.silu(x)
         x = F.conv2d(x, t(p["conv2"]).permute(3, 2, 0, 1), padding=1)
-        x = F.group_norm(x, 8, t(p["gn2_scale"]), t(p["gn2_bias"]))
+        x = F.group_norm(x, g, t(p["gn2_scale"]), t(p["gn2_bias"]))
         return F.silu(x)
 
     with torch.no_grad():

@@ -63,13 +63,20 @@ def quantize_params_int8(params, *, per_channel: bool = False):
     :func:`dequantize_params_int8`.
     """
 
-    def quant_leaf(x):
+    def quant_leaf(path, x):
         x = jnp.asarray(x)
         if x.ndim < 2:
             return x, jnp.asarray(1.0, jnp.float32)
         xf = x.astype(jnp.float32)
         if per_channel:
-            axes = tuple(range(x.ndim - 1))
+            # output-channel axis: last for HWIO conv / (in, out) dense
+            # kernels, but axis 1 for ConvTranspose weights stored in the
+            # torch (Cin, Cout, kh, kw) layout (models/unet.py UpConv2x) —
+            # reducing over all-but-last there would pool every output
+            # channel into kw-indexed scales
+            path_str = "/".join(str(getattr(k, "key", k)) for k in path)
+            ch_axis = 1 if ("upconv" in path_str and x.ndim == 4) else x.ndim - 1
+            axes = tuple(a for a in range(x.ndim) if a != ch_axis)
             amax = jnp.max(jnp.abs(xf), axis=axes, keepdims=True)
         else:
             amax = jnp.max(jnp.abs(xf))
@@ -77,8 +84,8 @@ def quantize_params_int8(params, *, per_channel: bool = False):
         q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
         return q, scale.astype(jnp.float32)
 
-    flat, treedef = jax.tree_util.tree_flatten(params)
-    pairs = [quant_leaf(x) for x in flat]
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    pairs = [quant_leaf(path, x) for path, x in flat]
     qparams = jax.tree_util.tree_unflatten(treedef, [p[0] for p in pairs])
     scales = jax.tree_util.tree_unflatten(treedef, [p[1] for p in pairs])
     return qparams, scales

@@ -106,7 +106,8 @@ def batched_psnr_ssim(
     data_range: float = 1.0,
     clip_pred: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
-    """Per-image PSNR and SSIM over a batch of NHWC (or NHW1) images.
+    """Per-image PSNR and SSIM over a batch of single-channel images
+    (NHW1, N1HW, or NHW).
 
     The reference clips predictions to [0, 1] before metrics but NOT before
     L1 (reference: evaluate.py:251 vs :264) — hence ``clip_pred`` here and
@@ -118,8 +119,14 @@ def batched_psnr_ssim(
     p = pred.astype(jnp.float32)
     t = target.astype(jnp.float32)
     if p.ndim == 4:
-        p = p[..., 0] if p.shape[-1] == 1 else p.squeeze(1)
-        t = t[..., 0] if t.shape[-1] == 1 else t.squeeze(1)
+        if p.shape[-1] == 1:      # NHW1
+            p, t = p[..., 0], t[..., 0]
+        elif p.shape[1] == 1:     # NCHW single-channel (torch-layout input)
+            p, t = p[:, 0], t[:, 0]
+        else:
+            raise ValueError(
+                f"batched_psnr_ssim expects single-channel images (NHW1, "
+                f"N1HW, or NHW); got shape {tuple(pred.shape)}")
     if clip_pred:
         p = jnp.clip(p, 0.0, 1.0)
     psnrs = jax.vmap(lambda a, b: psnr(a, b, data_range=data_range))(p, t)

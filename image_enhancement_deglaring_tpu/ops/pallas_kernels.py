@@ -111,7 +111,11 @@ def _fused_gn_silu_pallas(x, scale, bias, *, num_groups: int, eps: float,
             pl.BlockSpec((1, c), lambda i, p, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda i, p, t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_h, w, c), lambda i, p, t: (i, t, 0, 0),
+        # p*t: every phase-0 step aliases tile 0's slot, which phase 1
+        # rewrites before it is ever flushed -> no phantom stores (same
+        # trick as the flat kernel below; phase 0 never writes o_ref)
+        out_specs=pl.BlockSpec((1, tile_h, w, c),
+                               lambda i, p, t: (i, p * t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
         interpret=interpret,
@@ -490,6 +494,12 @@ def fused_conv3x3_gn_silu(x: jax.Array, w: jax.Array, scale: jax.Array,
     if not use_pallas:
         y = conv2d(x, w, padding=1)
         return silu(group_norm(y, scale, bias, num_groups=num_groups, eps=eps))
+    if cout % num_groups != 0:
+        # the auto path checks this; a forced use_pallas=True must not
+        # silently compute ragged pseudo-group statistics
+        raise ValueError(
+            f"fused conv+GN+SiLU needs cout % num_groups == 0 "
+            f"(got cout={cout}, num_groups={num_groups})")
     interpret = jax.default_backend() != "tpu"
     if images_per_step is not None and images_per_step > 1:
         if n % images_per_step != 0:

@@ -264,3 +264,28 @@ def test_heavy_augment_geometry_applies_to_both_image_and_mask():
     out_i, out_t = heavy_augment(img, tgt, _R([0.1, 0.1, 0.9, 0.9, 0.9, 0.9]))
     np.testing.assert_array_equal(out_i, np.rot90(img, 1)[:, ::-1])
     np.testing.assert_array_equal(out_t, np.rot90(tgt, 1)[:, ::-1])
+
+
+def test_prefetcher_abandoned_iteration_stops_worker():
+    """Breaking out of iteration early (train-step exception, early stop)
+    must not leave the producer thread blocked on a full queue forever."""
+    import gc
+    import threading
+    import time
+
+    from image_enhancement_deglaring_tpu.data.dataset import DevicePrefetcher
+
+    batches = [(np.zeros((2, 8, 8, 1), np.float32),
+                np.zeros((2, 8, 8, 1), np.float32)) for _ in range(50)]
+    before = set(threading.enumerate())
+    it = iter(DevicePrefetcher(batches, prefetch=2))
+    next(it)  # start the worker, then abandon mid-epoch
+    it.close()
+    gc.collect()
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        leaked = [t for t in set(threading.enumerate()) - before if t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.1)
+    assert not leaked, f"prefetcher worker leaked: {leaked}"

@@ -77,3 +77,21 @@ def test_batched_metrics_clip_semantics(rng):
     np.testing.assert_allclose(np.asarray(psnrs), want, rtol=1e-4)
     l1 = float(_jit_l1(jnp.asarray(pred), jnp.asarray(target)))
     np.testing.assert_allclose(l1, 0.5, rtol=1e-5)
+
+
+def test_batched_metrics_layouts():
+    """NHW1 and single-channel NCHW both work; true multi-channel raises
+    instead of silently squeezing the wrong axis."""
+    import pytest
+    from image_enhancement_deglaring_tpu.ops.metrics import batched_psnr_ssim
+
+    rng = np.random.default_rng(0)
+    a = rng.random((2, 16, 16, 1)).astype(np.float32)
+    b = np.clip(a + 0.01, 0, 1).astype(np.float32)
+    p1, s1 = batched_psnr_ssim(jnp.asarray(a), jnp.asarray(b))
+    p2, s2 = batched_psnr_ssim(jnp.asarray(np.transpose(a, (0, 3, 1, 2))),
+                               jnp.asarray(np.transpose(b, (0, 3, 1, 2))))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+    with pytest.raises(ValueError, match="single-channel"):
+        batched_psnr_ssim(jnp.zeros((2, 16, 16, 3)), jnp.zeros((2, 16, 16, 3)))

@@ -64,3 +64,29 @@ def test_quantized_model_output_close():
     q, scales = quantize_params_int8(params)
     y_q = fwd({"params": dequantize_params_int8(q, scales)}, x)
     assert float(jnp.max(jnp.abs(y - y_q))) < 0.05
+
+
+def test_per_channel_quant_upconv_axis():
+    """ConvTranspose weights are (Cin, Cout, 2, 2): per-channel scales must
+    be per OUTPUT channel (axis 1), not per kw column."""
+    import jax
+    import jax.numpy as jnp
+    from image_enhancement_deglaring_tpu.models import LightweightUNet
+    from image_enhancement_deglaring_tpu.models.model_utils import (
+        dequantize_params_int8,
+        quantize_params_int8,
+    )
+
+    params = jax.jit(LightweightUNet().init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    q, s = quantize_params_int8(params, per_channel=True)
+    up_w = params["upconv4"]["weight"]          # (128, 64, 2, 2)
+    up_s = s["upconv4"]["weight"]
+    assert up_w.shape == (128, 64, 2, 2)
+    assert up_s.shape == (1, 64, 1, 1), f"wrong channel axis: {up_s.shape}"
+    # HWIO conv kernels stay per-output-channel on the last axis
+    assert s["enc1"]["conv1"].shape == (1, 1, 1, 8)
+    # round-trip error bounded by scale/2 per output channel
+    deq = dequantize_params_int8(q, s)
+    err = jnp.abs(deq["upconv4"]["weight"] - up_w)
+    assert float(jnp.max(err - up_s * 0.5)) <= 1e-6

@@ -90,3 +90,58 @@ def test_reader_rejects_truncated_model(tmp_path, params):
         )
 
         lightweight_unet_params_from_onnx(str(trunc))
+
+
+def test_negative_ints_roundtrip_through_codec():
+    """Protobuf varints are two's-complement for negative int64: axis=-1
+    attributes and Reshape shapes like [0, 8, -1] must survive the
+    writer -> reader round trip (standard ONNX files use both)."""
+    from image_enhancement_deglaring_tpu.modelio.onnx_reader import (
+        _parse_attribute,
+        _parse_tensor,
+    )
+    from image_enhancement_deglaring_tpu.modelio.onnx_writer import (
+        _attribute,
+        _tensor,
+        _varint,
+    )
+
+    # scalar int attribute axis=-1
+    buf = _attribute("axis", -1)
+    name, val = _parse_attribute(buf, 0, len(buf))
+    assert (name, val) == ("axis", -1)
+
+    # repeated ints attribute with negatives
+    buf = _attribute("axes", [-1, 0, -2])
+    name, val = _parse_attribute(buf, 0, len(buf))
+    assert (name, val) == ("axes", [-1, 0, -2])
+
+    # int64 tensor carrying a -1 (e.g. a Reshape shape initializer)
+    buf = _tensor("shape", np.asarray([0, 8, -1], np.int64))
+    name, arr = _parse_tensor(buf, 0, len(buf))
+    assert name == "shape"
+    np.testing.assert_array_equal(arr, [0, 8, -1])
+
+    # the varint encoder itself must terminate on negatives (10 bytes)
+    assert len(_varint(-1)) == 10
+
+
+def test_reader_decodes_unpacked_negative_int64_data():
+    """int64_data stored as unpacked varints (onnx.helper default for
+    small tensors) with negative entries decodes signed."""
+    from image_enhancement_deglaring_tpu.modelio.onnx_reader import _parse_tensor
+    from image_enhancement_deglaring_tpu.modelio.onnx_writer import (
+        _int_field,
+        _str_field,
+        _tag,
+        _varint,
+    )
+
+    msg = _tag(1, 0) + _varint(2)            # dims: [2]
+    msg += _int_field(2, 7)                  # data_type: INT64
+    msg += _str_field(8, "t")                # name
+    msg += _tag(7, 0) + _varint(5)           # int64_data: 5
+    msg += _tag(7, 0) + _varint(-3)          # int64_data: -3
+    name, arr = _parse_tensor(msg, 0, len(msg))
+    assert name == "t"
+    np.testing.assert_array_equal(arr, [5, -3])

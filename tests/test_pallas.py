@@ -177,3 +177,12 @@ def test_pick_tile_h_divides():
     for h in [8, 24, 512, 100, 96]:
         t = _pick_tile_h(h, 4096)
         assert h % t == 0 and t >= 1
+
+
+def test_fused_conv_forced_rejects_bad_groups(rng):
+    """use_pallas=True must not silently compute ragged pseudo-group GN."""
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 64, 64)).astype(np.float32) * 0.1)
+    with pytest.raises(ValueError, match="num_groups"):
+        fused_conv3x3_gn_silu(x, w, jnp.ones(64), jnp.zeros(64), num_groups=5,
+                              use_pallas=True)

@@ -228,3 +228,24 @@ def test_enhanced_unet_pth_import(tmp_path, rng):
         jnp.zeros((1, 64, 64, 1)),
     )
     assert y.shape == (1, 64, 64, 1)
+
+
+def test_torch_oracle_respects_group_resolution():
+    """The parity oracle must resolve per-block group counts like the Flax
+    model (largest-divisor rule) for non-default configs."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_enhancement_deglaring_tpu.models import LightweightUNet
+    from image_enhancement_deglaring_tpu.modelio.torch_reference import (
+        torch_forward_lightweight,
+    )
+
+    model = LightweightUNet(features_start=4)  # first level: 4ch -> groups=4
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 32, 32, 1)))["params"]
+    x = np.random.default_rng(0).random((1, 32, 32, 1)).astype(np.float32)
+    want = np.asarray(model.apply({"params": params}, x))
+    got = torch_forward_lightweight(
+        jax.tree_util.tree_map(np.asarray, params), x)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
