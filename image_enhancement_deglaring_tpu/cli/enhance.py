@@ -65,7 +65,11 @@ def main(argv=None):
         else:
             x = decode_inference_image(path, args.image_size)  # float [0,1]
             out = run((x * 255).astype(np.uint8))
-        out_path = os.path.join(args.output_dir, os.path.basename(path))
+        # always write PNG (documented contract; reference: main.py:98) —
+        # keeping a .jpg name would save lossy AND collide with the
+        # visualization path below
+        stem = os.path.splitext(os.path.basename(path))[0]
+        out_path = os.path.join(args.output_dir, stem + ".png")
         Image.fromarray(out, mode="L").save(out_path)
         print(f"Output saved to: {out_path}")
         if args.visualize:
@@ -92,7 +96,8 @@ def _visualize(input_path, output_image, output_path):
     ax[1].set_title("De-glared Image")
     ax[1].axis("off")
     fig.tight_layout()
-    fig.savefig(output_path.replace(".png", "_comparison.png"))
+    base, _ext = os.path.splitext(output_path)
+    fig.savefig(base + "_comparison.png")
     plt.close(fig)
 
 

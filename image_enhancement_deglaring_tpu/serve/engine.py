@@ -102,9 +102,12 @@ class InferenceEngine:
         self.pipeline_depth = max(1, pipeline_depth)
         self._inflight: queue.Queue = queue.Queue(maxsize=self.pipeline_depth)
         self._drainer: threading.Thread | None = None
-        # rolling serving stats (last 1024 requests)
+        # rolling serving stats (last 1024 requests); the lock guards
+        # stats() readers against the drainer's concurrent appends
+        # ("deque mutated during iteration")
         from collections import deque
 
+        self._stats_lock = threading.Lock()
         self._latencies: deque[float] = deque(maxlen=1024)
         self._batch_fill: deque[int] = deque(maxlen=1024)
         self._served = 0
@@ -134,20 +137,20 @@ class InferenceEngine:
 
     def stats(self) -> dict:
         """Serving observability: request latencies and batch fill."""
-        lat = sorted(self._latencies)
+        with self._stats_lock:
+            lat = sorted(self._latencies)
+            fill = list(self._batch_fill)
+            served = self._served
 
         def pct(p):
             return lat[min(len(lat) - 1, int(p * len(lat)))] * 1000 if lat else None
 
         return {
-            "requests_served": self._served,
+            "requests_served": served,
             "latency_ms_p50": pct(0.50),
             "latency_ms_p95": pct(0.95),
             "latency_ms_p99": pct(0.99),
-            "mean_batch_fill": (
-                sum(self._batch_fill) / len(self._batch_fill)
-                if self._batch_fill else None
-            ),
+            "mean_batch_fill": sum(fill) / len(fill) if fill else None,
         }
 
     def _bucket_for(self, b: int) -> int:
@@ -252,6 +255,12 @@ class InferenceEngine:
 
     def submit(self, img_u8: np.ndarray) -> Future:
         """Enqueue one uint8 (S,S) frame; resolves to uint8 (S,S)."""
+        s = self.image_size
+        if img_u8.shape not in ((s, s), (s, s, 1)):
+            # fail fast: a wrong-shape frame inside a coalesced batch would
+            # blow up np.stack for every request batched with it
+            raise ValueError(
+                f"submit expects a ({s}, {s}) frame, got {img_u8.shape}")
         if self._worker is None:
             self.start()
         fut: Future = Future()
@@ -279,8 +288,8 @@ class InferenceEngine:
                         batch.append(req_queue.get(timeout=remaining))
                     except queue.Empty:
                         break
-                imgs = np.stack([b[0] for b in batch])
                 try:
+                    imgs = np.stack([b[0] for b in batch])
                     squeeze = imgs.ndim == 3
                     if squeeze:
                         imgs = imgs[..., None]
@@ -322,9 +331,11 @@ class InferenceEngine:
                 done = _now()
                 for (_, fut, t_enq), out in zip(batch, outs):
                     fut.set_result(out)
-                    self._latencies.append(done - t_enq)
-                self._batch_fill.append(len(batch))
-                self._served += len(batch)
+                with self._stats_lock:
+                    for _, _f, t_enq in batch:
+                        self._latencies.append(done - t_enq)
+                    self._batch_fill.append(len(batch))
+                    self._served += len(batch)
             except Exception as e:  # pragma: no cover
                 for _, fut, _t in batch:
                     if not fut.done():

@@ -30,14 +30,18 @@ from logging.handlers import RotatingFileHandler
 import numpy as np
 
 
-def make_api_logger(log_dir: str | None = None, name: str = "image_enhancement_api"):
+def make_api_logger(log_dir: str | None = None, name: str = "image_enhancement_api",
+                    filename: str = "api.log"):
+    """``filename``: per-process log file name — RotatingFileHandler's
+    rename-based rotation is unsafe across processes, so multi-worker
+    serving gives each process its own file (serve/ipc.py)."""
     logger = logging.getLogger(name)
     if logger.handlers:
         return logger
     logger.setLevel(logging.DEBUG)
     log_dir = log_dir or os.path.join(os.getcwd(), "logs")
     os.makedirs(log_dir, exist_ok=True)
-    fh = RotatingFileHandler(os.path.join(log_dir, "api.log"),
+    fh = RotatingFileHandler(os.path.join(log_dir, filename),
                              maxBytes=10485760, backupCount=5)
     fh.setLevel(logging.DEBUG)
     fh.setFormatter(logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s"))
@@ -155,7 +159,7 @@ class DeglareServer:
     def __init__(self, engine, *, host: str = "0.0.0.0", port: int = 4000,
                  image_size: int = 512, mode: str = "resize",
                  tiler=None, log_dir: str | None = None,
-                 allow_reload: bool = False):
+                 allow_reload: bool = False, log_filename: str = "api.log"):
         """Args:
             engine: InferenceEngine (512^2 path).
             mode: "resize" reproduces the reference API exactly (downsample
@@ -172,7 +176,7 @@ class DeglareServer:
         self.mode = mode
         self.tiler = tiler
         self.allow_reload = allow_reload
-        self.logger = make_api_logger(log_dir)
+        self.logger = make_api_logger(log_dir, filename=log_filename)
         self._server: asyncio.AbstractServer | None = None
         # request-processing pool: asyncio's default executor is ~5 threads,
         # which caps concurrent requests (each blocks on the engine future
@@ -219,7 +223,14 @@ class DeglareServer:
             )
             img_np = np.array(img)
             if img_np.ndim == 3 and img_np.shape[2] >= 3:
+                # RGB/RGBA: luminance convert (reference: api/app.py:140-146)
                 img_gray = np.array(Image.fromarray(img_np).convert("L"))
+            elif img.mode != "L":
+                # every other PIL mode (LA, palette 'P', 1-bit, 16-bit
+                # 'I;16', ...) — a raw np.array would 500 on (H,W,2) shapes
+                # or silently feed palette indices / mod-256-wrapped values
+                # to the model
+                img_gray = np.array(img.convert("L"))
             else:
                 img_gray = img_np
 
@@ -339,7 +350,26 @@ class DeglareServer:
                 keep_alive = (version.upper() != "HTTP/1.0" or conn == "keep-alive") \
                     and conn != "close"
 
-                length = int(headers.get("content-length", "0") or 0)
+                if "chunked" in headers.get("transfer-encoding", "").lower():
+                    # unsupported framing: answering without consuming the
+                    # chunked body would desync the keep-alive stream
+                    await self._respond(writer, 501,
+                                        {"detail": "chunked transfer-encoding "
+                                                   "not supported"},
+                                        close=True)
+                    return
+                try:
+                    length = int(headers.get("content-length", "0") or 0)
+                except ValueError:
+                    await self._respond(writer, 400,
+                                        {"detail": "Bad Content-Length"},
+                                        close=True)
+                    return
+                if length < 0:
+                    await self._respond(writer, 400,
+                                        {"detail": "Bad Content-Length"},
+                                        close=True)
+                    return
                 if length > self.MAX_BODY_BYTES:
                     await self._respond(writer, 413,
                                         {"detail": "Request body too large"},

@@ -19,6 +19,7 @@ reference: api/app.py:221-222).
 from __future__ import annotations
 
 import os
+import queue
 import threading
 from concurrent.futures import Future
 from multiprocessing.connection import Client, Listener
@@ -71,16 +72,36 @@ class EngineIPCServer:
             t = threading.Thread(target=self._serve_conn, args=(conn,),
                                  daemon=True)
             t.start()
+            # prune finished connection threads so the list stays bounded
+            self._threads = [x for x in self._threads if x.is_alive()]
             self._threads.append(t)
 
     def _serve_conn(self, conn) -> None:
-        send_lock = threading.Lock()
+        # replies go through a per-connection writer thread: future
+        # callbacks run in the ENGINE's drainer thread, and a conn.send
+        # that blocks on a wedged worker's socket there would freeze
+        # result delivery for every worker
+        out_q: queue.Queue = queue.Queue(maxsize=1024)
+
+        def writer():
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                try:
+                    conn.send(item)
+                except (OSError, BrokenPipeError):
+                    return
+
+        wt = threading.Thread(target=writer, daemon=True)
+        wt.start()
 
         def reply(kind, req_id, payload):
             try:
-                with send_lock:
-                    conn.send((kind, req_id, payload))
-            except (OSError, BrokenPipeError):
+                # a worker that stopped reading gets its replies dropped
+                # (it isn't consuming them anyway) instead of blocking us
+                out_q.put_nowait((kind, req_id, payload))
+            except queue.Full:
                 pass
 
         try:
@@ -101,6 +122,10 @@ class EngineIPCServer:
         except (EOFError, OSError):
             pass
         finally:
+            try:
+                out_q.put_nowait(None)
+            except queue.Full:
+                pass
             try:
                 conn.close()
             except Exception:
@@ -174,9 +199,12 @@ def _worker_main(address: str, host: str, port: int, image_size: int,
     from .http_server import DeglareServer
 
     engine = RemoteEngine(address)
+    # per-process log file: RotatingFileHandler's rename rotation is not
+    # multi-process safe on a shared path
     server = DeglareServer(engine, host=host, port=port,
                            image_size=image_size, mode="resize",
-                           log_dir=log_dir)
+                           log_dir=log_dir,
+                           log_filename=f"api.worker{os.getpid()}.log")
 
     async def run():
         srv = await asyncio.start_server(server._handle, host, port,

@@ -120,8 +120,18 @@ class TiledInference:
         # snapshot the weights once so a concurrent reload_params() can't
         # stitch one image from two different checkpoints mid-request
         params = self.params
-        pending = []  # dispatch every chunk, drain after — jax dispatch is
-        for c0 in range(0, n, step):  # async, so chunks pipeline on device
+        # bounded dispatch window: chunks pipeline on device (jax dispatch
+        # is async), but a huge image must not keep hundreds of in-flight
+        # input/output buffers live in HBM — drain the oldest once the
+        # window fills (same pattern as the engine's pipeline_depth)
+        max_inflight = 4
+        pending: list = []
+
+        def drain_one():
+            c0_, b_, res = pending.pop(0)
+            out[c0_ : c0_ + b_] = np.asarray(res)[:b_]
+
+        for c0 in range(0, n, step):
             chunk = tiles_u8[c0 : c0 + step]
             b = chunk.shape[0]
             bucket = self._bucket_for(b)
@@ -138,8 +148,10 @@ class TiledInference:
             else:
                 batch = jnp.asarray(batch)
             pending.append((c0, b, self._forward(params, batch)))
-        for c0, b, res in pending:
-            out[c0 : c0 + b] = np.asarray(res)[:b]
+            if len(pending) >= max_inflight:
+                drain_one()
+        while pending:
+            drain_one()
         return out
 
     # --------------------------------------------------------------- host

@@ -387,6 +387,60 @@ def test_unknown_route_404(live_server):
     assert status == 404
 
 
+@pytest.mark.parametrize("mode", ["LA", "P", "1", "I;16"])
+def test_infer_exotic_pil_modes(live_server, rng, mode):
+    """Grayscale+alpha, palette, 1-bit, and 16-bit uploads must convert
+    cleanly instead of 500ing (LA) or feeding garbage to the model."""
+    img = Image.fromarray(
+        (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)).convert(
+            "I" if mode == "I;16" else mode)
+    if mode == "I;16":
+        img = img.convert("I;16")
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    boundary = "modeb"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="image"; filename="t.png"\r\n'
+        "Content-Type: image/png\r\n\r\n"
+    ).encode() + buf.getvalue() + f"\r\n--{boundary}--\r\n".encode()
+    status, data = _request(
+        *live_server, "POST", "/infer", body,
+        {"Content-Type": f"multipart/form-data; boundary={boundary}"})
+    assert status == 200, data
+    out = Image.open(io.BytesIO(base64.b64decode(json.loads(data)["image"])))
+    assert out.mode == "L" and out.size == (SIZE, SIZE)
+
+
+def test_bad_content_length_400(live_server):
+    """A malformed Content-Length must get a 400, not a dropped socket."""
+    host, port = live_server
+    with socket.create_connection((host, port), timeout=10) as s:
+        s.sendall(b"POST /infer HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Length: banana\r\n\r\n")
+        resp = s.recv(65536)
+    assert b"400" in resp.split(b"\r\n", 1)[0]
+
+
+def test_chunked_transfer_rejected_501(live_server):
+    """Chunked framing is unsupported; it must be rejected explicitly
+    (answering 400 and then parsing the unread body would desync
+    keep-alive)."""
+    host, port = live_server
+    with socket.create_connection((host, port), timeout=10) as s:
+        s.sendall(b"POST /infer HTTP/1.1\r\nHost: x\r\n"
+                  b"Transfer-Encoding: chunked\r\n\r\n")
+        resp = s.recv(65536)
+    assert b"501" in resp.split(b"\r\n", 1)[0]
+
+
+def test_engine_submit_rejects_wrong_shape(engine, rng):
+    """A wrong-shape frame must fail fast at submit(), not kill the
+    collector for every coalesced request."""
+    with pytest.raises(ValueError, match="frame"):
+        engine.submit(np.zeros((SIZE + 1, SIZE), np.uint8))
+
+
 # ------------------------------------------------------ multi-chip serving
 
 
