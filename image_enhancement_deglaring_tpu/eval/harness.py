@@ -71,12 +71,13 @@ def evaluate(apply_fn, params, val_loader, *, save_visualizations: bool = False,
 
         params = replicate(params, mesh)
         sharding = batch_sharding(mesh)
-    total_loss = 0.0
-    total_psnr = 0.0
-    total_ssim = 0.0
     num_batches = 0
     total_samples = 0
     vis_count = 0
+    # per-batch reduced scalars stay ON DEVICE; one stacked fetch at the
+    # end (a float() per batch would sync the dispatch pipeline every step
+    # — same design as the train loop's epoch metrics)
+    batch_stats: list = []
 
     static_b = batch_size
     iterator = val_loader
@@ -113,9 +114,7 @@ def evaluate(apply_fn, params, val_loader, *, save_visualizations: bool = False,
             mask = jax.device_put(mask, sharding)
         l1, psnrs, ssims, out = _eval_step(apply_fn, params, jnp.asarray(x),
                                            jnp.asarray(y), jnp.asarray(mask))
-        total_loss += float(l1)
-        total_psnr += float(jnp.sum(psnrs))
-        total_ssim += float(jnp.sum(ssims))
+        batch_stats.append(jnp.stack([l1, jnp.sum(psnrs), jnp.sum(ssims)]))
         num_batches += 1
         total_samples += b
 
@@ -125,10 +124,14 @@ def evaluate(apply_fn, params, val_loader, *, save_visualizations: bool = False,
                 max_vis_samples, np.asarray(psnrs), np.asarray(ssims),
             )
 
+    if batch_stats:
+        totals = np.asarray(jnp.stack(batch_stats), np.float64).sum(axis=0)
+    else:
+        totals = np.zeros(3)
     return {
-        "l1_loss": total_loss / max(num_batches, 1),
-        "psnr": total_psnr / max(total_samples, 1),
-        "ssim": total_ssim / max(total_samples, 1),
+        "l1_loss": float(totals[0]) / max(num_batches, 1),
+        "psnr": float(totals[1]) / max(total_samples, 1),
+        "ssim": float(totals[2]) / max(total_samples, 1),
         "num_samples": total_samples,
     }
 
