@@ -114,3 +114,9 @@ def test_make_synthetic_cli(tmp_path):
 
     assert len(list_image_paths(str(tmp_path / "sd1" / "train"))) == 2
     assert len(list_image_paths(str(tmp_path / "sd1" / "val"))) == 1
+
+
+def test_check_dataset_cli_missing_dir():
+    from image_enhancement_deglaring_tpu.cli.check_dataset import main
+
+    assert main(["/nonexistent/dataset/dir"]) == 1
