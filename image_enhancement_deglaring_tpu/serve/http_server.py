@@ -155,6 +155,11 @@ class DeglareServer:
     PNG_COMPRESS_LEVEL = 1
     #: idle keep-alive wait before closing a persistent connection
     KEEPALIVE_TIMEOUT_S = 15.0
+    #: bound on one request's engine wait — generous enough for a cold
+    #: first dispatch (remote-compile tunnels have been measured taking
+    #: minutes), small enough that a truly wedged device step cannot hold
+    #: connections forever
+    INFER_TIMEOUT_S = 300.0
 
     def __init__(self, engine, *, host: str = "0.0.0.0", port: int = 4000,
                  image_size: int = 512, mode: str = "resize",
@@ -257,7 +262,8 @@ class DeglareServer:
                 # must not block forever (futures error out on stop(), but a
                 # wedged device step would otherwise hang the connection)
                 enhanced_u8 = self.engine.submit(
-                    resized.astype(np.uint8)).result(timeout=120)
+                    resized.astype(np.uint8)).result(
+                        timeout=self.INFER_TIMEOUT_S)
                 enhanced_img = Image.fromarray(enhanced_u8, mode="L")
                 if original_size != (s, s):
                     enhanced_img = enhanced_img.resize(original_size, Image.LANCZOS)
