@@ -852,3 +852,30 @@ def test_multiprocess_workers_end_to_end(small_model, rng, tmp_path):
             p.terminate()
         ipc.stop()
         eng.stop()
+
+
+def test_server_survives_garbage_streams(live_server, rng):
+    """Malformed request lines, truncated headers, binary garbage, and
+    abrupt disconnects must never kill the server loop — /ping still
+    answers afterwards."""
+    host, port = live_server
+    payloads = [
+        b"\x00\xff\xfe\x01garbage\r\n\r\n",
+        b"GET\r\n\r\n",                        # too few request-line parts
+        b"POST /infer HTTP/1.1\r\nContent-Length: 10\r\n\r\nshort",  # body cut
+        b"GET /ping HTTP/1.1\r\nHeaderWithoutColon\r\n\r\n",
+        bytes(rng.integers(0, 256, 512, dtype=np.uint8)),
+    ]
+    for p in payloads:
+        try:
+            with socket.create_connection((host, port), timeout=10) as s:
+                s.sendall(p)
+                s.settimeout(2)
+                try:
+                    s.recv(4096)
+                except (TimeoutError, OSError):
+                    pass
+        except OSError:
+            pass
+    status, data = _request(host, port, "GET", "/ping")
+    assert status == 200 and data == b'{"message":"pong"}'
