@@ -57,6 +57,7 @@ def main(argv=None):
     else:
         raise SystemExit(f"Input path not found: {args.input}")
 
+    written: set[str] = set()
     for path in files:
         print(f"Processing image: {path}")
         if args.mode == "tile":
@@ -67,9 +68,15 @@ def main(argv=None):
             out = run((x * 255).astype(np.uint8))
         # always write PNG (documented contract; reference: main.py:98) —
         # keeping a .jpg name would save lossy AND collide with the
-        # visualization path below
+        # visualization path below; uniquify if two inputs share a stem
+        # (scan.png + scan.jpg must not clobber each other)
         stem = os.path.splitext(os.path.basename(path))[0]
         out_path = os.path.join(args.output_dir, stem + ".png")
+        n = 1
+        while out_path in written:
+            out_path = os.path.join(args.output_dir, f"{stem}_{n}.png")
+            n += 1
+        written.add(out_path)
         Image.fromarray(out, mode="L").save(out_path)
         print(f"Output saved to: {out_path}")
         if args.visualize:

@@ -256,7 +256,9 @@ class InferenceEngine:
     def submit(self, img_u8: np.ndarray) -> Future:
         """Enqueue one uint8 (S,S) frame; resolves to uint8 (S,S)."""
         s = self.image_size
-        if img_u8.shape not in ((s, s), (s, s, 1)):
+        if img_u8.shape == (s, s, 1):
+            img_u8 = img_u8[..., 0]  # normalize rank so coalesced batches
+        elif img_u8.shape != (s, s):  # never mix (S,S) with (S,S,1)
             # fail fast: a wrong-shape frame inside a coalesced batch would
             # blow up np.stack for every request batched with it
             raise ValueError(

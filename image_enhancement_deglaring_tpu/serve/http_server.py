@@ -226,18 +226,13 @@ class DeglareServer:
                 f"[{request_id}] Original image dimensions: "
                 f"{original_size[0]}x{original_size[1]}, mode: {img.mode}"
             )
-            img_np = np.array(img)
-            if img_np.ndim == 3 and img_np.shape[2] >= 3:
-                # RGB/RGBA: luminance convert (reference: api/app.py:140-146)
-                img_gray = np.array(Image.fromarray(img_np).convert("L"))
-            elif img.mode != "L":
-                # every other PIL mode (LA, palette 'P', 1-bit, 16-bit
-                # 'I;16', ...) — a raw np.array would 500 on (H,W,2) shapes
-                # or silently feed palette indices / mod-256-wrapped values
-                # to the model
-                img_gray = np.array(img.convert("L"))
-            else:
-                img_gray = img_np
+            # PIL-side luminance conversion for EVERY non-L mode
+            # (reference: api/app.py:140-146 for RGB/RGBA — identical
+            # result; plus LA/palette/1-bit/16-bit/CMYK/YCbCr, where a raw
+            # np.array would 500 on odd shapes or silently feed palette
+            # indices / wrapped values / misread CMYK planes to the model)
+            img_gray = (np.array(img) if img.mode == "L"
+                        else np.array(img.convert("L")))
 
             if mode == "tile" and self.tiler is not None:
                 log.info(f"[{request_id}] Tiled full-resolution inference "
@@ -430,7 +425,8 @@ class DeglareServer:
     async def _respond(self, writer, status: int, payload: dict,
                        close: bool = False) -> None:
         reasons = {200: "OK", 400: "Bad Request", 404: "Not Found",
-                   413: "Payload Too Large", 500: "Internal Server Error"}
+                   413: "Payload Too Large", 500: "Internal Server Error",
+                   501: "Not Implemented"}
         body = json.dumps(payload, separators=(",", ":")).encode()
         head = (
             f"HTTP/1.1 {status} {reasons.get(status, 'OK')}\r\n"

@@ -98,11 +98,16 @@ class EngineIPCServer:
 
         def reply(kind, req_id, payload):
             try:
-                # a worker that stopped reading gets its replies dropped
-                # (it isn't consuming them anyway) instead of blocking us
                 out_q.put_nowait((kind, req_id, payload))
             except queue.Full:
-                pass
+                # the worker stopped reading: dropping the reply would leave
+                # its Future unresolved for the client's full timeout —
+                # close the connection instead so RemoteEngine fails every
+                # pending future promptly ("engine connection lost")
+                try:
+                    conn.close()
+                except Exception:
+                    pass
 
         try:
             while not self._stop.is_set():
@@ -111,7 +116,13 @@ class EngineIPCServer:
                 if kind == "stats":
                     reply("ok", req_id, self.engine.stats())
                 elif kind == "infer":
-                    fut = self.engine.submit(msg[2])
+                    try:
+                        fut = self.engine.submit(msg[2])
+                    except Exception as e:
+                        # per-request error (e.g. wrong frame shape), NOT a
+                        # reason to kill the whole worker connection
+                        reply("err", req_id, str(e))
+                        continue
                     fut.add_done_callback(
                         lambda f, rid=req_id: reply("ok", rid, f.result())
                         if f.exception() is None
@@ -122,14 +133,18 @@ class EngineIPCServer:
         except (EOFError, OSError):
             pass
         finally:
-            try:
-                out_q.put_nowait(None)
-            except queue.Full:
-                pass
+            # close first (unblocks a writer stuck in conn.send), then make
+            # room for the sentinel so the writer thread always exits
             try:
                 conn.close()
             except Exception:
                 pass
+            while True:
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+            out_q.put(None)
 
 
 class RemoteEngine:

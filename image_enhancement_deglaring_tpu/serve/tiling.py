@@ -50,7 +50,7 @@ class TiledInference:
 
     def __init__(self, apply_fn, params, *, tile: int = 512, overlap: int = 32,
                  compute_dtype=jnp.bfloat16, mesh=None,
-                 max_tiles_per_batch: int = 8):
+                 max_tiles_per_batch: int = 8, pipeline_depth: int = 4):
         """``mesh``: optional 1-D Mesh — tile batches shard across it and
         batch buckets snap to multiples of the mesh size.
         ``max_tiles_per_batch``: cap on tiles per device call — the bucket
@@ -65,6 +65,9 @@ class TiledInference:
         self.compute_dtype = compute_dtype
         self.mesh = mesh
         self.max_tiles_per_batch = max_tiles_per_batch
+        #: cap on concurrently dispatched tile-batch chunks (bounds live
+        #: HBM buffers for huge images; mirrors InferenceEngine's knob)
+        self.pipeline_depth = max(1, pipeline_depth)
         self._window = _blend_window(tile, overlap)
         self._forward = jax.jit(
             partial(self._device_forward, apply_fn, compute_dtype)
@@ -123,8 +126,8 @@ class TiledInference:
         # bounded dispatch window: chunks pipeline on device (jax dispatch
         # is async), but a huge image must not keep hundreds of in-flight
         # input/output buffers live in HBM — drain the oldest once the
-        # window fills (same pattern as the engine's pipeline_depth)
-        max_inflight = 4
+        # window fills
+        max_inflight = self.pipeline_depth
         pending: list = []
 
         def drain_one():

@@ -120,3 +120,35 @@ def test_check_dataset_cli_missing_dir():
     from image_enhancement_deglaring_tpu.cli.check_dataset import main
 
     assert main(["/nonexistent/dataset/dir"]) == 1
+
+
+def test_enhance_stem_collision_uniquified(tmp_path, monkeypatch):
+    """scan.png + scan.jpg in one input dir must not clobber each other's
+    PNG outputs."""
+    import numpy as np
+    from PIL import Image
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    img = Image.fromarray(
+        (np.random.default_rng(0).random((32, 32)) * 255).astype(np.uint8))
+    img.save(indir / "scan.png")
+    img.convert("RGB").save(indir / "scan.jpg")
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_enhancement_deglaring_tpu.cli import enhance
+    from image_enhancement_deglaring_tpu.models import LightweightUNet
+
+    model = LightweightUNet()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 32, 32, 1)))["params"]
+    monkeypatch.setattr(
+        "image_enhancement_deglaring_tpu.eval.load_model_for_eval",
+        lambda *a, **k: (model.apply, params))
+    outdir = tmp_path / "out"
+    enhance.main(["--input", str(indir), "--output_dir", str(outdir),
+                  "--model_path", "ignored", "--image_size", "32"])
+    names = sorted(p.name for p in outdir.iterdir())
+    assert names == ["scan.png", "scan_1.png"]

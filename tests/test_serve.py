@@ -387,17 +387,18 @@ def test_unknown_route_404(live_server):
     assert status == 404
 
 
-@pytest.mark.parametrize("mode", ["LA", "P", "1", "I;16"])
+@pytest.mark.parametrize("mode", ["LA", "P", "1", "I;16", "CMYK"])
 def test_infer_exotic_pil_modes(live_server, rng, mode):
-    """Grayscale+alpha, palette, 1-bit, and 16-bit uploads must convert
-    cleanly instead of 500ing (LA) or feeding garbage to the model."""
+    """Grayscale+alpha, palette, 1-bit, 16-bit, and CMYK uploads must
+    convert cleanly instead of 500ing (LA) or feeding garbage to the model
+    (CMYK planes misread as RGBA)."""
     img = Image.fromarray(
         (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)).convert(
             "I" if mode == "I;16" else mode)
     if mode == "I;16":
         img = img.convert("I;16")
     buf = io.BytesIO()
-    img.save(buf, format="PNG")
+    img.save(buf, format="JPEG" if mode == "CMYK" else "PNG")
     boundary = "modeb"
     body = (
         f"--{boundary}\r\n"
