@@ -880,3 +880,32 @@ def test_server_survives_garbage_streams(live_server, rng):
             pass
     status, data = _request(host, port, "GET", "/ping")
     assert status == 200 and data == b'{"message":"pong"}'
+
+
+def test_remote_engine_bad_frame_err_reply(small_model, tmp_path):
+    """A wrong-shape frame over IPC gets a per-request error reply; the
+    connection survives and later requests still work."""
+    from image_enhancement_deglaring_tpu.serve.ipc import (
+        EngineIPCServer,
+        RemoteEngine,
+    )
+
+    apply_fn, params = small_model
+    eng = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=4,
+                          batch_timeout_ms=2.0, compute_dtype=jnp.float32,
+                          warmup=False)
+    addr = str(tmp_path / "e.sock")
+    ipc = EngineIPCServer(eng, addr)
+    ipc.start()
+    try:
+        remote = RemoteEngine(addr)
+        bad = remote.submit(np.zeros((SIZE + 3, SIZE), np.uint8))
+        with pytest.raises(RuntimeError, match="frame"):
+            bad.result(timeout=30)
+        # same connection still serves good frames
+        good = remote.submit(np.zeros((SIZE, SIZE), np.uint8))
+        assert good.result(timeout=60).shape == (SIZE, SIZE)
+        remote.stop()
+    finally:
+        ipc.stop()
+        eng.stop()
