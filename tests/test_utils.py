@@ -139,3 +139,29 @@ def test_wandb_mirroring_images_and_histograms(tmp_path, monkeypatch):
     assert hist_logs and fake.histograms == [10]
     assert fake.run.summary["best_val_loss"] == 0.4
     assert fake.finished
+
+
+def test_pytree_npz_roundtrip(tmp_path):
+    """The shared flat-npz convention round-trips nested pytrees exactly
+    (one implementation for train CLI, sweep, extract_weights, loaders)."""
+    import numpy as np
+
+    from image_enhancement_deglaring_tpu.utils.pytree import (
+        flatten_tree,
+        load_npz_tree,
+        unflatten_tree,
+    )
+
+    tree = {"a": {"b": np.arange(6).reshape(2, 3), "c": np.float32(1.5)},
+            "d": np.ones((4,), np.int8)}
+    flat = flatten_tree(tree)
+    assert set(flat.keys()) == {"a/b", "a/c", "d"}
+    back = unflatten_tree(flat)
+    np.testing.assert_array_equal(back["a"]["b"], tree["a"]["b"])
+
+    p = str(tmp_path / "t.npz")
+    np.savez(p, **flat)
+    loaded = load_npz_tree(p)
+    np.testing.assert_array_equal(loaded["a"]["b"], tree["a"]["b"])
+    np.testing.assert_array_equal(loaded["d"], tree["d"])
+    assert loaded["a"]["c"] == np.float32(1.5)
