@@ -376,7 +376,8 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         if calc_metrics:
             msg += f", PSNR: {val_psnr:.2f}, SSIM: {val_ssim:.4f}"
         msg += f", LR: {new_lr:.6f} ({time.time() - t0:.1f}s)"
-        print(msg)
+        # flush so redirected logs (nohup, containers) show live progress
+        print(msg, flush=True)
 
         if logger is not None:
             rec = {"epoch": epoch + 1, "train_loss": train_loss,
