@@ -319,3 +319,36 @@ def test_loss_plot_written(tmp_path, toy_data):
         epochs=1, lr=1e-3, output_dir=str(tmp_path), progress=False,
     )
     assert (tmp_path / "loss_plot.png").exists()
+
+
+def test_stateful_dp_batch_stats_match_single_device(tmp_path, toy_data):
+    """EnhancedUNet under data parallelism: BatchNorm statistics are
+    computed over the GLOBAL batch (GSPMD turns the batch-axis reduction
+    into a cross-device all-reduce), so an 8-device mesh run must produce
+    the same running stats and losses as single-device."""
+    from image_enhancement_deglaring_tpu.models import EnhancedUNet
+
+    x, y = toy_data
+    x64 = np.repeat(np.repeat(x[:8], 2, axis=1), 2, axis=2)
+    y64 = np.repeat(np.repeat(y[:8], 2, axis=1), 2, axis=2)
+
+    def run(mesh):
+        return train_model(
+            EnhancedUNet(), _ArrayLoader(x64, y64, 8),
+            _ArrayLoader(x64[:8], y64[:8], 8), epochs=2, lr=1e-3,
+            output_dir=str(tmp_path / ("mesh" if mesh else "solo")),
+            progress=False, mesh=mesh, seed=0,
+        )
+
+    _, bms_solo, best_solo, state_solo = run(None)
+    _, bms_mesh, best_mesh, state_mesh = run(make_mesh(8))
+
+    assert best_solo == pytest.approx(best_mesh, rel=2e-3)
+    solo_leaves = jax.tree_util.tree_leaves(bms_solo["batch_stats"])
+    mesh_leaves = jax.tree_util.tree_leaves(bms_mesh["batch_stats"])
+    for a, b in zip(solo_leaves, mesh_leaves):
+        # absolute tolerance: running means hover near zero where relative
+        # comparison is meaningless; a per-device-stats bug would differ by
+        # O(batch-mean) ~ 1e-2, far above this bound
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
+                                   atol=5e-4)
