@@ -442,8 +442,36 @@ class DeglareServer:
     async def serve_forever(self) -> None:
         self._server = await asyncio.start_server(self._handle, self.host, self.port)
         self.logger.info(f"Serving on {self.host}:{self.port}")
+
+        # graceful drain on SIGTERM (k8s pod shutdown; reference has no
+        # counterpart — uvicorn is killed mid-request): stop accepting new
+        # connections, let in-flight requests finish, then exit so the
+        # rolling update never drops a request
+        loop = asyncio.get_running_loop()
+        stop_event = asyncio.Event()
+        try:
+            import signal
+
+            loop.add_signal_handler(signal.SIGTERM, stop_event.set)
+        except (NotImplementedError, RuntimeError):  # non-main thread / win
+            pass
+
         async with self._server:
-            await self._server.serve_forever()
+            server_task = asyncio.ensure_future(self._server.serve_forever())
+            stop_task = asyncio.ensure_future(stop_event.wait())
+            done, _ = await asyncio.wait(
+                {server_task, stop_task},
+                return_when=asyncio.FIRST_COMPLETED)
+            if stop_task in done:
+                self.logger.info("SIGTERM: draining in-flight requests")
+                self._server.close()
+                await self._server.wait_closed()
+                # in-flight handlers run in the executor; shutdown(wait=True)
+                # blocks until every queued request has been answered
+                await loop.run_in_executor(None, self._executor.shutdown)
+                await asyncio.sleep(0.25)  # let final response writes flush
+                self.logger.info("Drained; shutting down")
+            server_task.cancel()
 
     def run(self) -> None:
         asyncio.run(self.serve_forever())

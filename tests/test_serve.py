@@ -909,3 +909,73 @@ def test_remote_engine_bad_frame_err_reply(small_model, tmp_path):
     finally:
         ipc.stop()
         eng.stop()
+
+
+def test_sigterm_drains_inflight_requests(small_model, tmp_path):
+    """SIGTERM must let an in-flight /infer finish (k8s rolling update:
+    no dropped requests) and then exit cleanly."""
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import sys
+        import jax.numpy as jnp
+        from image_enhancement_deglaring_tpu.models import LightweightUNet
+        from image_enhancement_deglaring_tpu.serve import DeglareServer, InferenceEngine
+
+        SIZE = 64
+        model = LightweightUNet()
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, SIZE, SIZE, 1)))["params"]
+        eng = InferenceEngine(model.apply, params, image_size=SIZE,
+                              max_batch_size=4, compute_dtype=jnp.float32,
+                              warmup=True)
+        srv = DeglareServer(eng, host="127.0.0.1", port=int(sys.argv[1]),
+                            image_size=SIZE, log_dir=sys.argv[2])
+        print("READY", flush=True)
+        srv.run()
+        print("DRAINED-EXIT", flush=True)
+    """)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script, str(port), str(tmp_path)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        assert "READY" in proc.stdout.readline()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                st, _ = _request("127.0.0.1", port, "GET", "/ping")
+                if st == 200:
+                    break
+            except OSError:
+                time.sleep(0.2)
+
+        # fire a request and SIGTERM while it is in flight
+        img = (np.random.default_rng(0).random((64, 64)) * 255).astype(np.uint8)
+        body, headers = _multipart_png(img)
+        result = {}
+
+        def do_req():
+            result["resp"] = _request("127.0.0.1", port, "POST", "/infer",
+                                      body, headers)
+
+        t = threading.Thread(target=do_req)
+        t.start()
+        time.sleep(0.15)  # request in flight
+        proc.send_signal(signal.SIGTERM)
+        t.join(60)
+        status, data = result["resp"]
+        assert status == 200 and "image" in json.loads(data)
+        out = proc.communicate(timeout=60)[0]
+        assert "DRAINED-EXIT" in out
+        assert proc.returncode == 0
+    finally:
+        proc.kill()
