@@ -191,6 +191,28 @@ class DeglareServer:
 
         self._executor = ThreadPoolExecutor(max_workers=64,
                                             thread_name_prefix="infer")
+        # host-side phase timing for /stats (rolling, last 1024 requests):
+        # where a request's wall time goes — PIL decode+resize, engine
+        # (queue + device), PNG encode — alongside the engine's own stats
+        import threading as _threading
+        from collections import deque as _deque
+
+        self._phase_lock = _threading.Lock()
+        self._phases = {k: _deque(maxlen=1024)
+                        for k in ("decode_ms", "engine_ms", "encode_ms")}
+
+    def _record_phases(self, decode_s: float, engine_s: float,
+                       encode_s: float) -> None:
+        with self._phase_lock:
+            self._phases["decode_ms"].append(decode_s * 1e3)
+            self._phases["engine_ms"].append(engine_s * 1e3)
+            self._phases["encode_ms"].append(encode_s * 1e3)
+
+    def host_phase_stats(self) -> dict:
+        with self._phase_lock:
+            snap = {k: list(v) for k, v in self._phases.items()}
+        return {f"host_{k}_p50": (sorted(v)[len(v) // 2] if v else None)
+                for k, v in snap.items()}
 
     # ------------------------------------------------------------ handlers
     def _ping(self):
@@ -220,6 +242,9 @@ class DeglareServer:
             log.warning(f"[{request_id}] No image provided")
             return 400, {"detail": "No image provided"}
         try:
+            from time import monotonic as _mono
+
+            t0 = _mono()
             img = Image.open(io.BytesIO(contents))
             original_size = img.size
             log.info(
@@ -237,7 +262,9 @@ class DeglareServer:
             if mode == "tile" and self.tiler is not None:
                 log.info(f"[{request_id}] Tiled full-resolution inference "
                          f"({self.tiler.num_tiles(*img_gray.shape)} tiles)")
+                t1 = _mono()
                 enhanced_u8 = self.tiler(img_gray.astype(np.uint8))
+                t2 = _mono()
                 enhanced_img = Image.fromarray(enhanced_u8, mode="L")
             else:
                 # reference behavior: LANCZOS down to 512^2, infer, LANCZOS back
@@ -256,9 +283,11 @@ class DeglareServer:
                 # bounded wait: if the engine dies mid-request the thread
                 # must not block forever (futures error out on stop(), but a
                 # wedged device step would otherwise hang the connection)
+                t1 = _mono()
                 enhanced_u8 = self.engine.submit(
                     resized.astype(np.uint8)).result(
                         timeout=self.INFER_TIMEOUT_S)
+                t2 = _mono()
                 enhanced_img = Image.fromarray(enhanced_u8, mode="L")
                 if original_size != (s, s):
                     enhanced_img = enhanced_img.resize(original_size, Image.LANCZOS)
@@ -266,8 +295,10 @@ class DeglareServer:
             buf = io.BytesIO()
             enhanced_img.save(buf, format="PNG",
                               compress_level=self.PNG_COMPRESS_LEVEL)
+            out = base64.b64encode(buf.getvalue()).decode("utf-8")
+            self._record_phases(t1 - t0, t2 - t1, _mono() - t2)
             log.info(f"[{request_id}] Successfully processed image")
-            return 200, {"image": base64.b64encode(buf.getvalue()).decode("utf-8")}
+            return 200, {"image": out}
         except Exception as e:
             import traceback
 
@@ -393,6 +424,7 @@ class DeglareServer:
                     loop = asyncio.get_running_loop()
                     stats = await loop.run_in_executor(
                         self._executor, self.engine.stats)
+                    stats.update(self.host_phase_stats())
                     status, payload = 200, stats
                 elif method == "POST" and route == "/infer":
                     loop = asyncio.get_running_loop()

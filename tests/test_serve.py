@@ -979,3 +979,18 @@ def test_sigterm_drains_inflight_requests(small_model, tmp_path):
         assert proc.returncode == 0
     finally:
         proc.kill()
+
+
+def test_stats_includes_host_phase_breakdown(live_server, rng):
+    """/stats carries host-side phase timings (decode/engine/encode p50)
+    once requests have been served."""
+    img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    body, headers = _multipart_png(img)
+    st, _ = _request(*live_server, "POST", "/infer", body, headers)
+    assert st == 200
+    st, data = _request(*live_server, "GET", "/stats")
+    assert st == 200
+    stats = json.loads(data)
+    for key in ("host_decode_ms_p50", "host_engine_ms_p50",
+                "host_encode_ms_p50"):
+        assert key in stats and stats[key] is not None and stats[key] >= 0
