@@ -41,6 +41,12 @@ def parse_args(argv=None):
                    help="rematerialize blocks in backward (bigger batches)")
     p.add_argument("--watch_every", type=int, default=0,
                    help="log parameter histograms every N epochs (0 = off)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax profiler trace of the first epoch's "
+                        "hot loop into this directory (TensorBoard-readable)")
+    p.add_argument("--profile_steps", type=int, default=5,
+                   help="number of train steps to trace when --profile_dir "
+                        "is set")
     return p.parse_args(argv)
 
 
@@ -97,6 +103,7 @@ def main(argv=None):
         validation_metrics_every=args.validation_metrics_every,
         log_images_every=args.log_images_every, mesh=mesh, seed=args.seed,
         logger=logger, resume_from=args.resume, watch_every=args.watch_every,
+        profile_dir=args.profile_dir, profile_steps=args.profile_steps,
     )
 
     from ..train import save_checkpoint

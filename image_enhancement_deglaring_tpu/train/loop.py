@@ -191,7 +191,8 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                 resume_state: TrainState | None = None,
                 resume_from: str | None = None,
                 lr_controller: ReduceLROnPlateau | None = None,
-                watch_every: int = 0):
+                watch_every: int = 0, profile_dir: str | None = None,
+                profile_steps: int = 0):
     """Train ``model`` (a Flax module); returns (best_params,
     best_model_state, best_val_loss, final_state) — best_model_state is the
     mutable-collection snapshot (e.g. BatchNorm batch_stats) taken at the
@@ -306,10 +307,22 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         # overlap with the next batch's transfer); fetch once per epoch
         step_losses: list = []
         step_sizes: list[int] = []
-        for x, y in it:
+        # optional jax profiler capture of the first epoch's hot loop
+        # (tensorboard-readable trace; the reference has no profiler)
+        profiling = (profile_dir is not None and profile_steps > 0
+                     and epoch == start_epoch)
+        if profiling:
+            jax.profiler.start_trace(profile_dir)
+        for i, (x, y) in enumerate(it):
             state, loss = train_step(state, x, y)
             step_losses.append(loss)
             step_sizes.append(x.shape[0])
+            if profiling and i + 1 >= profile_steps:
+                loss.block_until_ready()
+                jax.profiler.stop_trace()
+                profiling = False
+        if profiling:  # epoch shorter than profile_steps
+            jax.profiler.stop_trace()
         n_seen = sum(step_sizes)
         if step_losses:  # one stacked fetch, not one sync per scalar
             losses_np = np.asarray(jnp.stack(step_losses), np.float64)

@@ -352,3 +352,20 @@ def test_stateful_dp_batch_stats_match_single_device(tmp_path, toy_data):
         # O(batch-mean) ~ 1e-2, far above this bound
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
                                    atol=5e-4)
+
+
+def test_profile_capture_writes_trace(tmp_path, toy_data):
+    """--profile_dir captures a TensorBoard-readable jax trace of the
+    first epoch's hot loop."""
+    import os
+
+    x, y = toy_data
+    train_model(
+        _MODEL, _ArrayLoader(x[:8], y[:8], 4), _ArrayLoader(x[8:], y[8:], 4),
+        epochs=1, lr=1e-3, output_dir=str(tmp_path / "run"), progress=False,
+        profile_dir=str(tmp_path / "trace"), profile_steps=2,
+    )
+    found = []
+    for root, _dirs, names in os.walk(tmp_path / "trace"):
+        found += [n for n in names if n.endswith((".pb", ".json.gz", ".xplane.pb"))]
+    assert found, "no profiler trace files written"
