@@ -1,6 +1,6 @@
 # Developer entry points.
 
-.PHONY: test bench demo serve evaluate lint clean
+.PHONY: test bench demo serve evaluate graft-check lint clean
 
 test:
 	python -m pytest tests/ -q
@@ -16,7 +16,7 @@ serve:
 
 evaluate:
 	python -m image_enhancement_deglaring_tpu.cli.evaluate \
-	    --model_path /root/reference/best_model.onnx --data_dir SD1/val
+	    --model_path deploy/models/best_model.onnx --data_dir SD1/val
 
 graft-check:
 	python -c "from __graft_entry__ import entry; import jax; fn, a = entry(); print(jax.jit(fn)(*a).shape)"
