@@ -226,9 +226,10 @@ class InferenceEngine:
             self._stop.clear()
             self._worker = threading.Thread(
                 target=self._collector_loop, args=(self._queue, self._inflight),
-                daemon=True)
+                daemon=True, name="engine-collector")
             self._drainer = threading.Thread(
-                target=self._drain_loop, args=(self._inflight,), daemon=True)
+                target=self._drain_loop, args=(self._inflight,), daemon=True,
+                name="engine-drainer")
             self._worker.start()
             self._drainer.start()
 

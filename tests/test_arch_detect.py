@@ -62,7 +62,7 @@ def test_detect_arch_reference_artifact():
 
 
 def test_detect_arch_from_torch_state_dict(tmp_path):
-    import torch
+    torch = pytest.importorskip("torch")
 
     cases = {
         "lightweight": {"enc1.0.weight": torch.zeros(8, 1, 3, 3)},

@@ -29,12 +29,11 @@ def test_evaluate_parser_defaults():
 
 
 def test_serve_parser_env_model_path(monkeypatch):
+    # MODEL_PATH is read at parse time (cli/serve.py), not import time —
+    # setenv alone is sufficient
     monkeypatch.setenv("MODEL_PATH", "/models/x.onnx")
-    import importlib
-
     from image_enhancement_deglaring_tpu.cli import serve
 
-    importlib.reload(serve)
     args = serve.parse_args([])
     assert args.model_path == "/models/x.onnx"
     assert args.port == 4000 and args.mode == "resize"

@@ -13,16 +13,19 @@ import pytest
 
 @pytest.fixture(scope="module")
 def frontend(tmp_path_factory):
-    import os
+    # module-scoped MonkeyPatch: env vars and sys.path are restored after
+    # this module, so later tests can't inherit frontend leftovers (or the
+    # generically-named cached 'app' module)
     import sys
 
-    sys.path.insert(0, "/root/repo/frontend")
+    mp = pytest.MonkeyPatch()
+    mp.syspath_prepend("/root/repo/frontend")
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
-    os.environ["PORT"] = str(port)
-    os.environ["HOST"] = "127.0.0.1"
-    os.environ["API_URL"] = "http://127.0.0.1:1"  # intentionally dead
+    mp.setenv("PORT", str(port))
+    mp.setenv("HOST", "127.0.0.1")
+    mp.setenv("API_URL", "http://127.0.0.1:1")  # intentionally dead
     import app as frontend_app
 
     importlib.reload(frontend_app)
@@ -35,6 +38,8 @@ def frontend(tmp_path_factory):
     time.sleep(0.2)
     yield "127.0.0.1", port
     server.shutdown()
+    sys.modules.pop("app", None)
+    mp.undo()
 
 
 def _get(host, port, path):

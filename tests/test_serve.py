@@ -81,6 +81,12 @@ def test_engine_concurrent_first_submits_single_worker_pair(small_model, rng):
     eng = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=4,
                           batch_timeout_ms=5.0, compute_dtype=jnp.float32,
                           warmup=False)
+    def named(n):
+        return [t for t in threading.enumerate()
+                if t.is_alive() and t.name == n]
+
+    pre_collectors = len(named("engine-collector"))
+    pre_drainers = len(named("engine-drainer"))
     try:
         imgs = (rng.random((16, SIZE, SIZE)) * 255).astype(np.uint8)
         futs = [None] * len(imgs)
@@ -96,31 +102,55 @@ def test_engine_concurrent_first_submits_single_worker_pair(small_model, rng):
             t.start()
         for t in threads:
             t.join()
-        alive = [t for t in threading.enumerate()
-                 if t.name.startswith("Thread-")]
         for f in futs:
             assert f.result(timeout=60).shape == (SIZE, SIZE)
-        # exactly one collector and one drainer exist
-        assert eng._worker is not None and eng._drainer is not None
-        workers = [t for t in alive if t is eng._worker or t is eng._drainer]
-        assert len(workers) <= 2
+        # exactly ONE new collector/drainer pair may exist — a lost race
+        # would have spawned extras (other engines' pairs are snapshot
+        # above and subtracted)
+        assert len(named("engine-collector")) - pre_collectors == 1
+        assert len(named("engine-drainer")) - pre_drainers == 1
     finally:
         eng.stop()
 
 
 def test_engine_stop_fails_pending_and_restarts(small_model, rng):
-    """stop() resolves every queued request (exception, not hang) and a
-    later submit() cleanly restarts the engine."""
+    """stop() resolves every still-queued request with an exception (not a
+    hang), finishes the in-flight one, and a later submit() cleanly
+    restarts the engine."""
     apply_fn, params = small_model
-    eng = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=4,
+    eng = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=1,
                           batch_timeout_ms=5.0, compute_dtype=jnp.float32,
                           warmup=False)
+    # slow device step: the collector blocks in-batch while more requests
+    # queue behind it, so stop() genuinely races pending work
+    real_step = eng._step
+    entered = threading.Event()
+
+    def slow_step(params_, x):
+        entered.set()
+        time.sleep(1.0)
+        return real_step(params_, x)
+
+    eng._step = slow_step
     img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
-    fut = eng.submit(img)
-    assert fut.result(timeout=60).shape == (SIZE, SIZE)
+    futs = [eng.submit(img) for _ in range(3)]
+    assert entered.wait(timeout=30)  # first request is in flight
     eng.stop()
     assert eng._worker is None and eng._drainer is None
-    # engine restarts on the next submit
+    # the in-flight request completes; the queued ones fail fast
+    outcomes = []
+    for f in futs:
+        try:
+            outcomes.append(f.result(timeout=60).shape)
+        except RuntimeError as e:
+            outcomes.append(str(e))
+    assert outcomes[0] == (SIZE, SIZE)
+    assert any(o == "engine stopped" for o in outcomes[1:])
+    for o in outcomes[1:]:
+        assert o == (SIZE, SIZE) or o == "engine stopped"
+
+    # engine restarts on the next submit (with the real step back)
+    eng._step = real_step
     fut2 = eng.submit(img)
     assert fut2.result(timeout=60).shape == (SIZE, SIZE)
     eng.stop()
@@ -588,6 +618,19 @@ def test_multipart_parser_fuzz(rng):
             assert isinstance(fields, dict)
 
 
+def _wait_ready(host, port, timeout=30):
+    """Poll /ping until the freshly-threaded server binds and answers."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        try:
+            st, _ = _request(host, port, "GET", "/ping")
+            if st == 200:
+                return
+        except OSError:
+            time.sleep(0.1)
+    raise TimeoutError(f"server on {host}:{port} never became ready")
+
+
 def test_http_tile_mode_full_resolution(engine, small_model, tmp_path_factory, rng):
     """HTTP server in mode="tile": a larger-than-tile upload is enhanced at
     full resolution (no downsample) and returned at original size."""
@@ -602,7 +645,7 @@ def test_http_tile_mode_full_resolution(engine, small_model, tmp_path_factory, r
                            log_dir=str(tmp_path_factory.mktemp("tilelogs")))
     t = threading.Thread(target=server.run, daemon=True)
     t.start()
-    time.sleep(0.3)
+    _wait_ready("127.0.0.1", port)
     big = (rng.random((SIZE * 2, SIZE + 24)) * 255).astype(np.uint8)
     body, headers = _multipart_png(big)
     status, data = _request("127.0.0.1", port, "POST", "/infer", body, headers)
@@ -627,7 +670,7 @@ def test_http_per_request_mode_override(engine, small_model, tmp_path_factory,
                            log_dir=str(tmp_path_factory.mktemp("modelogs")))
     t = threading.Thread(target=server.run, daemon=True)
     t.start()
-    time.sleep(0.3)
+    _wait_ready("127.0.0.1", port)
     big = (rng.random((SIZE * 2, SIZE)) * 255).astype(np.uint8)
     body, headers = _multipart_png(big)
 
@@ -713,8 +756,16 @@ def test_http_reload_endpoint(engine, small_model, tmp_path_factory, rng):
                            log_dir=str(tmp_path_factory.mktemp("rllogs")))
     t = threading.Thread(target=server.run, daemon=True)
     t.start()
-    time.sleep(0.3)
+    _wait_ready("127.0.0.1", port)
+    try:
+        _reload_body(port, rng, new_path)
+    finally:
+        # ALWAYS restore the module-scoped engine's weights — a mid-test
+        # assertion failure must not poison later tests with params2
+        engine.reload_params(small_model[1])
 
+
+def _reload_body(port, rng, new_path):
     img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
     body, headers = _multipart_png(img)
     _, data = _request("127.0.0.1", port, "POST", "/infer", body, headers)
@@ -735,8 +786,6 @@ def test_http_reload_endpoint(engine, small_model, tmp_path_factory, rng):
     status, _ = _request("127.0.0.1", port, "POST", "/reload",
                          json.dumps({"model_path": "/nope.onnx"}).encode())
     assert status == 400
-    # restore the fixture engine's original weights for later tests
-    engine.reload_params(small_model[1])
 
 
 def test_http_tile_override_without_tiler_400(live_server, rng):
@@ -948,7 +997,14 @@ def test_sigterm_drains_inflight_requests(small_model, tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     try:
-        assert "READY" in proc.stdout.readline()
+        # stderr is merged into stdout: warnings may precede READY
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "READY" in line:
+                break
+        else:
+            raise AssertionError("server subprocess never printed READY")
         deadline = time.time() + 60
         while time.time() < deadline:
             try:

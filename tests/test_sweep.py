@@ -23,20 +23,13 @@ SIZE = 16
 SPACE = SearchSpace()
 
 
-class _ArrayLoader:
-    def __init__(self, x, y, batch_size):
-        self.x, self.y, self.batch_size = x, y, batch_size
+from tests.loaders import ArrayLoader  # noqa: E402
 
-    def __len__(self):
-        return max(1, len(self.x) // self.batch_size)
 
-    def set_epoch(self, epoch):
-        pass
-
-    def __iter__(self):
-        for i in range(len(self)):
-            s = slice(i * self.batch_size, (i + 1) * self.batch_size)
-            yield self.x[s], self.y[s]
+def _ArrayLoader(x, y, batch_size):
+    # sweeps need at least one (possibly short) batch even when a sampled
+    # batch_size exceeds the toy dataset
+    return ArrayLoader(x, y, batch_size, min_one_batch=True)
 
 
 @pytest.fixture(scope="module")

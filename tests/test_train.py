@@ -27,26 +27,7 @@ _OPT = make_optimizer(1e-3, 1e-5)
 _STEP = make_train_step(_MODEL.apply, _OPT)
 
 
-class _ArrayLoader:
-    """Minimal loader over fixed arrays (NHWC)."""
-
-    def __init__(self, x, y, batch_size):
-        self.x, self.y, self.batch_size = x, y, batch_size
-
-    def __len__(self):
-        return len(self.x) // self.batch_size
-
-    @property
-    def num_samples(self):
-        return len(self.x)
-
-    def set_epoch(self, epoch):
-        pass
-
-    def __iter__(self):
-        for i in range(len(self)):
-            s = slice(i * self.batch_size, (i + 1) * self.batch_size)
-            yield self.x[s], self.y[s]
+from tests.loaders import ArrayLoader as _ArrayLoader  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -122,9 +103,17 @@ def test_reduce_lr_on_plateau_torch_semantics():
     assert s.step(0.5) == 1.0   # bad 1 (not better by rel threshold)
     assert s.step(0.51) == 1.0  # bad 2
     assert s.step(0.52) == 0.5  # bad 3 -> reduce
-    assert s.step(0.4999) == 0.5  # within rel threshold of best -> still bad
-    # 0.4 is a real improvement -> resets counter
+    # relative-threshold semantics (threshold=1e-4, best=0.5): improvement
+    # requires metric < 0.5 * (1 - 1e-4) = 0.49995. The lr doesn't move
+    # either way here, so pin via the bad-epoch counter.
+    assert s.step(0.49996) == 0.5      # within threshold -> still bad
+    assert s.num_bad_epochs == 1
+    assert s.step(0.4999) == 0.5       # just past threshold -> improvement
+    assert s.num_bad_epochs == 0
+    assert s.best == 0.4999
+    # a clear improvement keeps the counter reset
     assert s.step(0.4) == 0.5
+    assert s.num_bad_epochs == 0 and s.best == 0.4
 
 
 def test_checkpoint_roundtrip(tmp_path, toy_data):
@@ -268,16 +257,9 @@ def test_resume_from_checkpoint_continues_exactly(tmp_path, toy_data):
                                    rtol=1e-4, atol=1e-5)
 
 
-class _RaggedLoader(_ArrayLoader):
-    """Like _ArrayLoader but yields the final partial batch too."""
-
-    def __len__(self):
-        return -(-len(self.x) // self.batch_size)
-
-    def __iter__(self):
-        for i in range(len(self)):
-            s = slice(i * self.batch_size, (i + 1) * self.batch_size)
-            yield self.x[s], self.y[s]
+def _RaggedLoader(x, y, batch_size):
+    """ArrayLoader that also yields the final partial batch."""
+    return _ArrayLoader(x, y, batch_size, ragged_tail=True)
 
 
 def test_mesh_sharded_validation_matches_single_device(tmp_path, toy_data):
