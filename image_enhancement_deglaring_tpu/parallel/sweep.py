@@ -349,10 +349,16 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
                         group.keep([int(i) for i in order[:n_keep]])
                 all_trials.extend(group.trials)
                 for t in group.trials:
+                    snap = best_snap.get(t.trial_id)
+                    if snap is None:
+                        # every val loss was non-finite (diverged trial:
+                        # NaN < inf is False, so no snapshot was ever taken)
+                        # — it has no usable weights and cannot be "best"
+                        continue
                     if best is None or t.best_val_loss < best.best_val_loss:
                         best = t
                         np.savez(os.path.join(output_dir, "best_trial_params.npz"),
-                                 **flatten_tree(best_snap[t.trial_id]))
+                                 **flatten_tree(snap))
 
     if method == "tpe":
         # two-wave TPE: an exploratory random wave builds the history the

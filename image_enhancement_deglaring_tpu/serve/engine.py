@@ -221,17 +221,27 @@ class InferenceEngine:
         # the lock serializes concurrent first-submit() starts (the HTTP
         # executor has 64 threads) so exactly one collector/drainer pair runs
         with self._lifecycle:
-            if self._worker is not None:
-                return
-            self._stop.clear()
-            self._worker = threading.Thread(
-                target=self._collector_loop, args=(self._queue, self._inflight),
-                daemon=True, name="engine-collector")
-            self._drainer = threading.Thread(
-                target=self._drain_loop, args=(self._inflight,), daemon=True,
-                name="engine-drainer")
-            self._worker.start()
-            self._drainer.start()
+            self._start_locked()
+
+    def _start_locked(self) -> None:
+        if self._worker is not None:
+            return
+        # fresh Event per collector/drainer generation: a pair detached by a
+        # timed-out stop() keeps polling ITS event (already set, so it still
+        # exits via the sentinel chain) — reusing one Event across restarts
+        # would clear it under the old collector and revive it against its
+        # now-orphaned queues
+        stop = threading.Event()
+        self._stop = stop
+        self._worker = threading.Thread(
+            target=self._collector_loop,
+            args=(self._queue, self._inflight, stop),
+            daemon=True, name="engine-collector")
+        self._drainer = threading.Thread(
+            target=self._drain_loop, args=(self._inflight,), daemon=True,
+            name="engine-drainer")
+        self._worker.start()
+        self._drainer.start()
 
     def stop(self) -> None:
         """Shutdown ordering: the collector exits first and owns the drainer's
@@ -264,19 +274,24 @@ class InferenceEngine:
             # blow up np.stack for every request batched with it
             raise ValueError(
                 f"submit expects a ({s}, {s}) frame, got {img_u8.shape}")
-        if self._worker is None:
-            self.start()
+        # enqueue under the lifecycle lock: a request slipped in between
+        # stop()'s final queue drain and its queue swap would otherwise
+        # strand its Future unresolved until the HTTP layer's timeout
         fut: Future = Future()
-        self._queue.put((img_u8, fut, _now()))
+        with self._lifecycle:
+            if self._worker is None:
+                self._start_locked()
+            self._queue.put((img_u8, fut, _now()))
         return fut
 
     def _collector_loop(self, req_queue: queue.Queue,
-                        inflight: queue.Queue) -> None:
+                        inflight: queue.Queue,
+                        stop: threading.Event) -> None:
         """Drains the request queue into bucketed device batches and
         DISPATCHES them without blocking on results (the drainer fetches);
         up to pipeline_depth batches ride the dispatch queue at once."""
         try:
-            while not self._stop.is_set():
+            while not stop.is_set():
                 try:
                     first = req_queue.get(timeout=0.1)
                 except queue.Empty:

@@ -200,6 +200,10 @@ class DeglareServer:
         self._phase_lock = _threading.Lock()
         self._phases = {k: _deque(maxlen=1024)
                         for k in ("decode_ms", "engine_ms", "encode_ms")}
+        # SIGTERM drain flag: once set, still-open keep-alive connections get
+        # 503 + Connection: close for NEW requests instead of being dropped
+        # by a post-shutdown run_in_executor RuntimeError
+        self._draining = False
 
     def _record_phases(self, decode_s: float, engine_s: float,
                        encode_s: float) -> None:
@@ -414,32 +418,48 @@ class DeglareServer:
                     )
 
                 route, _, query = path.partition("?")
-                if method == "GET" and route == "/ping":
-                    status, payload = self._ping()
-                elif method == "GET" and route == "/stats":
-                    # serving observability (addition beyond the reference
-                    # API); via the executor — with multi-process workers
-                    # stats() is a blocking IPC round-trip that must not
-                    # stall the event loop's other connections
-                    loop = asyncio.get_running_loop()
-                    stats = await loop.run_in_executor(
-                        self._executor, self.engine.stats)
-                    stats.update(self.host_phase_stats())
-                    status, payload = 200, stats
-                elif method == "POST" and route == "/infer":
-                    loop = asyncio.get_running_loop()
-                    status, payload = await loop.run_in_executor(
-                        self._executor, self._infer, body,
-                        headers.get("content-type", ""), query,
-                    )
-                elif (method == "POST" and route == "/reload"
-                      and self.allow_reload):
-                    loop = asyncio.get_running_loop()
-                    status, payload = await loop.run_in_executor(
-                        self._executor, self._reload, body,
-                    )
-                else:
-                    status, payload = 404, {"detail": "Not Found"}
+                if self._draining and not (method == "GET" and route == "/ping"):
+                    # drain window: answer (don't drop) late pipelined
+                    # requests on surviving keep-alive connections, and tell
+                    # the client to reconnect elsewhere
+                    await self._respond(writer, 503,
+                                        {"detail": "Server is shutting down"},
+                                        close=True)
+                    return
+                try:
+                    if method == "GET" and route == "/ping":
+                        status, payload = self._ping()
+                    elif method == "GET" and route == "/stats":
+                        # serving observability (addition beyond the reference
+                        # API); via the executor — with multi-process workers
+                        # stats() is a blocking IPC round-trip that must not
+                        # stall the event loop's other connections
+                        loop = asyncio.get_running_loop()
+                        stats = await loop.run_in_executor(
+                            self._executor, self.engine.stats)
+                        stats.update(self.host_phase_stats())
+                        status, payload = 200, stats
+                    elif method == "POST" and route == "/infer":
+                        loop = asyncio.get_running_loop()
+                        status, payload = await loop.run_in_executor(
+                            self._executor, self._infer, body,
+                            headers.get("content-type", ""), query,
+                        )
+                    elif (method == "POST" and route == "/reload"
+                          and self.allow_reload):
+                        loop = asyncio.get_running_loop()
+                        status, payload = await loop.run_in_executor(
+                            self._executor, self._reload, body,
+                        )
+                    else:
+                        status, payload = 404, {"detail": "Not Found"}
+                except RuntimeError:
+                    # the executor shut down between the drain check and the
+                    # dispatch (drain race) — still answer, don't drop
+                    if not self._draining:
+                        raise
+                    status, payload, keep_alive = (
+                        503, {"detail": "Server is shutting down"}, False)
                 await self._respond(writer, status, payload,
                                     close=not keep_alive)
                 if not keep_alive:
@@ -458,7 +478,7 @@ class DeglareServer:
                        close: bool = False) -> None:
         reasons = {200: "OK", 400: "Bad Request", 404: "Not Found",
                    413: "Payload Too Large", 500: "Internal Server Error",
-                   501: "Not Implemented"}
+                   501: "Not Implemented", 503: "Service Unavailable"}
         body = json.dumps(payload, separators=(",", ":")).encode()
         head = (
             f"HTTP/1.1 {status} {reasons.get(status, 'OK')}\r\n"
@@ -496,6 +516,7 @@ class DeglareServer:
                 return_when=asyncio.FIRST_COMPLETED)
             if stop_task in done:
                 self.logger.info("SIGTERM: draining in-flight requests")
+                self._draining = True
                 self._server.close()
                 await self._server.wait_closed()
                 # in-flight handlers run in the executor; shutdown(wait=True)

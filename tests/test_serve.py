@@ -1050,3 +1050,137 @@ def test_stats_includes_host_phase_breakdown(live_server, rng):
     for key in ("host_decode_ms_p50", "host_engine_ms_p50",
                 "host_encode_ms_p50"):
         assert key in stats and stats[key] is not None and stats[key] >= 0
+
+
+# --------------------------------------------------------- drain-window 503
+
+
+class _EchoEngine:
+    """Minimal engine stand-in: resolves submits immediately on host."""
+
+    def submit(self, img_u8):
+        from concurrent.futures import Future
+
+        f = Future()
+        f.set_result(img_u8)
+        return f
+
+    def stats(self):
+        return {"requests_served": 0}
+
+    def stop(self):
+        pass
+
+
+def test_draining_connection_gets_503_not_dropped(tmp_path):
+    """Once the SIGTERM drain flag is set, a NEW request on a still-open
+    keep-alive connection is answered 503 + Connection: close — not dropped
+    by a RuntimeError from the shut-down executor. /ping keeps answering
+    (k8s liveness during terminationGracePeriod)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = DeglareServer(_EchoEngine(), host="127.0.0.1", port=port,
+                           image_size=SIZE, log_dir=str(tmp_path),
+                           log_filename="drain503.log")
+    t = threading.Thread(target=server.run, daemon=True)
+    t.start()
+    try:
+        for _ in range(100):
+            try:
+                st, _ = _request("127.0.0.1", port, "GET", "/ping")
+                if st == 200:
+                    break
+            except OSError:
+                time.sleep(0.1)
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/ping")  # establish keep-alive
+        assert conn.getresponse().read() == b'{"message":"pong"}'
+
+        server._draining = True
+        server._executor.shutdown(wait=False)  # the post-SIGTERM state
+
+        img = (np.zeros((SIZE, SIZE), np.uint8))
+        body, headers = _multipart_png(img)
+        conn.request("POST", "/infer", body=body, headers=headers)
+        resp = conn.getresponse()
+        data = resp.read()
+        assert resp.status == 503
+        assert json.loads(data)["detail"] == "Server is shutting down"
+        assert resp.getheader("Connection") == "close"
+        conn.close()
+
+        # liveness probe still answers during the drain window
+        st, data = _request("127.0.0.1", port, "GET", "/ping")
+        assert st == 200 and data == b'{"message":"pong"}'
+    finally:
+        server._draining = False
+
+
+# ------------------------------------------------- engine lifecycle hygiene
+
+
+def test_engine_restart_gets_fresh_stop_event(small_model, rng):
+    """Each collector/drainer generation owns its own stop Event: restarting
+    after stop() must NOT clear the event a detached old pair still polls
+    (that would revive the old collector against orphaned queues)."""
+    apply_fn, params = small_model
+    eng = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=4,
+                          batch_timeout_ms=2.0, compute_dtype=jnp.float32,
+                          warmup=False)
+    try:
+        img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+        assert eng.submit(img).result(timeout=60).shape == (SIZE, SIZE)
+        gen1_event = eng._stop
+        eng.stop()
+        assert gen1_event.is_set()  # old generation's exit signal stays set
+        assert eng.submit(img).result(timeout=60).shape == (SIZE, SIZE)
+        assert eng._stop is not gen1_event
+        assert gen1_event.is_set()
+    finally:
+        eng.stop()
+
+
+def test_submit_stop_race_leaves_no_stranded_futures(small_model, rng):
+    """submit() enqueues under the lifecycle lock, so a request can never
+    slip in between stop()'s final queue drain and its exit: every future
+    either resolves or fails promptly — none hang."""
+    apply_fn, params = small_model
+    eng = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=4,
+                          batch_timeout_ms=2.0, compute_dtype=jnp.float32,
+                          warmup=False)
+    img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    eng.submit(img).result(timeout=60)  # warm the compile cache
+    try:
+        futs = []
+        futs_lock = threading.Lock()
+        start_evt = threading.Event()
+
+        def submitter():
+            start_evt.wait()
+            for _ in range(8):
+                f = eng.submit(img)
+                with futs_lock:
+                    futs.append(f)
+
+        threads = [threading.Thread(target=submitter) for _ in range(4)]
+        for t in threads:
+            t.start()
+        start_evt.set()
+        time.sleep(0.005)
+        eng.stop()  # races the submitters
+        for t in threads:
+            t.join(30)
+        with futs_lock:
+            snapshot = list(futs)
+        for f in snapshot:
+            # resolved (engine served it, before stop or after auto-restart)
+            # or failed with "engine stopped" — but never stranded
+            try:
+                out = f.result(timeout=60)
+                assert out.shape == (SIZE, SIZE)
+            except RuntimeError as e:
+                assert "engine stopped" in str(e)
+    finally:
+        eng.stop()

@@ -181,3 +181,56 @@ def test_run_sweep_from_config(tmp_path, toy):
     result = run_sweep_from_config(_tiny_model, loader_factory, cfg,
                                    output_dir=str(tmp_path), method="random")
     assert len(result["trials"]) == 2 and result["best"] is not None
+
+
+def test_run_sweep_all_trials_diverged_no_crash(tmp_path, toy, monkeypatch):
+    """A trial whose every val loss is NaN (diverged) never snapshots
+    weights; selecting it as best used to KeyError after all the training
+    ran. All-NaN sweeps must complete with best=None and no params file."""
+    from image_enhancement_deglaring_tpu.parallel import sweep as sweep_mod
+
+    x, y = toy
+
+    def loader_factory(bs):
+        return _ArrayLoader(x, y, bs), _ArrayLoader(x[:8], y[:8], bs)
+
+    monkeypatch.setattr(
+        sweep_mod.VmappedTrialGroup, "val_epoch",
+        lambda self, loader: np.full(len(self.trials), np.nan))
+    result = run_sweep(
+        _tiny_model, loader_factory, n_trials=2, max_epochs=1, min_iter=1,
+        eta=2, method="random", seed=0, output_dir=str(tmp_path),
+        space=SearchSpace(batch_sizes=(8,)),
+    )
+    assert result["best"] is None
+    assert len(result["trials"]) == 2
+    assert not (tmp_path / "best_trial_params.npz").exists()
+
+
+def test_run_sweep_mixed_divergence_picks_finite_trial(tmp_path, toy,
+                                                       monkeypatch):
+    """With one diverged (NaN) and one healthy trial, the healthy one wins
+    and its best-epoch snapshot is saved."""
+    from image_enhancement_deglaring_tpu.parallel import sweep as sweep_mod
+
+    x, y = toy
+
+    def loader_factory(bs):
+        return _ArrayLoader(x, y, bs), _ArrayLoader(x[:8], y[:8], bs)
+
+    def fake_val(self, loader):
+        out = np.full(len(self.trials), 0.5)
+        for i, t in enumerate(self.trials):
+            if t.trial_id == 0:
+                out[i] = np.nan
+        return out
+
+    monkeypatch.setattr(sweep_mod.VmappedTrialGroup, "val_epoch", fake_val)
+    result = run_sweep(
+        _tiny_model, loader_factory, n_trials=2, max_epochs=1, min_iter=1,
+        eta=2, method="random", seed=0, output_dir=str(tmp_path),
+        space=SearchSpace(batch_sizes=(8,)),
+    )
+    assert result["best"] is not None
+    assert result["best"]["trial_id"] == 1
+    assert (tmp_path / "best_trial_params.npz").exists()
