@@ -230,15 +230,24 @@ def load_model_for_eval(model_path: str, *, model_arch: str = "auto",
                 "EnhancedUNet needs a .pth/.onnx/.npz checkpoint or an orbax "
                 "dir (BatchNorm running stats travel with the weights)")
         model = EnhancedUNet(dtype=compute_dtype)
-        stats = jax.tree_util.tree_map(jnp.asarray, stats)
 
+        # The returned "params" is a {params, batch_stats} BUNDLE and the
+        # apply unpacks it: the running stats must travel through the traced
+        # arguments, not a closure — jit bakes closed-over arrays into the
+        # compiled program as constants, so a closure would silently keep
+        # serving the OLD stats after a hot weight reload (serve /reload).
         def apply_fn(variables, x):
+            bundle = variables["params"]
             return model.apply(
-                {"params": variables["params"], "batch_stats": stats},
+                {"params": bundle["params"],
+                 "batch_stats": bundle["batch_stats"]},
                 x, train=False)
 
-        params = jax.tree_util.tree_map(jnp.asarray, params)
-        return apply_fn, params
+        bundle = {
+            "params": jax.tree_util.tree_map(jnp.asarray, params),
+            "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats),
+        }
+        return apply_fn, bundle
 
     if model_arch == "optimized":
         model = OptimizedUNet(dtype=compute_dtype)

@@ -325,11 +325,9 @@ class DeglareServer:
             arch = req.get("model", "auto")
             if arch == "auto":
                 arch = detect_model_arch(model_path)
-            if arch == "enhanced":
-                # the engine's apply closes over BatchNorm running stats;
-                # swapping params alone would silently mix checkpoints
-                return 400, {"detail": "EnhancedUNet weights cannot be "
-                                       "hot-reloaded; restart the server"}
+            # EnhancedUNet included: its loader bundles the BatchNorm running
+            # stats with the params, so the swap rebinds both atomically
+            # (a mismatched-family checkpoint still fails _check_same_tree)
             from ..eval.harness import load_model_for_eval
 
             _, params = load_model_for_eval(model_path, model_arch=arch)

@@ -1184,3 +1184,72 @@ def test_submit_stop_race_leaves_no_stranded_futures(small_model, rng):
                 assert "engine stopped" in str(e)
     finally:
         eng.stop()
+
+
+def test_http_reload_enhanced_rebinds_params_and_stats(tmp_path_factory, rng):
+    """EnhancedUNet hot-reload: the loader bundles BatchNorm running stats
+    with the params, so POST /reload swaps BOTH atomically — post-reload
+    outputs must match a fresh server loaded from the new checkpoint (a
+    stale-stats swap would differ, since the two checkpoints carry
+    different running stats)."""
+    from image_enhancement_deglaring_tpu.eval.harness import load_model_for_eval
+    from image_enhancement_deglaring_tpu.models import EnhancedUNet
+    from image_enhancement_deglaring_tpu.utils.pytree import flatten_tree
+
+    d = tmp_path_factory.mktemp("enh_reload")
+    model = EnhancedUNet()
+    paths = []
+    for seed in (0, 1):
+        v = jax.jit(model.init)(jax.random.PRNGKey(seed),
+                                jnp.zeros((1, SIZE, SIZE, 1)))
+        # distinct running stats per checkpoint make a stats-less swap
+        # observable
+        stats = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) + 0.3 * (seed + 1), v["batch_stats"])
+        p = str(d / f"enh{seed}.npz")
+        np.savez(p, **flatten_tree({
+            "params": jax.tree_util.tree_map(np.asarray, v["params"]),
+            "batch_stats": stats}))
+        paths.append(p)
+
+    apply_fn, bundle0 = load_model_for_eval(paths[0], model_arch="auto")
+    eng = InferenceEngine(apply_fn, bundle0, image_size=SIZE,
+                          max_batch_size=2, warmup=False,
+                          compute_dtype=jnp.float32)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = DeglareServer(eng, host="127.0.0.1", port=port,
+                           image_size=SIZE, allow_reload=True,
+                           log_dir=str(tmp_path_factory.mktemp("enhrl_logs")),
+                           log_filename="enh_reload.log")
+    t = threading.Thread(target=server.run, daemon=True)
+    t.start()
+    _wait_ready("127.0.0.1", port)
+    try:
+        img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+        body, headers = _multipart_png(img)
+        _, data = _request("127.0.0.1", port, "POST", "/infer", body, headers)
+        before = np.array(Image.open(io.BytesIO(
+            base64.b64decode(json.loads(data)["image"]))))
+
+        status, data = _request("127.0.0.1", port, "POST", "/reload",
+                                json.dumps({"model_path": paths[1]}).encode())
+        assert status == 200, data
+        assert json.loads(data)["model"] == "enhanced"
+
+        _, data = _request("127.0.0.1", port, "POST", "/infer", body, headers)
+        after = np.array(Image.open(io.BytesIO(
+            base64.b64decode(json.loads(data)["image"]))))
+        assert np.any(before != after)
+
+        # exactness: a fresh engine on checkpoint B agrees with the
+        # hot-reloaded one (same compiled program, same weights AND stats)
+        apply_fn2, bundle1 = load_model_for_eval(paths[1], model_arch="auto")
+        eng2 = InferenceEngine(apply_fn2, bundle1, image_size=SIZE,
+                               max_batch_size=2, warmup=False,
+                               compute_dtype=jnp.float32)
+        np.testing.assert_array_equal(after, eng2.infer_one(img))
+        eng2.stop()
+    finally:
+        eng.stop()
