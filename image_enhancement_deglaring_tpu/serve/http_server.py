@@ -384,36 +384,55 @@ class DeglareServer:
                 keep_alive = (version.upper() != "HTTP/1.0" or conn == "keep-alive") \
                     and conn != "close"
 
-                if "chunked" in headers.get("transfer-encoding", "").lower():
-                    # unsupported framing: answering without consuming the
-                    # chunked body would desync the keep-alive stream
+                te = headers.get("transfer-encoding", "").lower()
+                if "chunked" in te:
+                    # streaming clients of unknown body length (curl -T,
+                    # proxies, SDKs) — uvicorn accepts these transparently,
+                    # so must this API (reference: api/app.py:221-222)
+                    try:
+                        body = await self._read_chunked(reader)
+                    except ValueError:
+                        await self._respond(writer, 400,
+                                            {"detail": "Bad chunked encoding"},
+                                            close=True)
+                        return
+                    if body is None:
+                        # bound exceeded mid-stream; the rest is unread, so
+                        # the connection cannot be kept in sync — close it
+                        await self._respond(writer, 413,
+                                            {"detail": "Request body too large"},
+                                            close=True)
+                        return
+                elif te and te != "identity":
                     await self._respond(writer, 501,
-                                        {"detail": "chunked transfer-encoding "
-                                                   "not supported"},
+                                        {"detail": f"transfer-encoding "
+                                                   f"{te!r} not supported"},
                                         close=True)
                     return
-                try:
-                    length = int(headers.get("content-length", "0") or 0)
-                except ValueError:
-                    await self._respond(writer, 400,
-                                        {"detail": "Bad Content-Length"},
-                                        close=True)
-                    return
-                if length < 0:
-                    await self._respond(writer, 400,
-                                        {"detail": "Bad Content-Length"},
-                                        close=True)
-                    return
-                if length > self.MAX_BODY_BYTES:
-                    await self._respond(writer, 413,
-                                        {"detail": "Request body too large"},
-                                        close=True)
-                    return
-                body = b""
-                if length:
-                    body = await asyncio.wait_for(
-                        reader.readexactly(length), timeout=self.READ_TIMEOUT_S
-                    )
+                else:
+                    try:
+                        length = int(headers.get("content-length", "0") or 0)
+                    except ValueError:
+                        await self._respond(writer, 400,
+                                            {"detail": "Bad Content-Length"},
+                                            close=True)
+                        return
+                    if length < 0:
+                        await self._respond(writer, 400,
+                                            {"detail": "Bad Content-Length"},
+                                            close=True)
+                        return
+                    if length > self.MAX_BODY_BYTES:
+                        await self._respond(writer, 413,
+                                            {"detail": "Request body too large"},
+                                            close=True)
+                        return
+                    body = b""
+                    if length:
+                        body = await asyncio.wait_for(
+                            reader.readexactly(length),
+                            timeout=self.READ_TIMEOUT_S
+                        )
 
                 route, _, query = path.partition("?")
                 if self._draining and not (method == "GET" and route == "/ping"):
@@ -471,6 +490,46 @@ class DeglareServer:
                 await writer.wait_closed()
             except Exception:
                 pass
+
+    async def _read_chunked(self, reader: asyncio.StreamReader) -> bytes | None:
+        """De-chunk a Transfer-Encoding: chunked body (RFC 9112 §7.1).
+
+        Chunk extensions are ignored; trailer fields are read and discarded
+        (none are meaningful to this API). Returns the reassembled body, or
+        None once the running total exceeds MAX_BODY_BYTES — checked per
+        chunk header, so an attacker cannot buffer an unbounded stream.
+        Raises ValueError on malformed framing (caller answers 400)."""
+        total = 0
+        parts: list[bytes] = []
+        while True:
+            line = await asyncio.wait_for(reader.readline(),
+                                          timeout=self.READ_TIMEOUT_S)
+            if not line:
+                raise asyncio.IncompleteReadError(b"", None)
+            size_field = line.strip().split(b";", 1)[0]  # drop extensions
+            try:
+                size = int(size_field, 16)
+            except ValueError:
+                raise ValueError(f"bad chunk size {size_field!r}")
+            if size < 0:
+                raise ValueError("negative chunk size")
+            if size == 0:
+                break
+            total += size
+            if total > self.MAX_BODY_BYTES:
+                return None
+            data = await asyncio.wait_for(reader.readexactly(size + 2),
+                                          timeout=self.READ_TIMEOUT_S)
+            if data[-2:] != b"\r\n":
+                raise ValueError("chunk data not CRLF-terminated")
+            parts.append(data[:-2])
+        # trailer section: header lines until the terminating blank line
+        while True:
+            line = await asyncio.wait_for(reader.readline(),
+                                          timeout=self.READ_TIMEOUT_S)
+            if line in (b"\r\n", b"\n", b""):
+                break
+        return b"".join(parts)
 
     async def _respond(self, writer, status: int, payload: dict,
                        close: bool = False) -> None:

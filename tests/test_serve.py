@@ -453,14 +453,120 @@ def test_bad_content_length_400(live_server):
     assert b"400" in resp.split(b"\r\n", 1)[0]
 
 
-def test_chunked_transfer_rejected_501(live_server):
-    """Chunked framing is unsupported; it must be rejected explicitly
-    (answering 400 and then parsing the unread body would desync
-    keep-alive)."""
+def _chunk_body(body: bytes, sizes) -> bytes:
+    """Frame ``body`` as Transfer-Encoding: chunked with the given chunk
+    sizes (cycled until the body is consumed)."""
+    out = []
+    pos = 0
+    i = 0
+    while pos < len(body):
+        n = min(sizes[i % len(sizes)], len(body) - pos)
+        i += 1
+        out.append(f"{n:x}\r\n".encode() + body[pos:pos + n] + b"\r\n")
+        pos += n
+    out.append(b"0\r\n\r\n")
+    return b"".join(out)
+
+
+def _recv_http_response(s) -> tuple[int, bytes]:
+    """Read one HTTP response (status, body) off a raw socket, using
+    Content-Length so the connection can be reused."""
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        buf += s.recv(65536)
+    head, _, rest = buf.partition(b"\r\n\r\n")
+    status = int(head.split(b" ", 2)[1])
+    length = 0
+    for line in head.split(b"\r\n")[1:]:
+        k, _, v = line.partition(b":")
+        if k.strip().lower() == b"content-length":
+            length = int(v.strip())
+    while len(rest) < length:
+        rest += s.recv(65536)
+    return status, rest[:length]
+
+
+def test_chunked_infer_roundtrip_keeps_stream_in_sync(live_server, rng):
+    """A chunked /infer upload (curl -T-style streaming client) round-trips
+    — with chunk extensions and a trailer field — and the keep-alive
+    stream stays in sync for a follow-up request on the same socket."""
+    host, port = live_server
+    img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    body, headers = _multipart_png(img)
+    chunked = _chunk_body(body, [1, 7, 100, 4096])
+    # splice a chunk extension onto the first chunk and a trailer field
+    chunked = chunked.replace(b"1\r\n", b"1;ext=val\r\n", 1)
+    chunked = chunked[:-2] + b"X-Trailer: ignored\r\n\r\n"
+    with socket.create_connection((host, port), timeout=60) as s:
+        s.sendall(b"POST /infer HTTP/1.1\r\nHost: x\r\n"
+                  + f"Content-Type: {headers['Content-Type']}\r\n".encode()
+                  + b"Transfer-Encoding: chunked\r\n\r\n" + chunked)
+        status, data = _recv_http_response(s)
+        assert status == 200, data
+        out = Image.open(io.BytesIO(base64.b64decode(json.loads(data)["image"])))
+        assert out.mode == "L" and out.size == (SIZE, SIZE)
+        # identical result to the same upload with Content-Length framing
+        st2, data2 = _request(host, port, "POST", "/infer", body, headers)
+        assert st2 == 200 and json.loads(data2)["image"] == json.loads(data)["image"]
+        # stream stayed in sync: same socket serves another request
+        s.sendall(b"GET /ping HTTP/1.1\r\nHost: x\r\n\r\n")
+        status, data = _recv_http_response(s)
+        assert status == 200 and data == b'{"message":"pong"}'
+
+
+def test_chunked_random_splits_fuzz(live_server, rng):
+    """Any chunking of a valid body must parse identically (fuzz over
+    random chunk-size sequences)."""
+    host, port = live_server
+    img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    body, headers = _multipart_png(img)
+    want = None
+    for trial in range(4):
+        sizes = [int(x) for x in rng.integers(1, 9000, size=6)]
+        with socket.create_connection((host, port), timeout=60) as s:
+            s.sendall(b"POST /infer HTTP/1.1\r\nHost: x\r\n"
+                      + f"Content-Type: {headers['Content-Type']}\r\n".encode()
+                      + b"Transfer-Encoding: chunked\r\n\r\n"
+                      + _chunk_body(body, sizes))
+            status, data = _recv_http_response(s)
+        assert status == 200, (sizes, data)
+        got = json.loads(data)["image"]
+        want = got if want is None else want
+        assert got == want
+
+
+def test_chunked_bad_framing_400(live_server):
     host, port = live_server
     with socket.create_connection((host, port), timeout=10) as s:
         s.sendall(b"POST /infer HTTP/1.1\r\nHost: x\r\n"
-                  b"Transfer-Encoding: chunked\r\n\r\n")
+                  b"Transfer-Encoding: chunked\r\n\r\n"
+                  b"zzz\r\nnot hex\r\n")
+        resp = s.recv(65536)
+    assert b"400" in resp.split(b"\r\n", 1)[0]
+
+
+def test_chunked_oversized_413(live_server):
+    """The per-chunk running-total bound rejects an oversized stream
+    without buffering it."""
+    host, port = live_server
+    huge = DeglareServer.MAX_BODY_BYTES + 1
+    with socket.create_connection((host, port), timeout=10) as s:
+        # one declared chunk bigger than the bound: rejected from the
+        # header alone, no body bytes needed
+        s.sendall(b"POST /infer HTTP/1.1\r\nHost: x\r\n"
+                  b"Transfer-Encoding: chunked\r\n\r\n"
+                  + f"{huge:x}\r\n".encode())
+        resp = s.recv(65536)
+    assert b"413" in resp.split(b"\r\n", 1)[0]
+
+
+def test_unknown_transfer_encoding_501(live_server):
+    """Non-chunked transfer codings stay explicitly rejected (answering
+    without consuming an unknown framing would desync keep-alive)."""
+    host, port = live_server
+    with socket.create_connection((host, port), timeout=10) as s:
+        s.sendall(b"POST /infer HTTP/1.1\r\nHost: x\r\n"
+                  b"Transfer-Encoding: gzip\r\n\r\n")
         resp = s.recv(65536)
     assert b"501" in resp.split(b"\r\n", 1)[0]
 
