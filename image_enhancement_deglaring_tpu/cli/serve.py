@@ -71,23 +71,28 @@ def main(argv=None):
             # worker processes proxy frames only; /reload would 404 on them
             raise SystemExit("--allow_reload requires --workers 1 "
                              "(the engine process owns the weights)")
+        import signal
+        import threading
+
         from ..serve.ipc import serve_multiprocess
 
         server.engine.start()
-        ipc, procs = serve_multiprocess(
+        mps = serve_multiprocess(
             server.engine, host=args.host, port=args.port,
             image_size=args.image_size, n_workers=args.workers,
             log_dir=args.log_dir,
         )
+        # SIGTERM on the parent (k8s pod shutdown) forwards to the workers,
+        # each of which drains its in-flight requests before exiting
+        stop_evt = threading.Event()
+        signal.signal(signal.SIGTERM, lambda *_: stop_evt.set())
         try:
-            for p in procs:
-                p.join()
+            while not stop_evt.is_set() and mps.any_alive():
+                stop_evt.wait(1.0)
         except KeyboardInterrupt:
             pass
         finally:
-            ipc.stop()
-            for p in procs:
-                p.terminate()
+            mps.stop()
             server.engine.stop()
         return
     try:

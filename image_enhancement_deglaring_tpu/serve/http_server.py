@@ -548,14 +548,13 @@ class DeglareServer:
         await writer.drain()
 
     # ------------------------------------------------------------- control
-    async def serve_forever(self) -> None:
-        self._server = await asyncio.start_server(self._handle, self.host, self.port)
-        self.logger.info(f"Serving on {self.host}:{self.port}")
-
-        # graceful drain on SIGTERM (k8s pod shutdown; reference has no
-        # counterpart — uvicorn is killed mid-request): stop accepting new
-        # connections, let in-flight requests finish, then exit so the
-        # rolling update never drops a request
+    async def serve_until_sigterm(self, server: asyncio.AbstractServer) -> None:
+        """Serve on an already-bound listener with graceful drain on SIGTERM
+        (k8s pod shutdown; reference has no counterpart — uvicorn is killed
+        mid-request): stop accepting new connections, let in-flight requests
+        finish, then return so a rolling update never drops a request.
+        Shared by the single-process path (serve_forever) and each
+        multi-process HTTP worker (serve/ipc._worker_main)."""
         loop = asyncio.get_running_loop()
         stop_event = asyncio.Event()
         try:
@@ -565,8 +564,8 @@ class DeglareServer:
         except (NotImplementedError, RuntimeError):  # non-main thread / win
             pass
 
-        async with self._server:
-            server_task = asyncio.ensure_future(self._server.serve_forever())
+        async with server:
+            server_task = asyncio.ensure_future(server.serve_forever())
             stop_task = asyncio.ensure_future(stop_event.wait())
             done, _ = await asyncio.wait(
                 {server_task, stop_task},
@@ -574,14 +573,19 @@ class DeglareServer:
             if stop_task in done:
                 self.logger.info("SIGTERM: draining in-flight requests")
                 self._draining = True
-                self._server.close()
-                await self._server.wait_closed()
+                server.close()
+                await server.wait_closed()
                 # in-flight handlers run in the executor; shutdown(wait=True)
                 # blocks until every queued request has been answered
                 await loop.run_in_executor(None, self._executor.shutdown)
                 await asyncio.sleep(0.25)  # let final response writes flush
                 self.logger.info("Drained; shutting down")
             server_task.cancel()
+
+    async def serve_forever(self) -> None:
+        self._server = await asyncio.start_server(self._handle, self.host, self.port)
+        self.logger.info(f"Serving on {self.host}:{self.port}")
+        await self.serve_until_sigterm(self._server)
 
     def run(self) -> None:
         asyncio.run(self.serve_forever())

@@ -208,7 +208,12 @@ class RemoteEngine:
 def _worker_main(address: str, host: str, port: int, image_size: int,
                  log_dir: str | None) -> None:
     """HTTP worker entry point (spawned process): SO_REUSEPORT server backed
-    by a RemoteEngine. Never initializes a device runtime."""
+    by a RemoteEngine. Never initializes a device runtime.
+
+    Runs the SAME SIGTERM drain loop as single-process serving
+    (DeglareServer.serve_until_sigterm): on SIGTERM the worker stops
+    accepting, answers every in-flight request, then exits 0 — so a
+    rolling update of ``--workers N`` mode drops nothing."""
     import asyncio
 
     from .http_server import DeglareServer
@@ -225,24 +230,58 @@ def _worker_main(address: str, host: str, port: int, image_size: int,
         srv = await asyncio.start_server(server._handle, host, port,
                                          reuse_port=True)
         server.logger.info(f"worker {os.getpid()} serving on {host}:{port}")
-        async with srv:
-            await srv.serve_forever()
+        await server.serve_until_sigterm(srv)
 
     try:
         asyncio.run(run())
     except KeyboardInterrupt:
         pass
+    finally:
+        engine.stop()
+
+
+class MultiprocessServer:
+    """Owns the worker processes + IPC server of ``--workers N`` serving.
+
+    ``stop()`` performs the multi-process analogue of the single-process
+    SIGTERM drain: SIGTERM every worker (each runs serve_until_sigterm, so
+    it finishes its in-flight requests first), join with a grace deadline,
+    SIGKILL stragglers, then tear down the IPC listener. Workers are also
+    daemonic as a last-resort leak guard, but normal shutdown is owned
+    here — previously nothing joined or terminated them at all."""
+
+    def __init__(self, ipc: EngineIPCServer, procs: list):
+        self.ipc = ipc
+        self.procs = procs
+
+    def __iter__(self):  # legacy (ipc, procs) unpacking
+        return iter((self.ipc, self.procs))
+
+    def any_alive(self) -> bool:
+        return any(p.is_alive() for p in self.procs)
+
+    def stop(self, grace_s: float = 30.0) -> None:
+        import time
+
+        for p in self.procs:
+            if p.is_alive():
+                p.terminate()  # SIGTERM -> worker drain loop
+        deadline = time.monotonic() + grace_s
+        for p in self.procs:
+            p.join(timeout=max(0.0, deadline - time.monotonic()))
+        for p in self.procs:
+            if p.is_alive():  # drain wedged past the grace window
+                p.kill()
+                p.join(timeout=5.0)
+        self.ipc.stop()
 
 
 def serve_multiprocess(engine, *, host: str, port: int, image_size: int,
                        n_workers: int, log_dir: str | None = None,
-                       address: str | None = None):
-    """Run the engine process + n_workers HTTP processes; blocks forever.
-
-    Returns (ipc_server, worker_processes) when started in the background
-    via ``block=False`` semantics — callers in tests use the pieces
-    directly; the CLI calls this and blocks.
-    """
+                       address: str | None = None) -> MultiprocessServer:
+    """Start the IPC server + n_workers HTTP worker processes; returns a
+    :class:`MultiprocessServer` that owns their lifecycle (callers must
+    ``stop()`` it; it also unpacks as the legacy ``(ipc, procs)`` pair)."""
     import multiprocessing as mp
 
     address = address or f"/tmp/deglare_engine_{os.getpid()}.sock"
@@ -256,4 +295,4 @@ def serve_multiprocess(engine, *, host: str, port: int, image_size: int,
                         daemon=True)
         p.start()
         procs.append(p)
-    return ipc, procs
+    return MultiprocessServer(ipc, procs)

@@ -975,10 +975,11 @@ def test_multiprocess_workers_end_to_end(small_model, rng, tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
-    ipc, procs = serve_multiprocess(
+    mps = serve_multiprocess(
         eng, host="127.0.0.1", port=port, image_size=SIZE, n_workers=2,
         log_dir=str(tmp_path / "logs"), address=str(tmp_path / "e.sock"),
     )
+    ipc, procs = mps  # legacy unpacking stays supported
     try:
         deadline = time.time() + 60
         last_err = None
@@ -1004,10 +1005,11 @@ def test_multiprocess_workers_end_to_end(small_model, rng, tmp_path):
             assert out.size == (SIZE, SIZE)
         assert all(p.is_alive() for p in procs)
     finally:
-        for p in procs:
-            p.terminate()
-        ipc.stop()
+        mps.stop()
         eng.stop()
+    # stop() owns the children: every worker drained and exited 0
+    assert all(not p.is_alive() for p in procs)
+    assert all(p.exitcode == 0 for p in procs), [p.exitcode for p in procs]
 
 
 def test_server_survives_garbage_streams(live_server, rng):
@@ -1359,3 +1361,106 @@ def test_http_reload_enhanced_rebinds_params_and_stats(tmp_path_factory, rng):
         eng2.stop()
     finally:
         eng.stop()
+
+
+def test_multiprocess_sigterm_drains_both_workers(tmp_path):
+    """Rolling-update safety for --workers N: SIGTERM on the parent forwards
+    to both HTTP workers, each of which finishes its in-flight requests
+    before exiting (the round-2 gap: workers were raw serve_forever loops
+    that dropped in-flight requests on terminate). All requests in flight
+    across both workers during SIGTERM must complete 200."""
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import signal, sys, threading, time
+        from concurrent.futures import Future
+        from image_enhancement_deglaring_tpu.serve.ipc import serve_multiprocess
+
+        class SlowEcho:
+            # host-side engine stand-in with a deliberate 1s latency so the
+            # test can catch requests mid-flight; no device runtime involved
+            def submit(self, img):
+                fut = Future()
+                def work():
+                    time.sleep(1.0)
+                    fut.set_result(img)
+                threading.Thread(target=work, daemon=True).start()
+                return fut
+            def stats(self):
+                return {}
+            def stop(self):
+                pass
+
+        port, logdir, sock = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+        mps = serve_multiprocess(SlowEcho(), host="127.0.0.1", port=port,
+                                 image_size=64, n_workers=2, log_dir=logdir,
+                                 address=sock)
+        stop = threading.Event()
+        signal.signal(signal.SIGTERM, lambda *_: stop.set())
+        print("READY", flush=True)
+        while not stop.is_set() and mps.any_alive():
+            stop.wait(0.5)
+        mps.stop()
+        codes = [p.exitcode for p in mps.procs]
+        assert codes == [0, 0], codes
+        print("DRAINED-EXIT", flush=True)
+    """)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    logdir = str(tmp_path / "logs")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script, str(port), logdir,
+         str(tmp_path / "e.sock")],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if "READY" in proc.stdout.readline():
+                break
+        else:
+            raise AssertionError("parent never printed READY")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                st, _ = _request("127.0.0.1", port, "GET", "/ping")
+                if st == 200:
+                    break
+            except OSError:
+                time.sleep(0.2)
+
+        img = (np.random.default_rng(0).random((64, 64)) * 255).astype(np.uint8)
+        body, headers = _multipart_png(img)
+        results = [None] * 12
+        def do_req(i):
+            results[i] = _request("127.0.0.1", port, "POST", "/infer",
+                                  body, headers)
+        threads = [threading.Thread(target=do_req, args=(i,))
+                   for i in range(len(results))]
+        for t in threads:
+            t.start()
+        time.sleep(0.3)  # requests mid-flight (engine latency is 1s)
+        proc.send_signal(signal.SIGTERM)
+        for t in threads:
+            t.join(60)
+        for st_data in results:
+            assert st_data is not None, "request thread never finished"
+            status, data = st_data
+            assert status == 200 and "image" in json.loads(data)
+        out = proc.communicate(timeout=120)[0]
+        assert "DRAINED-EXIT" in out, out
+        assert proc.returncode == 0
+        # 12 connections over SO_REUSEPORT: both workers served some and
+        # drained them (each worker logs per-request completions)
+        import glob
+        worker_logs = glob.glob(os.path.join(logdir, "api.worker*.log"))
+        assert len(worker_logs) == 2
+        served = [open(p).read().count("Successfully processed image")
+                  for p in worker_logs]
+        assert sum(served) == 12 and all(n > 0 for n in served), served
+    finally:
+        proc.kill()
