@@ -25,6 +25,11 @@ def parse_args(argv=None):
     p.add_argument("--cache_images", action="store_true")
     p.add_argument("--n_devices", type=int, default=0,
                    help="trial-parallel devices (0 = all local)")
+    # the reference's sweep lives inside W&B (reference: sweep.py:231-241);
+    # mirroring is opt-in here and degrades to local JSONL without network
+    p.add_argument("--use_wandb", action="store_true",
+                   help="mirror each finished trial to W&B as its own run")
+    p.add_argument("--wandb_project", type=str, default="glare-removal-sweep")
     return p.parse_args(argv)
 
 
@@ -52,15 +57,28 @@ def main(argv=None):
             )
         return loaders_cache[batch_size]
 
+    wandb_mirror = None
+    if args.use_wandb:
+        try:
+            from ..parallel.sweep import WandbSweepMirror
+
+            wandb_mirror = WandbSweepMirror(project=args.wandb_project)
+        except Exception as e:  # wandb missing/unconfigured: JSONL only
+            print(f"wandb unavailable ({e}); sweep telemetry stays local")
+
     logger = ExperimentLogger(f"{args.output_dir}/sweep_logs", config=vars(args))
     result = run_sweep(
         LightweightUNet, loader_factory, n_trials=args.sweep_count,
         max_epochs=args.max_epochs, min_iter=args.early_stop_min_iter,
         eta=args.eta, method=args.method, seed=args.seed, mesh=mesh,
         output_dir=args.output_dir, logger=logger,
-        max_parallel_trials=args.parallel_trials,
+        max_parallel_trials=args.parallel_trials, wandb_mirror=wandb_mirror,
     )
     best = result["best"]
+    if best is None:
+        print("Sweep completed. No trial reached a finite validation loss "
+              "(all diverged); see sweep_results.json")
+        return
     print(f"Sweep completed. Best trial: id={best['trial_id']} "
           f"batch_size={best['batch_size']} lr={best['lr']:.6g} "
           f"wd={best['wd']:.6g} val_loss={best['best_val_loss']:.4f}")

@@ -1,6 +1,7 @@
 from .mesh import make_mesh, replicate, shard_batch, batch_sharding, replicated_sharding
 from .sweep import (
     SearchSpace,
+    WandbSweepMirror,
     Trial,
     VmappedTrialGroup,
     hyperband_rungs,
@@ -17,6 +18,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "SearchSpace",
+    "WandbSweepMirror",
     "Trial",
     "VmappedTrialGroup",
     "hyperband_rungs",

@@ -213,28 +213,35 @@ class VmappedTrialGroup:
         self._val_step = jax.jit(group_val_step)
 
     def train_epoch(self, train_loader, epoch: int) -> np.ndarray:
+        """Runs one epoch; per-batch losses STAY ON DEVICE and are fetched
+        once at epoch end — a per-step np.asarray would synchronize the
+        host on every dispatch, serializing exactly the round-trip the
+        pipelined train loop and evaluator avoid."""
         if hasattr(train_loader, "set_epoch"):
             train_loader.set_epoch(epoch)
-        running = np.zeros(len(self.trials))
-        n = 0
+        per_batch = []
         for x, y in train_loader:
             self.params, self.opt_state, losses = self._train_step(
                 self.params, self.opt_state, self.lrs, self.wds,
                 jnp.asarray(x), jnp.asarray(y),
             )
-            running += np.asarray(losses)
-            n += 1
-        return running / max(n, 1)
+            per_batch.append(losses)
+        if not per_batch:
+            return np.zeros(len(self.trials))
+        return np.asarray(jnp.mean(jnp.stack(per_batch), axis=0))
 
     def val_epoch(self, val_loader) -> np.ndarray:
-        total = np.zeros(len(self.trials))
-        seen = 0
+        per_batch = []
+        weights = []
         for x, y in val_loader:
-            losses = self._val_step(self.params, jnp.asarray(x), jnp.asarray(y))
-            b = x.shape[0]
-            total += np.asarray(losses) * b
-            seen += b
-        return total / max(seen, 1)
+            per_batch.append(
+                self._val_step(self.params, jnp.asarray(x), jnp.asarray(y)))
+            weights.append(x.shape[0])
+        if not per_batch:
+            return np.zeros(len(self.trials))
+        # sample-weighted mean (final batch may be short), one device fetch
+        w = jnp.asarray(weights, jnp.float32)
+        return np.asarray(jnp.stack(per_batch).T @ w / w.sum())
 
     def step_schedulers(self, val_losses: np.ndarray) -> None:
         new = [s.step(float(v)) for s, v in zip(self.schedulers, val_losses)]
@@ -267,6 +274,46 @@ class VmappedTrialGroup:
 # --------------------------------------------------------------------- sweep
 
 
+class WandbSweepMirror:
+    """Mirrors finished trials to Weights & Biases as one run per trial —
+    the reference's sweep lives inside W&B with exactly that shape
+    (wandb.sweep + wandb.agent spawn a run per trial,
+    reference: sweep.py:231-241). Trials here train lock-step in vmapped
+    groups, so each trial's run is created when the trial finishes (dropped
+    at a halving rung or fully trained) and its epoch history is replayed.
+
+    Mirroring is best-effort: a wandb/network failure never kills the
+    sweep (local JSONL + sweep_results.json stay the source of truth)."""
+
+    def __init__(self, project: str | None = None, group: str | None = None):
+        import time
+
+        import wandb  # caller gates on importability
+
+        self._wandb = wandb
+        self.project = project
+        self.group = group or f"sweep-{int(time.time())}"
+        self.mirrored: list[int] = []
+
+    def mirror_trial(self, trial: "Trial") -> None:
+        try:
+            run = self._wandb.init(
+                project=self.project, group=self.group,
+                name=f"trial_{trial.trial_id}", reinit=True,
+                config={"batch_size": trial.batch_size, "lr": trial.lr,
+                        "weight_decay": trial.wd},
+            )
+            for epoch, v in enumerate(trial.val_losses):
+                run.log({"val_loss": v}, step=epoch)
+            run.summary["best_val_loss"] = trial.best_val_loss
+            if trial.stopped_at is not None:
+                run.summary["stopped_at_epoch"] = trial.stopped_at
+            run.finish()
+            self.mirrored.append(trial.trial_id)
+        except Exception:  # pragma: no cover - network/SaaS failure path
+            pass
+
+
 def hyperband_rungs(min_iter: int, max_epochs: int, eta: int = 3) -> list[int]:
     """Rung epochs: min_iter, min_iter*eta, ... capped at max_epochs."""
     rungs = []
@@ -282,7 +329,8 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
               max_epochs: int = 50, min_iter: int = 10, eta: int = 3,
               method: str = "tpe", seed: int = 42, mesh=None,
               output_dir: str = "./sweep_out", space: SearchSpace | None = None,
-              logger=None, max_parallel_trials: int = 0) -> dict:
+              logger=None, max_parallel_trials: int = 0,
+              wandb_mirror: WandbSweepMirror | None = None) -> dict:
     """Run a sweep; returns {'best': Trial-dict, 'trials': [...]}.
 
     Args:
@@ -292,6 +340,8 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
         max_parallel_trials: cap on how many trials train simultaneously in
             one vmapped group (bounds the stacked-params HBM footprint);
             0 = the whole same-batch-size group at once.
+        wandb_mirror: optional WandbSweepMirror; each finished trial is
+            mirrored to W&B as its own run (reference sweep semantics).
     """
     space = space or SearchSpace()
     rng = np.random.default_rng(seed)
@@ -346,8 +396,13 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
                         for t in dropped:
                             t.stopped_at = epoch
                             all_trials.append(t)
+                            if wandb_mirror is not None:
+                                wandb_mirror.mirror_trial(t)
                         group.keep([int(i) for i in order[:n_keep]])
                 all_trials.extend(group.trials)
+                if wandb_mirror is not None:
+                    for t in group.trials:
+                        wandb_mirror.mirror_trial(t)
                 for t in group.trials:
                     snap = best_snap.get(t.trial_id)
                     if snap is None:
@@ -361,14 +416,18 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
                                  **flatten_tree(snap))
 
     if method == "tpe":
-        # two-wave TPE: an exploratory random wave builds the history the
+        # multi-wave TPE: an exploratory random wave builds the history the
         # good/bad density split needs (sampling everything upfront would
-        # degenerate to pure random — there is no history yet), then the
-        # remaining trials are drawn from the fitted densities
-        n_first = min(n_trials, max(4, n_trials // 2))
-        run_trial_batch(sample_random(rng, n_first, space))
-        if n_trials > n_first:
-            run_trial_batch(sample_tpe(rng, n_trials - n_first, space, all_trials))
+        # degenerate to pure random — there is no history yet); every
+        # subsequent wave RE-FITS the densities on all trials run so far —
+        # completed AND halving-dropped ones (their partial val histories
+        # count, Hyperband-style) — so later waves concentrate around the
+        # best region instead of sampling from one stale wave-1 fit
+        wave = min(n_trials, max(4, n_trials // 4))
+        run_trial_batch(sample_random(rng, wave, space))
+        while len(all_trials) < n_trials:
+            k = min(wave, n_trials - len(all_trials))
+            run_trial_batch(sample_tpe(rng, k, space, all_trials))
     else:
         run_trial_batch(sample_random(rng, n_trials, space))
 
@@ -383,7 +442,8 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
 
 def run_sweep_from_config(model_factory, loader_factory, cfg, *, mesh=None,
                           output_dir: str = "./sweep_out", logger=None,
-                          method: str = "tpe") -> dict:
+                          method: str = "tpe",
+                          wandb_mirror: WandbSweepMirror | None = None) -> dict:
     """Run a sweep driven by a :class:`utils.config.SweepConfig`."""
     space = SearchSpace(batch_sizes=tuple(cfg.batch_sizes), lr_min=cfg.lr_min,
                         lr_max=cfg.lr_max, wd_min=cfg.wd_min, wd_max=cfg.wd_max)
@@ -392,7 +452,7 @@ def run_sweep_from_config(model_factory, loader_factory, cfg, *, mesh=None,
         max_epochs=cfg.max_epochs, min_iter=cfg.hyperband_min_iter,
         eta=cfg.eta, method=method, seed=cfg.seed, mesh=mesh,
         output_dir=output_dir, space=space, logger=logger,
-        max_parallel_trials=cfg.parallel_trials,
+        max_parallel_trials=cfg.parallel_trials, wandb_mirror=wandb_mirror,
     )
 
 

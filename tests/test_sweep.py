@@ -234,3 +234,103 @@ def test_run_sweep_mixed_divergence_picks_finite_trial(tmp_path, toy,
     assert result["best"] is not None
     assert result["best"]["trial_id"] == 1
     assert (tmp_path / "best_trial_params.npz").exists()
+
+
+def test_wandb_sweep_mirror_one_run_per_trial(tmp_path, toy, monkeypatch):
+    """--use_wandb sweep parity: every finished trial becomes its own W&B
+    run (name trial_<id>, config carrying the sampled hyperparameters,
+    one log per trained epoch, summary best_val_loss) — matching the
+    reference's wandb.agent per-trial run shape (reference:
+    sweep.py:231-241). wandb is mocked; no network."""
+    import sys
+    import types
+
+    runs = []
+
+    class _FakeRun:
+        def __init__(self, kwargs):
+            self.kwargs = kwargs
+            self.logged = []
+            self.summary = {}
+            self.finished = False
+
+        def log(self, metrics, step=None):
+            self.logged.append((step, metrics))
+
+        def finish(self):
+            self.finished = True
+
+    fake = types.ModuleType("wandb")
+
+    def fake_init(**kwargs):
+        run = _FakeRun(kwargs)
+        runs.append(run)
+        return run
+
+    fake.init = fake_init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from image_enhancement_deglaring_tpu.parallel import WandbSweepMirror
+
+    x, y = toy
+
+    def loader_factory(bs):
+        return _ArrayLoader(x, y, bs), _ArrayLoader(x[:8], y[:8], bs)
+
+    mirror = WandbSweepMirror(project="proj-x")
+    result = run_sweep(
+        _tiny_model, loader_factory, n_trials=4, max_epochs=3, min_iter=1,
+        eta=2, method="random", seed=0, output_dir=str(tmp_path),
+        space=SearchSpace(batch_sizes=(8,)), wandb_mirror=mirror,
+    )
+    assert len(runs) == 4  # one run per trial, dropped trials included
+    by_name = {r.kwargs["name"]: r for r in runs}
+    for t in result["trials"]:
+        run = by_name[f"trial_{t['trial_id']}"]
+        assert run.kwargs["project"] == "proj-x"
+        assert run.kwargs["config"] == {
+            "batch_size": t["batch_size"], "lr": t["lr"],
+            "weight_decay": t["wd"]}
+        assert len(run.logged) == t["epochs_run"]
+        assert run.logged[0][1].keys() == {"val_loss"}
+        assert run.summary["best_val_loss"] == pytest.approx(
+            t["best_val_loss"])
+        if t["stopped_at"] is not None:
+            assert run.summary["stopped_at_epoch"] == t["stopped_at"]
+        assert run.finished
+    # all runs share one sweep group
+    assert len({r.kwargs["group"] for r in runs}) == 1
+
+
+def test_tpe_waves_concentrate_on_synthetic_objective(tmp_path, monkeypatch):
+    """Between-wave re-sampling: with a synthetic objective (best lr near
+    1e-3), trials drawn in the later TPE waves must sit closer to the
+    optimum than the wave-1 random exploration — the continuously-updating
+    Bayes behavior of the reference's W&B sweep."""
+    from image_enhancement_deglaring_tpu.parallel import sweep as sweep_mod
+
+    # no real training: val loss is a deterministic function of lr
+    monkeypatch.setattr(
+        sweep_mod.VmappedTrialGroup, "train_epoch",
+        lambda self, loader, epoch: np.zeros(len(self.trials)))
+    monkeypatch.setattr(
+        sweep_mod.VmappedTrialGroup, "val_epoch",
+        lambda self, loader: np.asarray(
+            [abs(np.log(t.lr) - np.log(1e-3)) for t in self.trials]))
+
+    def loader_factory(bs):
+        return [], []
+
+    result = run_sweep(
+        _tiny_model, loader_factory, n_trials=16, max_epochs=1, min_iter=1,
+        eta=2, method="tpe", seed=7, output_dir=str(tmp_path),
+        space=SearchSpace(batch_sizes=(8,)),
+    )
+    trials = {t["trial_id"]: t for t in result["trials"]}
+    assert len(trials) == 16
+    dist = lambda t: abs(np.log(t["lr"]) - np.log(1e-3))
+    wave1 = [dist(trials[i]) for i in range(4)]            # random wave
+    later = [dist(trials[i]) for i in range(8, 16)]        # waves 3-4
+    assert np.median(later) < np.median(wave1)
+    # and the best trial is near the optimum
+    assert dist(result["best"]) < np.median(wave1)
