@@ -27,7 +27,10 @@ BATCH = 256  # throughput-serving batch; amortizes per-dispatch overhead
 SIZE = 512
 WARMUP_ITERS = 2
 BENCH_ITERS = 10
-BASELINE_IMAGES = 4
+# the 1-CPU cgroup makes single-forward times jittery (vs_baseline moved
+# ~15% between rounds on an identical path); median over enough forwards
+# stabilizes the denominator to a few percent
+BASELINE_IMAGES = 16
 
 
 def _tpu_throughput(params, quantize: str | None = None) -> float:
@@ -74,21 +77,28 @@ def _cpu_baseline_throughput(params) -> float | None:
         rng = np.random.default_rng(0)
         x = rng.random((1, SIZE, SIZE, 1)).astype(np.float32)
         torch_forward_lightweight(params, x)  # warmup
-        t0 = time.perf_counter()
+        # median of per-image times: robust to the 1-CPU cgroup's
+        # scheduling jitter, which moved the mean ~15% between runs
+        times = []
         for _ in range(BASELINE_IMAGES):
+            t0 = time.perf_counter()
             torch_forward_lightweight(params, x)
-        dt = time.perf_counter() - t0
-        return BASELINE_IMAGES / dt
+            times.append(time.perf_counter() - t0)
+        return 1.0 / float(np.median(times))
     except Exception:
         return None
 
 
-def _emit(value, vs_baseline, note=None, metric="infer_throughput_512x512_bf16"):
+def _emit(value, vs_baseline, note=None, metric="infer_throughput_512x512_bf16",
+          cpu_img_s=None):
     rec = {
         "metric": metric,
         "value": round(value, 2) if value else value,
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        # raw numbers for both sides so the ratio's provenance is auditable
+        "tpu_img_s": round(value, 2) if value else value,
+        "cpu_img_s": round(cpu_img_s, 2) if cpu_img_s else None,
     }
     if note:
         rec["note"] = note
@@ -148,8 +158,10 @@ def main() -> int:
               metric=metric)
         return 1
     _emit(tpu_ips, (tpu_ips / cpu_ips) if cpu_ips else None, metric=metric,
-          note="baseline = single-image torch-CPU forwards (the reference's "
-               "ORT-CPU serving pattern; onnxruntime wheel unavailable here)")
+          cpu_img_s=cpu_ips,
+          note="baseline = single-image torch-CPU forwards, median of "
+               f"{BASELINE_IMAGES} (the reference's ORT-CPU serving "
+               "pattern; onnxruntime wheel unavailable here)")
     return 0
 
 
