@@ -186,3 +186,61 @@ def test_fused_conv_forced_rejects_bad_groups(rng):
     with pytest.raises(ValueError, match="num_groups"):
         fused_conv3x3_gn_silu(x, w, jnp.ones(64), jnp.zeros(64), num_groups=5,
                               use_pallas=True)
+
+
+# ---------------------------------------------- whole-slice dec1+out kernel
+
+
+def test_fused_dec1_output_matches_xla_f32():
+    """The 3-phase VMEM-resident decoder-tail kernel (conv1-dual + GN +
+    SiLU + conv2 + GN + SiLU + 1x1 out) matches the XLA composition
+    exactly in f32 (interpret mode off-TPU)."""
+    from image_enhancement_deglaring_tpu.ops.pallas_dec1 import (
+        dec1_output_xla,
+        fused_dec1_output,
+    )
+
+    rng = np.random.default_rng(3)
+    B, C, H, W = 2, 8, 64, 128
+    f = lambda *sh, s=1.0: (rng.standard_normal(sh) * s).astype(np.float32)
+    xu, xs = f(B, H, W, C), f(B, H, W, C)
+    wa, wb, w2 = f(3, 3, C, C, s=.2), f(3, 3, C, C, s=.2), f(3, 3, C, C, s=.2)
+    g1s, g1b, g2s, g2b = f(C), f(C), f(C), f(C)
+    wo, bo = f(1, 1, C, 1, s=.3), f(1)
+    want = np.asarray(dec1_output_xla(
+        jnp.asarray(xu), jnp.asarray(xs), wa, wb, w2,
+        g1s, g1b, g2s, g2b, wo, bo))
+    got = np.asarray(fused_dec1_output(
+        jnp.asarray(xu.transpose(0, 3, 1, 2)),
+        jnp.asarray(xs.transpose(0, 3, 1, 2)),
+        wa, wb, w2, g1s, g1b, g2s, g2b, wo, bo,
+        tile_h=16, interpret=True))[..., None]
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_fused_dec1_output_single_tile_and_odd_tiling():
+    """tile_h that doesn't divide H falls back to one whole-image tile;
+    both paths agree with XLA (edge-row handling differs between them)."""
+    from image_enhancement_deglaring_tpu.ops.pallas_dec1 import (
+        dec1_output_xla,
+        fused_dec1_output,
+    )
+
+    rng = np.random.default_rng(4)
+    B, C, H, W = 1, 8, 48, 128
+    f = lambda *sh, s=1.0: (rng.standard_normal(sh) * s).astype(np.float32)
+    xu, xs = f(B, H, W, C), f(B, H, W, C)
+    wa, wb, w2 = f(3, 3, C, C, s=.2), f(3, 3, C, C, s=.2), f(3, 3, C, C, s=.2)
+    g1s, g1b, g2s, g2b = f(C), f(C), f(C), f(C)
+    wo, bo = f(1, 1, C, 1, s=.3), f(1)
+    want = np.asarray(dec1_output_xla(
+        jnp.asarray(xu), jnp.asarray(xs), wa, wb, w2,
+        g1s, g1b, g2s, g2b, wo, bo))
+    xuc = jnp.asarray(xu.transpose(0, 3, 1, 2))
+    xsc = jnp.asarray(xs.transpose(0, 3, 1, 2))
+    for th in (48, 7, 16):  # whole-image, non-divisor fallback, 3 tiles
+        got = np.asarray(fused_dec1_output(
+            xuc, xsc, wa, wb, w2, g1s, g1b, g2s, g2b, wo, bo,
+            tile_h=th, interpret=True))[..., None]
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5,
+                                   err_msg=f"tile_h={th}")
