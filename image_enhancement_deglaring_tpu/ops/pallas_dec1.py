@@ -263,7 +263,11 @@ def fused_dec1_output(x_up, x_skip, wa, wb, w2, g1_scale, g1_bias,
     """
     n, c, h, w = x_up.shape
     assert c == num_groups, "kernel assumes per-channel GN (C == groups)"
-    if h % tile_h != 0:
+    # multi-tile mode needs tile_h % 8 == 0: the halo loads/DMAs promise
+    # Mosaic 8-aligned dynamic offsets via pl.multiple_of — a false promise
+    # silently reads the wrong halo rows on hardware (interpret mode can't
+    # catch it: pl.multiple_of is a no-op there). Fall back to one tile.
+    if h % tile_h != 0 or (tile_h % 8 != 0 and tile_h != h):
         tile_h = h
     n_tiles = h // tile_h
     denom = float(h * w)

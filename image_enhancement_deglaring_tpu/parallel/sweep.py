@@ -80,7 +80,11 @@ def sample_tpe(rng: np.random.Generator, n: int, space: SearchSpace,
     completed trials, draw candidates from the good density, keep those
     maximizing good/bad likelihood ratio. Falls back to random until enough
     history exists."""
-    done = [t for t in history if t.val_losses]
+    # diverged trials (all-NaN losses) must not enter the good/bad split:
+    # NaN keys silently misorder sorted() (NaN comparisons are all False),
+    # which could put a diverged trial's lr/wd in the "good" density
+    done = [t for t in history
+            if t.val_losses and math.isfinite(t.best_val_loss)]
     if len(done) < 4:
         return sample_random(rng, n, space)
     done = sorted(done, key=lambda t: t.best_val_loss)

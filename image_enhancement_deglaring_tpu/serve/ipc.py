@@ -260,9 +260,17 @@ class MultiprocessServer:
     def any_alive(self) -> bool:
         return any(p.is_alive() for p in self.procs)
 
-    def stop(self, grace_s: float = 30.0) -> None:
+    #: default drain deadline: must exceed the HTTP layer's bounded engine
+    #: wait (DeglareServer.INFER_TIMEOUT_S = 300 s — sized for cold remote
+    #: dispatches), or stop() would SIGKILL a worker mid-drain and drop
+    #: exactly the in-flight requests the drain exists to protect
+    DRAIN_GRACE_S = 330.0
+
+    def stop(self, grace_s: float | None = None) -> None:
         import time
 
+        if grace_s is None:
+            grace_s = self.DRAIN_GRACE_S
         for p in self.procs:
             if p.is_alive():
                 p.terminate()  # SIGTERM -> worker drain loop

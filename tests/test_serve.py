@@ -1418,11 +1418,22 @@ def test_multiprocess_sigterm_drains_both_workers(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     try:
+        # read READY with a real deadline: a blocking readline() would hang
+        # the whole pytest run if the child wedges before printing
+        import selectors
+
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stdout, selectors.EVENT_READ)
         deadline = time.time() + 120
-        while time.time() < deadline:
-            if "READY" in proc.stdout.readline():
-                break
-        else:
+        ready = False
+        while time.time() < deadline and not ready:
+            if sel.select(timeout=1.0):
+                line = proc.stdout.readline()
+                if not line and proc.poll() is not None:
+                    break
+                ready = "READY" in line
+        sel.unregister(proc.stdout)
+        if not ready:
             raise AssertionError("parent never printed READY")
         deadline = time.time() + 60
         while time.time() < deadline:
@@ -1454,13 +1465,15 @@ def test_multiprocess_sigterm_drains_both_workers(tmp_path):
         out = proc.communicate(timeout=120)[0]
         assert "DRAINED-EXIT" in out, out
         assert proc.returncode == 0
-        # 12 connections over SO_REUSEPORT: both workers served some and
-        # drained them (each worker logs per-request completions)
+        # every request drained somewhere (each worker logs completions);
+        # SO_REUSEPORT gives NO distribution guarantee across 12
+        # connections, so per-worker counts are informational only —
+        # asserting both > 0 would be an intermittent flake
         import glob
         worker_logs = glob.glob(os.path.join(logdir, "api.worker*.log"))
         assert len(worker_logs) == 2
         served = [open(p).read().count("Successfully processed image")
                   for p in worker_logs]
-        assert sum(served) == 12 and all(n > 0 for n in served), served
+        assert sum(served) == 12, served
     finally:
         proc.kill()
