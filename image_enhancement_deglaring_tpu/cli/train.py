@@ -29,7 +29,10 @@ def parse_args(argv=None):
     p.add_argument("--validation_metrics_every", type=int, default=5)
     p.add_argument("--cache_images", action="store_true")
     p.add_argument("--augment", type=str, default="optimized",
-                   choices=["optimized", "heavy", "none"])
+                   choices=["optimized", "heavy", "none", "device"],
+                   help="'device' runs the optimized stack ON TPU inside "
+                        "the jitted train step (same distributions, "
+                        "jax.random stream) — host workers only decode")
     # TPU-native additions
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
@@ -66,10 +69,14 @@ def main(argv=None):
     set_seed(args.seed)
     os.makedirs(args.output_dir, exist_ok=True)
 
+    # --augment device: host workers only decode; the optimized stack runs
+    # on TPU inside the jitted train step
+    device_augment = args.augment == "device"
     train_loader, val_loader = make_dataloaders(
         args.data_dir, batch_size=args.batch_size, val_split=args.val_split,
         seed=args.seed, image_size=args.image_size, num_workers=args.num_workers,
-        cache_images=args.cache_images, augment=args.augment,
+        cache_images=args.cache_images,
+        augment="none" if device_augment else args.augment,
     )
     print(f"Training samples: {train_loader.num_samples}, "
           f"Validation samples: {val_loader.num_samples}")
@@ -104,6 +111,7 @@ def main(argv=None):
         log_images_every=args.log_images_every, mesh=mesh, seed=args.seed,
         logger=logger, resume_from=args.resume, watch_every=args.watch_every,
         profile_dir=args.profile_dir, profile_steps=args.profile_steps,
+        device_augment=device_augment,
     )
 
     from ..train import save_checkpoint

@@ -74,17 +74,27 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state.replace(opt_state=state.opt_state._replace(hyperparams=hp))
 
 
-def make_train_step(apply_fn, optimizer, *, stateful: bool = False):
+def make_train_step(apply_fn, optimizer, *, stateful: bool = False,
+                    augment_fn=None):
     """Jitted fused forward/backward/clip/update step.
 
     ``stateful=True`` builds the variant for models with non-trainable
     collections and stochastic layers (BatchNorm running stats + Dropout,
     e.g. EnhancedUNet): mutable collections update each step and a dropout
     rng is split from ``state.rng``.
+
+    ``augment_fn``: optional (key, x, y) -> (x, y) device augmentation
+    (ops.augment_device) applied INSIDE the compiled step — fuses with the
+    forward pass, keyed from the state rng (deterministic per seed).
     """
     if not stateful:
         @partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, x, y):
+            rng = state.rng
+            if augment_fn is not None:
+                rng, aug_key = jax.random.split(state.rng)
+                x, y = augment_fn(aug_key, x, y)
+
             def loss_fn(params):
                 out = apply_fn({"params": params}, x)
                 return l1_loss(out, y)
@@ -93,13 +103,16 @@ def make_train_step(apply_fn, optimizer, *, stateful: bool = False):
             updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return state.replace(params=params, opt_state=opt_state,
-                                 step=state.step + 1), loss
+                                 step=state.step + 1, rng=rng), loss
 
         return train_step
 
     @partial(jax.jit, donate_argnums=0)
     def stateful_train_step(state: TrainState, x, y):
         rng, dropout_rng = jax.random.split(state.rng)
+        if augment_fn is not None:
+            rng, aug_key = jax.random.split(rng)
+            x, y = augment_fn(aug_key, x, y)
         mutable = list(state.model_state.keys())
 
         def loss_fn(params):
@@ -192,7 +205,7 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                 resume_from: str | None = None,
                 lr_controller: ReduceLROnPlateau | None = None,
                 watch_every: int = 0, profile_dir: str | None = None,
-                profile_steps: int = 0):
+                profile_steps: int = 0, device_augment: bool = False):
     """Train ``model`` (a Flax module); returns (best_params,
     best_model_state, best_val_loss, final_state) — best_model_state is the
     mutable-collection snapshot (e.g. BatchNorm batch_stats) taken at the
@@ -260,7 +273,13 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         state = replicate(state, mesh)
         sharding = batch_sharding(mesh)
 
-    train_step = make_train_step(model.apply, optimizer, stateful=stateful)
+    augment_fn = None
+    if device_augment:
+        from ..ops.augment_device import device_augment_batch
+
+        augment_fn = device_augment_batch
+    train_step = make_train_step(model.apply, optimizer, stateful=stateful,
+                                 augment_fn=augment_fn)
     val_step = make_val_step(model.apply, stateful=stateful)
 
     # validation shards over the same mesh as training; ragged final batches

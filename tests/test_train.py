@@ -351,3 +351,100 @@ def test_profile_capture_writes_trace(tmp_path, toy_data):
     for root, _dirs, names in os.walk(tmp_path / "trace"):
         found += [n for n in names if n.endswith((".pb", ".json.gz", ".xplane.pb"))]
     assert found, "no profiler trace files written"
+
+
+# ------------------------------------------------ device-side augmentation
+
+
+def test_device_augment_distributions_match_host_stack():
+    """device_augment_batch reproduces optimized_augment's distributions:
+    ~half the samples flip (image AND target together), ~half get exactly
+    one pixel transform (image only), outputs stay in [0, 1], and targets
+    are NEVER pixel-transformed (each one equals the original or its
+    mirror exactly)."""
+    from image_enhancement_deglaring_tpu.ops.augment_device import (
+        device_augment_batch,
+    )
+
+    rng = np.random.default_rng(1)
+    B, S = 512, 8
+    x = rng.random((B, S, S, 1)).astype(np.float32) * 0.5 + 0.25
+    y = rng.random((B, S, S, 1)).astype(np.float32) * 0.5 + 0.25
+    ax, ay = jax.jit(device_augment_batch)(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(y))
+    ax, ay = np.asarray(ax), np.asarray(ay)
+
+    assert ax.min() >= 0.0 and ax.max() <= 1.0
+    flipped = np.array([np.array_equal(ay[i], y[i, :, ::-1]) for i in range(B)])
+    unchanged_t = np.array([np.array_equal(ay[i], y[i]) for i in range(B)])
+    # every target is exactly original or mirrored — no pixel aug leaked in
+    assert np.all(flipped | unchanged_t)
+    assert 0.40 < flipped.mean() < 0.60  # HFlip p=0.5
+
+    # pixel transform applied to ~half the IMAGES (relative to the flip
+    # the sample received)
+    base = np.where(flipped[:, None, None, None], x[:, :, ::-1], x)
+    pixel_changed = ~np.isclose(ax, base, atol=1e-7).all(axis=(1, 2, 3))
+    assert 0.40 < pixel_changed.mean() < 0.60  # OneOf p=0.5
+
+    # among transformed images, brightness/contrast (affine, image-wide
+    # identical slope) should dominate noise 0.8/0.2
+    def is_affine(i):
+        a = ax[i].ravel().astype(np.float64)
+        b = base[i].ravel().astype(np.float64)
+        inner = (a > 1e-6) & (a < 1 - 1e-6)  # ignore clipped pixels
+        if inner.sum() < 50:
+            return True
+        coef = np.polyfit(b[inner], a[inner], 1)
+        resid = a[inner] - np.polyval(coef, b[inner])
+        return float(np.abs(resid).max()) < 1e-4
+    affine_frac = np.mean([is_affine(i) for i in np.where(pixel_changed)[0]])
+    assert 0.65 < affine_frac < 0.95  # w=.8 vs noise w=.2
+
+
+def test_device_augment_mesh_parity():
+    """The same key over a mesh-sharded batch augments identically to a
+    single device (elementwise per sample — no cross-device coupling)."""
+    from image_enhancement_deglaring_tpu.ops.augment_device import (
+        device_augment_batch,
+    )
+    from image_enhancement_deglaring_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+    )
+
+    rng = np.random.default_rng(2)
+    x = rng.random((16, SIZE, SIZE, 1)).astype(np.float32)
+    y = rng.random((16, SIZE, SIZE, 1)).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+    ax1, ay1 = jax.jit(device_augment_batch)(key, jnp.asarray(x), jnp.asarray(y))
+
+    mesh = make_mesh(8)
+    sh = batch_sharding(mesh)
+    xs = jax.device_put(jnp.asarray(x), sh)
+    ys = jax.device_put(jnp.asarray(y), sh)
+    ax8, ay8 = jax.jit(device_augment_batch)(key, xs, ys)
+    np.testing.assert_array_equal(np.asarray(ax1), np.asarray(ax8))
+    np.testing.assert_array_equal(np.asarray(ay1), np.asarray(ay8))
+
+
+def test_train_model_device_augment_runs_and_is_deterministic(tmp_path,
+                                                              toy_data):
+    """device_augment=True trains (augs fused into the compiled step) and
+    two runs with the same seed produce identical histories."""
+    x, y = toy_data
+
+    def run(out):
+        return train_model(
+            LightweightUNet(), _ArrayLoader(x, y, 8),
+            _ArrayLoader(x[:8], y[:8], 8), epochs=2, lr=1e-3,
+            output_dir=str(out), progress=False, device_augment=True,
+            validation_metrics_every=100, log_images_every=100)
+
+    bp1, _, bv1, _ = run(tmp_path / "a")
+    bp2, _, bv2, _ = run(tmp_path / "b")
+    assert np.isfinite(bv1)
+    assert bv1 == bv2
+    for l1, l2 in zip(jax.tree_util.tree_leaves(bp1),
+                      jax.tree_util.tree_leaves(bp2)):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
