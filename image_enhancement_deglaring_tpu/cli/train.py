@@ -34,6 +34,13 @@ def parse_args(argv=None):
                         "the jitted train step (same distributions, "
                         "jax.random stream) — host workers only decode")
     # TPU-native additions
+    p.add_argument("--resident_data", action="store_true",
+                   help="cache the full decoded dataset in device HBM once "
+                        "and run each epoch as ONE compiled dispatch "
+                        "(on-device shuffle + augment + lax.scan over "
+                        "steps); implies device-side augmentation "
+                        "(--augment optimized auto-upgrades to device; "
+                        "heavy is host-only and rejected)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--n_devices", type=int, default=0,
@@ -71,12 +78,22 @@ def main(argv=None):
 
     # --augment device: host workers only decode; the optimized stack runs
     # on TPU inside the jitted train step
-    device_augment = args.augment == "device"
+    augment = args.augment
+    if args.resident_data:
+        if augment == "heavy":
+            raise SystemExit("--resident_data caches raw pixels on device; "
+                             "the heavy stack is host-only (cv2 warps/CLAHE)."
+                             " Use --augment optimized|device|none.")
+        if augment == "optimized":
+            print("--resident_data: running the optimized augmentation "
+                  "stack on device (same distributions, jax.random stream)")
+            augment = "device"
+    device_augment = augment == "device"
     train_loader, val_loader = make_dataloaders(
         args.data_dir, batch_size=args.batch_size, val_split=args.val_split,
         seed=args.seed, image_size=args.image_size, num_workers=args.num_workers,
         cache_images=args.cache_images,
-        augment="none" if device_augment else args.augment,
+        augment="none" if device_augment else augment,
     )
     print(f"Training samples: {train_loader.num_samples}, "
           f"Validation samples: {val_loader.num_samples}")
@@ -111,7 +128,7 @@ def main(argv=None):
         log_images_every=args.log_images_every, mesh=mesh, seed=args.seed,
         logger=logger, resume_from=args.resume, watch_every=args.watch_every,
         profile_dir=args.profile_dir, profile_steps=args.profile_steps,
-        device_augment=device_augment,
+        device_augment=device_augment, resident=args.resident_data,
     )
 
     from ..train import save_checkpoint

@@ -74,22 +74,15 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state.replace(opt_state=state.opt_state._replace(hyperparams=hp))
 
 
-def make_train_step(apply_fn, optimizer, *, stateful: bool = False,
-                    augment_fn=None):
-    """Jitted fused forward/backward/clip/update step.
-
-    ``stateful=True`` builds the variant for models with non-trainable
-    collections and stochastic layers (BatchNorm running stats + Dropout,
-    e.g. EnhancedUNet): mutable collections update each step and a dropout
-    rng is split from ``state.rng``.
-
-    ``augment_fn``: optional (key, x, y) -> (x, y) device augmentation
-    (ops.augment_device) applied INSIDE the compiled step — fuses with the
-    forward pass, keyed from the state rng (deterministic per seed).
+def make_step_body(apply_fn, optimizer, *, stateful: bool = False,
+                   augment_fn=None):
+    """Pure (state, x, y) -> (state, loss) training-step body — the math
+    shared by the per-step jitted path (``make_train_step``) and the
+    resident scanned-epoch path (``train.resident``), so the two modes
+    run the same trace (numerics match to float round-off).
     """
     if not stateful:
-        @partial(jax.jit, donate_argnums=0)
-        def train_step(state: TrainState, x, y):
+        def step_body(state: TrainState, x, y):
             rng = state.rng
             if augment_fn is not None:
                 rng, aug_key = jax.random.split(state.rng)
@@ -105,10 +98,9 @@ def make_train_step(apply_fn, optimizer, *, stateful: bool = False,
             return state.replace(params=params, opt_state=opt_state,
                                  step=state.step + 1, rng=rng), loss
 
-        return train_step
+        return step_body
 
-    @partial(jax.jit, donate_argnums=0)
-    def stateful_train_step(state: TrainState, x, y):
+    def stateful_step_body(state: TrainState, x, y):
         rng, dropout_rng = jax.random.split(state.rng)
         if augment_fn is not None:
             rng, aug_key = jax.random.split(rng)
@@ -131,20 +123,32 @@ def make_train_step(apply_fn, optimizer, *, stateful: bool = False,
                              step=state.step + 1,
                              model_state=new_model_state, rng=rng), loss
 
-    return stateful_train_step
+    return stateful_step_body
 
 
-def make_val_step(apply_fn, metric_subset: int = 4, *, stateful: bool = False):
-    """Returns jitted (params, model_state, x, y, mask) -> (batch L1, subset
-    psnr mean, subset ssim mean, prediction) — metrics on the first <=4 real
-    images like the reference (reference: optimized_train.py:92-122).
+def make_train_step(apply_fn, optimizer, *, stateful: bool = False,
+                    augment_fn=None):
+    """Jitted fused forward/backward/clip/update step.
 
-    ``mask``: (B,) 1.0 for real samples, 0.0 for padding — ragged final val
-    batches are padded to one static, mesh-aligned shape so the compiled
-    step never re-specializes and sharded batches divide the mesh evenly.
+    ``stateful=True`` builds the variant for models with non-trainable
+    collections and stochastic layers (BatchNorm running stats + Dropout,
+    e.g. EnhancedUNet): mutable collections update each step and a dropout
+    rng is split from ``state.rng``.
+
+    ``augment_fn``: optional (key, x, y) -> (x, y) device augmentation
+    (ops.augment_device) applied INSIDE the compiled step — fuses with the
+    forward pass, keyed from the state rng (deterministic per seed).
     """
+    body = make_step_body(apply_fn, optimizer, stateful=stateful,
+                          augment_fn=augment_fn)
+    return partial(jax.jit, donate_argnums=0)(body)
 
-    @jax.jit
+
+def make_val_body(apply_fn, metric_subset: int = 4, *, stateful: bool = False):
+    """Pure (params, model_state, x, y, mask) -> (batch L1, subset psnr
+    mean, subset ssim mean, prediction) — shared by the jitted per-batch
+    ``make_val_step`` and the resident scanned validation epoch."""
+
     def val_step(params, model_state, x, y, mask):
         variables = {"params": params, **model_state}
         out = apply_fn(variables, x).astype(jnp.float32)
@@ -166,6 +170,18 @@ def make_val_step(apply_fn, metric_subset: int = 4, *, stateful: bool = False):
         return loss, psnr, ssim, out
 
     return val_step
+
+
+def make_val_step(apply_fn, metric_subset: int = 4, *, stateful: bool = False):
+    """Returns jitted (params, model_state, x, y, mask) -> (batch L1, subset
+    psnr mean, subset ssim mean, prediction) — metrics on the first <=4 real
+    images like the reference (reference: optimized_train.py:92-122).
+
+    ``mask``: (B,) 1.0 for real samples, 0.0 for padding — ragged final val
+    batches are padded to one static, mesh-aligned shape so the compiled
+    step never re-specializes and sharded batches divide the mesh evenly.
+    """
+    return jax.jit(make_val_body(apply_fn, metric_subset, stateful=stateful))
 
 
 class _PaddedValLoader:
@@ -205,7 +221,8 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                 resume_from: str | None = None,
                 lr_controller: ReduceLROnPlateau | None = None,
                 watch_every: int = 0, profile_dir: str | None = None,
-                profile_steps: int = 0, device_augment: bool = False):
+                profile_steps: int = 0, device_augment: bool = False,
+                resident: bool = False):
     """Train ``model`` (a Flax module); returns (best_params,
     best_model_state, best_val_loss, final_state) — best_model_state is the
     mutable-collection snapshot (e.g. BatchNorm batch_stats) taken at the
@@ -217,6 +234,9 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
     ``resume_from``: checkpoint directory — restores params, optimizer
     state, model state, epoch, and the LR controller, continuing the run
     exactly where it stopped (the reference can only save, not resume).
+    ``resident``: cache the full decoded dataset in device memory once and
+    run each epoch as ONE compiled lax.scan dispatch (see train.resident);
+    requires non-augmenting loaders (combine with ``device_augment``).
     """
     os.makedirs(output_dir, exist_ok=True)
 
@@ -289,6 +309,35 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
     val_static_b = -(-val_static_b // n_dev) * n_dev
     padded_val = _PaddedValLoader(val_loader, val_static_b)
 
+    # ship inputs in the model's compute dtype (bf16 halves PCIe/tunnel
+    # bytes; the model's first op is this exact cast, so it's free)
+    model_dtype = getattr(model, "dtype", None)
+    input_dtype = np.dtype("bfloat16") if model_dtype == jnp.bfloat16 else None
+
+    if resident:
+        # device-resident mode: decode once, ship once, and run each epoch
+        # as a single compiled scan (train.resident)
+        from .resident import (batch_val_cache, cache_on_device,
+                               make_train_epoch, make_val_epoch)
+
+        train_batch = int(getattr(train_loader, "batch_size", 0)
+                          or sample_x.shape[0])
+        workers = getattr(train_loader, "num_workers", 8)
+        rd_train = cache_on_device(train_loader, dtype=input_dtype,
+                                   sharding=sharding, num_workers=workers)
+        train_epoch_fn = make_train_epoch(
+            model.apply, optimizer, batch_size=train_batch,
+            stateful=stateful, augment_fn=augment_fn, batch_sharding=sharding,
+        )
+        n_val = int(getattr(val_loader, "num_samples", len(val_loader)) or 0)
+        if n_val:
+            rd_val = cache_on_device(val_loader, sharding=sharding,
+                                     num_workers=workers)
+            val_batches = batch_val_cache(rd_val, val_static_b, sharding)
+            val_epoch_fn = make_val_epoch(model.apply, stateful=stateful)
+        else:
+            val_batches = None
+
     scheduler = lr_controller or ReduceLROnPlateau(
         lr, factor=plateau_factor, patience=plateau_patience
     )
@@ -304,51 +353,60 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
     for epoch in range(start_epoch, epochs):
         # ---------------------------------------------------------- train
         t0 = time.time()
-        if hasattr(train_loader, "set_epoch"):
-            train_loader.set_epoch(epoch)
-        # ship inputs in the model's compute dtype (bf16 halves PCIe/tunnel
-        # bytes; the model's first op is this exact cast, so it's free)
-        model_dtype = getattr(model, "dtype", None)
-        input_dtype = np.dtype("bfloat16") if model_dtype == jnp.bfloat16 else None
-        train_iter = DevicePrefetcher(train_loader, sharding=sharding,
-                                      input_dtype=input_dtype)
-        it = train_iter
-        if progress:
-            try:
-                from tqdm import tqdm
-
-                it = tqdm(train_iter, total=len(train_loader),
-                          desc=f"Epoch {epoch + 1}/{epochs} [Train]")
-            except ImportError:
-                pass
-        # keep per-step losses ON DEVICE: float(loss) every step would force
-        # a host sync per step, stalling the dispatch pipeline (steps can't
-        # overlap with the next batch's transfer); fetch once per epoch
-        step_losses: list = []
-        step_sizes: list[int] = []
         # optional jax profiler capture of the first epoch's hot loop
         # (tensorboard-readable trace; the reference has no profiler)
         profiling = (profile_dir is not None and profile_steps > 0
                      and epoch == start_epoch)
         if profiling:
             jax.profiler.start_trace(profile_dir)
-        for i, (x, y) in enumerate(it):
-            state, loss = train_step(state, x, y)
-            step_losses.append(loss)
-            step_sizes.append(x.shape[0])
-            if profiling and i + 1 >= profile_steps:
-                loss.block_until_ready()
+        if resident:
+            # whole epoch in one dispatch: shuffle/gather/augment/step scan
+            epoch_key = jax.random.fold_in(jax.random.PRNGKey(seed), epoch)
+            state, losses = train_epoch_fn(state, rd_train.x, rd_train.y,
+                                           epoch_key, rd_train.n)
+            losses_np = np.asarray(losses, np.float64)  # the epoch barrier
+            if profiling:
                 jax.profiler.stop_trace()
                 profiling = False
-        if profiling:  # epoch shorter than profile_steps
-            jax.profiler.stop_trace()
-        n_seen = sum(step_sizes)
-        if step_losses:  # one stacked fetch, not one sync per scalar
-            losses_np = np.asarray(jnp.stack(step_losses), np.float64)
-            running = float(losses_np @ np.asarray(step_sizes, np.float64))
+            n_seen = losses_np.size * train_batch
+            train_loss = float(losses_np.mean()) if losses_np.size else 0.0
         else:
-            running = 0.0
-        train_loss = running / max(n_seen, 1)
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
+            train_iter = DevicePrefetcher(train_loader, sharding=sharding,
+                                          input_dtype=input_dtype)
+            it = train_iter
+            if progress:
+                try:
+                    from tqdm import tqdm
+
+                    it = tqdm(train_iter, total=len(train_loader),
+                              desc=f"Epoch {epoch + 1}/{epochs} [Train]")
+                except ImportError:
+                    pass
+            # keep per-step losses ON DEVICE: float(loss) every step would
+            # force a host sync per step, stalling the dispatch pipeline
+            # (steps can't overlap with the next batch's transfer); fetch
+            # once per epoch
+            step_losses: list = []
+            step_sizes: list[int] = []
+            for i, (x, y) in enumerate(it):
+                state, loss = train_step(state, x, y)
+                step_losses.append(loss)
+                step_sizes.append(x.shape[0])
+                if profiling and i + 1 >= profile_steps:
+                    loss.block_until_ready()
+                    jax.profiler.stop_trace()
+                    profiling = False
+            if profiling:  # epoch shorter than profile_steps
+                jax.profiler.stop_trace()
+            n_seen = sum(step_sizes)
+            if step_losses:  # one stacked fetch, not one sync per scalar
+                losses_np = np.asarray(jnp.stack(step_losses), np.float64)
+                running = float(losses_np @ np.asarray(step_sizes, np.float64))
+            else:
+                running = 0.0
+            train_loss = running / max(n_seen, 1)
         history["train_loss"].append(train_loss)
         train_secs = time.time() - t0
         train_ips = n_seen / train_secs if train_secs > 0 else 0.0
@@ -362,26 +420,49 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         log_images = logger is not None and (
             (epoch + 1) % log_images_every == 0 or epoch == 0 or epoch == epochs - 1
         )
-        val_stats: list = []  # per-batch (loss, psnr, ssim, n_real) on device
-        for batch_idx, (x, y, mask) in enumerate(
-            DevicePrefetcher(padded_val, sharding=sharding)
-        ):
-            loss, psnr, ssim, out = val_step(state.params, state.model_state,
-                                             x, y, mask)
-            val_stats.append(jnp.stack([loss, psnr, ssim, jnp.sum(mask)]))
-            if log_images and batch_idx == 0:
-                out_np = np.asarray(out)
-                k = min(2, out_np.shape[0])
-                imgs = {}
-                for i in range(k):
-                    imgs[f"input_{i}"] = np.asarray(x)[i, ..., 0]
-                    imgs[f"prediction_{i}"] = np.clip(out_np[i, ..., 0], 0, 1)
-                    imgs[f"target_{i}"] = np.asarray(y)[i, ..., 0]
-                logger.log_images("val", imgs, step=epoch + 1)
-        # one stacked fetch for the whole epoch's metrics (per-batch float()
-        # would sync the pipeline every step)
-        if val_stats:
-            vs = np.asarray(jnp.stack(val_stats), np.float64)  # (B, 4)
+        if resident:
+            # whole validation set in one dispatch + one stats fetch
+            vs = None
+            if val_batches is not None:
+                vs = np.asarray(
+                    val_epoch_fn(state.params, state.model_state,
+                                 *val_batches),
+                    np.float64,
+                )
+                if log_images:
+                    xb, yb, masks = val_batches
+                    _, _, _, out = val_step(state.params, state.model_state,
+                                            xb[0], yb[0], masks[0])
+                    out_np = np.asarray(out, np.float32)
+                    k = min(2, int(masks[0].sum()))
+                    imgs = {}
+                    for i in range(k):
+                        imgs[f"input_{i}"] = np.asarray(xb[0], np.float32)[i, ..., 0]
+                        imgs[f"prediction_{i}"] = np.clip(out_np[i, ..., 0], 0, 1)
+                        imgs[f"target_{i}"] = np.asarray(yb[0], np.float32)[i, ..., 0]
+                    logger.log_images("val", imgs, step=epoch + 1)
+        else:
+            val_stats: list = []  # per-batch (loss, psnr, ssim, n_real) on device
+            for batch_idx, (x, y, mask) in enumerate(
+                DevicePrefetcher(padded_val, sharding=sharding)
+            ):
+                loss, psnr, ssim, out = val_step(state.params, state.model_state,
+                                                 x, y, mask)
+                val_stats.append(jnp.stack([loss, psnr, ssim, jnp.sum(mask)]))
+                if log_images and batch_idx == 0:
+                    out_np = np.asarray(out)
+                    k = min(2, out_np.shape[0])
+                    imgs = {}
+                    for i in range(k):
+                        imgs[f"input_{i}"] = np.asarray(x)[i, ..., 0]
+                        imgs[f"prediction_{i}"] = np.clip(out_np[i, ..., 0], 0, 1)
+                        imgs[f"target_{i}"] = np.asarray(y)[i, ..., 0]
+                    logger.log_images("val", imgs, step=epoch + 1)
+            # one stacked fetch for the whole epoch's metrics (per-batch
+            # float() would sync the pipeline every step)
+            vs = (np.asarray(jnp.stack(val_stats), np.float64)
+                  if val_stats else None)
+        if vs is not None:
             val_seen = float(vs[:, 3].sum())
             val_loss = float(vs[:, 0] @ vs[:, 3]) / max(val_seen, 1.0)
             val_psnr = float(vs[:, 1].mean())

@@ -1,0 +1,209 @@
+"""Device-resident dataset training (one compiled dispatch per epoch).
+
+TPU-native redesign of the reference's hot loop (reference:
+optimized_train.py:197-233, which round-trips host->device every step
+through a torch DataLoader): the full decoded dataset is shipped to HBM
+ONCE, and each epoch runs as a single jitted ``lax.scan`` — on-device
+shuffle (``jax.random.permutation``), gather, optional device-side
+augmentation (ops.augment_device), and the fused train step. The host's
+per-epoch work collapses to one dispatch plus one stacked loss fetch.
+
+Why this is the right shape for TPU:
+- the host input path (decode + transfer) leaves the steady state
+  entirely; nothing is re-shipped per step or per epoch;
+- per-step dispatch latency (the dominant fixed cost on a tunneled or
+  multi-tenant host, and nontrivial even on a local PCIe host) is paid
+  once per EPOCH, not once per step;
+- the scan body reuses ``loop.make_step_body`` verbatim, so resident
+  training matches the per-step path on the same batch sequence to
+  float32 round-off (tested; exact bits can differ because XLA may fuse
+  a scanned program differently than a standalone jit);
+- everything shards: the cache is laid out over the mesh's data axis and
+  each scanned step constrains its gathered batch to the same batch
+  sharding the per-step path uses, so XLA inserts the identical gradient
+  all-reduces.
+
+Capacity: SD1-scale (1,536 pairs of 512-square grayscale) is ~1.6 GB in
+bf16 — a few percent of one chip's HBM, and it shrinks per-chip when
+sharded over a mesh. ``fits_on_device`` makes the check explicit.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .loop import make_step_body, make_val_body
+
+
+class ResidentData(NamedTuple):
+    """A dataset living in device memory.
+
+    ``x``/``y``: (N_padded, H, W, C) device arrays (padding rows are zeros,
+    present only so the leading axis divides the mesh); ``n``: real sample
+    count — the shuffle only ever indexes ``[0, n)``.
+    """
+
+    x: jax.Array
+    y: jax.Array
+    n: int
+
+
+def fits_on_device(n: int, image_size: int, channels: int = 1,
+                   *, dtype=jnp.bfloat16, hbm_bytes: int = 16 << 30,
+                   fraction: float = 0.5) -> bool:
+    """Whether an (input, target) cache of ``n`` samples fits in
+    ``fraction`` of one device's HBM."""
+    per = np.dtype(dtype).itemsize if dtype != jnp.bfloat16 else 2
+    need = 2 * n * image_size * image_size * channels * per
+    return need <= fraction * hbm_bytes
+
+
+def cache_on_device(source, *, dtype=None, sharding=None,
+                    num_workers: int = 8) -> ResidentData:
+    """Decode a dataset on the host ONCE and ship it to device memory.
+
+    ``source`` is either an indexable dataset (``__len__``/``__getitem__``
+    -> (x, y) HWC float arrays) or a batch loader (iterated once,
+    concatenated) — loaders wrapping an augmenting dataset are rejected:
+    caching would freeze one random draw of the augmentations into the
+    data; use ``--augment device`` to keep augmenting per epoch on chip.
+
+    ``sharding``: optional batch (leading-axis) NamedSharding — the cache
+    pads N up to the mesh size and shards it, so each device holds ~N/D
+    samples.
+    """
+    ds = getattr(source, "dataset", source)
+    if hasattr(ds, "__getitem__") and hasattr(ds, "__len__"):
+        if getattr(ds, "augment", "none") != "none":
+            raise ValueError(
+                "cache_on_device: the dataset applies host augmentations "
+                f"({ds.augment!r}); caching would freeze one random draw. "
+                "Build it with augment='none' and use device augmentation."
+            )
+        n = len(ds)
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            samples = list(pool.map(ds.__getitem__, range(n)))
+        x = np.stack([s[0] for s in samples])
+        y = np.stack([s[1] for s in samples])
+    else:
+        xs, ys = [], []
+        for bx, by in source:
+            xs.append(np.asarray(bx))
+            ys.append(np.asarray(by))
+        if not xs:
+            raise ValueError("cache_on_device: empty data source")
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+    n = x.shape[0]
+
+    if dtype is not None:
+        x = x.astype(dtype)
+        y = y.astype(dtype)
+
+    if sharding is not None:
+        n_shards = sharding.mesh.devices.size
+        pad = (-n) % n_shards
+        if pad:
+            zeros = np.zeros((pad,) + x.shape[1:], x.dtype)
+            x = np.concatenate([x, zeros])
+            y = np.concatenate([y, np.zeros((pad,) + y.shape[1:], y.dtype)])
+        put = lambda a: jax.device_put(a, sharding)
+    else:
+        put = jax.device_put
+    return ResidentData(put(x), put(y), n)
+
+
+def make_train_epoch(apply_fn, optimizer, *, batch_size: int,
+                     stateful: bool = False, augment_fn=None,
+                     shuffle: bool = True, batch_sharding=None):
+    """Build the jitted whole-epoch trainer.
+
+    Returns ``train_epoch(state, x, y, epoch_key, n_real) ->
+    (state, losses)`` with ``losses`` shaped (n_real // batch_size,):
+    a single compiled program that shuffles, gathers, (optionally)
+    augments, and steps through every batch via ``lax.scan``. ``state`` is
+    donated; the cache arrays are read-only and never copied.
+
+    ``shuffle=False`` runs batches in index order — used by the parity
+    tests to pin resident == per-step bit-exactly.
+    """
+    body = make_step_body(apply_fn, optimizer, stateful=stateful,
+                          augment_fn=augment_fn)
+
+    @partial(jax.jit, donate_argnums=0, static_argnums=4)
+    def train_epoch(state, x, y, epoch_key, n_real: int):
+        steps = n_real // batch_size
+        if shuffle:
+            perm = jax.random.permutation(epoch_key, n_real)
+        else:
+            perm = jnp.arange(n_real)
+        idx = perm[: steps * batch_size].reshape(steps, batch_size)
+
+        def scan_body(st, ix):
+            xb = jnp.take(x, ix, axis=0)
+            yb = jnp.take(y, ix, axis=0)
+            if batch_sharding is not None:
+                xb = jax.lax.with_sharding_constraint(xb, batch_sharding)
+                yb = jax.lax.with_sharding_constraint(yb, batch_sharding)
+            return body(st, xb, yb)
+
+        return jax.lax.scan(scan_body, state, idx)
+
+    return train_epoch
+
+
+def batch_val_cache(data: ResidentData, batch_size: int,
+                    sharding=None) -> tuple[Any, Any, Any]:
+    """Reshape a resident validation cache into static scanned batches.
+
+    Returns ``(xb, yb, masks)`` with ``xb``/``yb`` shaped
+    (VB, batch_size, H, W, C) and ``masks`` (VB, batch_size) flagging real
+    samples — the resident analogue of ``loop._PaddedValLoader``. Padding
+    happens on device (the cache is already resident).
+    """
+    n, npad = data.n, data.x.shape[0]
+    vb = max(1, -(-n // batch_size))
+    total = vb * batch_size
+    x, y = data.x, data.y
+    if total > npad:
+        widths = [(0, total - npad)] + [(0, 0)] * (x.ndim - 1)
+        x = jnp.pad(x, widths)
+        y = jnp.pad(y, widths)
+    x = x[:total].reshape((vb, batch_size) + x.shape[1:])
+    y = y[:total].reshape((vb, batch_size) + y.shape[1:])
+    mask = (np.arange(total) < n).astype(np.float32).reshape(vb, batch_size)
+    if sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = sharding.spec[0]
+        s = NamedSharding(sharding.mesh, P(None, axis))
+        x = jax.device_put(x, s)
+        y = jax.device_put(y, s)
+    return x, y, jnp.asarray(mask)
+
+
+def make_val_epoch(apply_fn, metric_subset: int = 4, *,
+                   stateful: bool = False):
+    """Jitted whole-set validation: scans ``make_val_body`` over the
+    batched cache, returning (VB, 4) rows of
+    [masked L1, subset PSNR, subset SSIM, real-sample count] — the same
+    per-batch stats the host path stacks, fetched in one transfer."""
+    body = make_val_body(apply_fn, metric_subset, stateful=stateful)
+
+    @jax.jit
+    def val_epoch(params, model_state, xb, yb, masks):
+        def scan_body(_, args):
+            x, y, m = args
+            loss, psnr, ssim, _ = body(params, model_state, x, y, m)
+            return None, jnp.stack([loss, psnr, ssim, jnp.sum(m)])
+
+        _, stats = jax.lax.scan(scan_body, None, (xb, yb, masks))
+        return stats
+
+    return val_epoch
