@@ -23,8 +23,21 @@ def parse_args(argv=None):
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--method", type=str, default="tpe", choices=["tpe", "random"])
     p.add_argument("--cache_images", action="store_true")
+    p.add_argument("--resident_data", action="store_true",
+                   help="decode the dataset once, keep it in device HBM "
+                        "for the whole sweep, and run every trial-group "
+                        "epoch as ONE compiled dispatch (on-device "
+                        "shuffle + augmentation + lax.scan over steps); "
+                        "the optimized augmentation stack runs on device")
     p.add_argument("--n_devices", type=int, default=0,
                    help="trial-parallel devices (0 = all local)")
+    # the reference's sweep fixes mixed_precision ON for every trial
+    # (reference: sweep.py:80-87); bf16 compute is the TPU equivalent
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="trial compute dtype; params/optimizer stay f32 "
+                        "(AMP semantics, the reference sweep's fixed "
+                        "mixed_precision=true)")
     # the reference's sweep lives inside W&B (reference: sweep.py:231-241);
     # mirroring is opt-in here and degrades to local JSONL without network
     p.add_argument("--use_wandb", action="store_true",
@@ -48,12 +61,21 @@ def main(argv=None):
 
     loaders_cache = {}
 
+    # --resident_data: host loaders only decode (augment='none'); the
+    # optimized augmentation stack runs on device inside the scanned epoch
+    augment_fn = None
+    if args.resident_data:
+        from ..ops.augment_device import device_augment_batch
+
+        augment_fn = device_augment_batch
+
     def loader_factory(batch_size):
         if batch_size not in loaders_cache:
             loaders_cache[batch_size] = make_dataloaders(
                 args.data_dir, batch_size=batch_size, val_split=args.val_split,
                 seed=args.seed, image_size=args.image_size,
                 num_workers=args.num_workers, cache_images=args.cache_images,
+                augment="none" if args.resident_data else "optimized",
             )
         return loaders_cache[batch_size]
 
@@ -67,12 +89,17 @@ def main(argv=None):
             print(f"wandb unavailable ({e}); sweep telemetry stays local")
 
     logger = ExperimentLogger(f"{args.output_dir}/sweep_logs", config=vars(args))
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     result = run_sweep(
-        LightweightUNet, loader_factory, n_trials=args.sweep_count,
+        lambda: LightweightUNet(dtype=dtype), loader_factory,
+        n_trials=args.sweep_count,
         max_epochs=args.max_epochs, min_iter=args.early_stop_min_iter,
         eta=args.eta, method=args.method, seed=args.seed, mesh=mesh,
         output_dir=args.output_dir, logger=logger,
         max_parallel_trials=args.parallel_trials, wandb_mirror=wandb_mirror,
+        resident=args.resident_data, augment_fn=augment_fn,
     )
     best = result["best"]
     if best is None:

@@ -26,6 +26,7 @@ import json
 import math
 import os
 from dataclasses import dataclass, field
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -127,14 +128,32 @@ def sample_tpe(rng: np.random.Generator, n: int, space: SearchSpace,
 
 class VmappedTrialGroup:
     """Train N same-batch-size trials in lock step via vmap, trial axis
-    sharded over the mesh."""
+    sharded over the mesh.
+
+    ``augment_fn``: optional (key, x, y) -> (x, y) device augmentation
+    (ops.augment_device) applied to the SHARED data batch inside the
+    resident scanned epoch — one draw per step, seen identically by every
+    trial, matching the host path where the loader augments the one stream
+    all trials consume."""
 
     def __init__(self, model, trials: list[Trial], *, clip_grad_norm: float = 1.0,
                  mesh=None, seed: int = 42, plateau_patience: int = 5,
-                 plateau_factor: float = 0.5):
+                 plateau_factor: float = 0.5, augment_fn=None):
         self.model = model
         self.trials = trials
         self.mesh = mesh
+        self.batch_size = trials[0].batch_size
+        assert all(t.batch_size == self.batch_size for t in trials), \
+            "VmappedTrialGroup trials must share one batch size"
+        self._base_key = jax.random.PRNGKey(seed)
+        # bf16 models (the reference sweep fixes mixed_precision ON): ship
+        # inputs in the compute dtype — the model's first op is this exact
+        # cast, so host->device bytes halve for free; targets stay f32 so
+        # the loss math is untouched (same policy as train.loop:312-315)
+        self._input_dtype = (np.dtype("bfloat16")
+                             if getattr(model, "dtype", None) == jnp.bfloat16
+                             else None)
+        self._data_sharding = None
         n = len(trials)
 
         base_params = jax.jit(model.init)(
@@ -162,9 +181,13 @@ class VmappedTrialGroup:
             for t in trials
         ]
 
-        if mesh is not None and n % mesh.devices.size == 0:
+        if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            # data batches replicate over the mesh whether or not the
+            # trial axis shards (below requires n % devices == 0)
+            self._data_sharding = NamedSharding(mesh, P())
+        if mesh is not None and n % mesh.devices.size == 0:
             axis = mesh.axis_names[0]
             tsh = NamedSharding(mesh, P(axis))
             rep = NamedSharding(mesh, P())
@@ -216,6 +239,69 @@ class VmappedTrialGroup:
         self._train_step = jax.jit(group_train_step)
         self._val_step = jax.jit(group_val_step)
 
+        # ---- resident scanned epochs: the whole epoch (shuffle + gather +
+        # optional device augmentation + every vmapped trial step) compiles
+        # into ONE dispatch over a device-resident cache (train.resident
+        # builds the cache) — per-step dispatch latency, the dominant fixed
+        # cost of sweeping many trials x epochs x steps from a remote or
+        # busy host, is paid once per EPOCH. Trial-axis sharding over the
+        # mesh is untouched: the cache is replicated, so each device steps
+        # its own trials against a local copy with no collectives.
+        def scan_train_epoch(params, opt_state, lrs, wds, x, y, key,
+                             n_real: int, bs: int, shuffle: bool):
+            bs = min(bs, n_real)  # sampled batch_size may exceed tiny sets
+            steps = n_real // bs
+            k_perm, k_aug = jax.random.split(key)
+            if shuffle:
+                perm = jax.random.permutation(k_perm, n_real)
+            else:
+                perm = jnp.arange(n_real)
+            idx = perm[: steps * bs].reshape(steps, bs)
+            aug_keys = jax.random.split(k_aug, steps)
+
+            def body(carry, args):
+                p, o = carry
+                ix, k_step = args
+                xb = jnp.take(x, ix, axis=0)
+                yb = jnp.take(y, ix, axis=0)
+                if augment_fn is not None:
+                    xb, yb = augment_fn(k_step, xb, yb)
+                kt = lrs.shape[0]
+                xk = jnp.broadcast_to(xb[None], (kt,) + xb.shape)
+                yk = jnp.broadcast_to(yb[None], (kt,) + yb.shape)
+                p, o, losses = jax.vmap(one_trial_step)(p, o, lrs, wds, xk, yk)
+                return (p, o), losses
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (idx, aug_keys))
+            return params, opt_state, losses  # (steps, k)
+
+        self._resident_train = partial(
+            jax.jit, donate_argnums=(0, 1), static_argnums=(7, 8, 9)
+        )(scan_train_epoch)
+
+        def one_trial_val_masked_sum(params, x, y, mask):
+            out = apply_fn({"params": params}, x).astype(jnp.float32)
+            per = jnp.mean(jnp.abs(out - y.astype(jnp.float32)), axis=(1, 2, 3))
+            return jnp.sum(per * mask)
+
+        def scan_val_epoch(params, xb, yb, masks):
+            kt = jax.tree_util.tree_leaves(params)[0].shape[0]
+
+            def body(acc, args):
+                x, y, m = args
+                xk = jnp.broadcast_to(x[None], (kt,) + x.shape)
+                yk = jnp.broadcast_to(y[None], (kt,) + y.shape)
+                sums = jax.vmap(one_trial_val_masked_sum,
+                                in_axes=(0, 0, 0, None))(params, xk, yk, m)
+                return acc + sums, None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros(kt, jnp.float32),
+                                  (xb, yb, masks))
+            return acc
+
+        self._resident_val = jax.jit(scan_val_epoch)
+
     def train_epoch(self, train_loader, epoch: int) -> np.ndarray:
         """Runs one epoch; per-batch losses STAY ON DEVICE and are fetched
         once at epoch end — a per-step np.asarray would synchronize the
@@ -223,11 +309,14 @@ class VmappedTrialGroup:
         pipelined train loop and evaluator avoid."""
         if hasattr(train_loader, "set_epoch"):
             train_loader.set_epoch(epoch)
+        from ..data.dataset import DevicePrefetcher
+
         per_batch = []
-        for x, y in train_loader:
+        for x, y in DevicePrefetcher(train_loader,
+                                     sharding=self._data_sharding,
+                                     input_dtype=self._input_dtype):
             self.params, self.opt_state, losses = self._train_step(
-                self.params, self.opt_state, self.lrs, self.wds,
-                jnp.asarray(x), jnp.asarray(y),
+                self.params, self.opt_state, self.lrs, self.wds, x, y,
             )
             per_batch.append(losses)
         if not per_batch:
@@ -235,17 +324,45 @@ class VmappedTrialGroup:
         return np.asarray(jnp.mean(jnp.stack(per_batch), axis=0))
 
     def val_epoch(self, val_loader) -> np.ndarray:
+        from ..data.dataset import DevicePrefetcher
+
         per_batch = []
         weights = []
-        for x, y in val_loader:
-            per_batch.append(
-                self._val_step(self.params, jnp.asarray(x), jnp.asarray(y)))
+        for x, y in DevicePrefetcher(val_loader,
+                                     sharding=self._data_sharding,
+                                     input_dtype=self._input_dtype):
+            per_batch.append(self._val_step(self.params, x, y))
             weights.append(x.shape[0])
         if not per_batch:
             return np.zeros(len(self.trials))
         # sample-weighted mean (final batch may be short), one device fetch
         w = jnp.asarray(weights, jnp.float32)
         return np.asarray(jnp.stack(per_batch).T @ w / w.sum())
+
+    def train_epoch_resident(self, data, epoch: int, *,
+                             shuffle: bool = True) -> np.ndarray:
+        """One epoch over a device-resident cache (train.resident
+        ``ResidentData``) in a single compiled dispatch; returns each
+        trial's mean loss. The epoch key folds the group seed with the
+        epoch index, so every trial sees the same shuffled (and, with
+        ``augment_fn``, identically augmented) stream — the reference's
+        same-data-per-trial semantics (reference: sweep.py:103)."""
+        key = jax.random.fold_in(self._base_key, epoch)
+        self.params, self.opt_state, losses = self._resident_train(
+            self.params, self.opt_state, self.lrs, self.wds, data.x, data.y,
+            key, data.n, self.batch_size, shuffle)
+        if losses.shape[0] == 0:
+            return np.zeros(len(self.trials))
+        return np.asarray(jnp.mean(losses, axis=0))
+
+    def val_epoch_resident(self, val_batches, n_real: int) -> np.ndarray:
+        """Whole validation set in one dispatch over static padded batches
+        (train.resident.batch_val_cache); returns per-trial mean L1 over
+        the ``n_real`` real samples — numerically the same sample-weighted
+        mean ``val_epoch`` computes from ragged host batches."""
+        xb, yb, masks = val_batches
+        sums = self._resident_val(self.params, xb, yb, masks)
+        return np.asarray(sums) / max(n_real, 1)
 
     def step_schedulers(self, val_losses: np.ndarray) -> None:
         new = [s.step(float(v)) for s, v in zip(self.schedulers, val_losses)]
@@ -334,7 +451,8 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
               method: str = "tpe", seed: int = 42, mesh=None,
               output_dir: str = "./sweep_out", space: SearchSpace | None = None,
               logger=None, max_parallel_trials: int = 0,
-              wandb_mirror: WandbSweepMirror | None = None) -> dict:
+              wandb_mirror: WandbSweepMirror | None = None,
+              resident: bool = False, augment_fn=None) -> dict:
     """Run a sweep; returns {'best': Trial-dict, 'trials': [...]}.
 
     Args:
@@ -346,6 +464,14 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
             0 = the whole same-batch-size group at once.
         wandb_mirror: optional WandbSweepMirror; each finished trial is
             mirrored to W&B as its own run (reference sweep semantics).
+        resident: ship the decoded dataset to device memory ONCE for the
+            whole sweep (it is batch-size independent) and run every
+            train/val epoch as a single compiled dispatch
+            (``VmappedTrialGroup.train_epoch_resident``). Loaders must not
+            host-augment (build them with augment='none'); pass
+            ``augment_fn`` to keep augmenting on device.
+        augment_fn: device augmentation (key, x, y) -> (x, y) applied to
+            the shared stream inside the resident scanned epoch.
     """
     space = space or SearchSpace()
     rng = np.random.default_rng(seed)
@@ -357,6 +483,35 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
 
     from ..utils.pytree import flatten_tree
 
+    # resident caches: decoded once per sweep (per-sample, so shared by
+    # every batch size); val batches re-batched per group batch size
+    res: dict = {"train": None, "val": None, "val_batches": {}}
+
+    def resident_data(train_loader, val_loader, bs: int):
+        from ..train.resident import batch_val_cache, cache_on_device
+        from .mesh import replicated_sharding
+
+        if res["train"] is None:
+            rep = replicated_sharding(mesh) if mesh is not None else None
+            # bf16 models: cache the train split in the compute dtype
+            # (halves HBM + the one-time ship; same policy as the resident
+            # train loop); the val cache stays f32 for untouched loss math
+            probe = model_factory()
+            cache_dtype = (np.dtype("bfloat16")
+                           if getattr(probe, "dtype", None) == jnp.bfloat16
+                           else None)
+            res["train"] = cache_on_device(train_loader, dtype=cache_dtype,
+                                           sharding=rep)
+            n_val = int(getattr(val_loader, "num_samples", len(val_loader))
+                        or 0)
+            if n_val:
+                res["val"] = cache_on_device(val_loader, sharding=rep)
+        rd_val = res["val"]
+        if rd_val is not None and bs not in res["val_batches"]:
+            res["val_batches"][bs] = batch_val_cache(
+                rd_val, min(bs, rd_val.n))
+        return res["train"], rd_val, res["val_batches"].get(bs)
+
     def run_trial_batch(trials: list[Trial]) -> None:
         nonlocal best
         by_bs: dict[int, list[Trial]] = {}
@@ -364,12 +519,16 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
             by_bs.setdefault(t.batch_size, []).append(t)
         for bs, bs_trials in sorted(by_bs.items()):
             train_loader, val_loader = loader_factory(bs)
+            if resident:
+                rd_train, rd_val, val_batches = resident_data(
+                    train_loader, val_loader, bs)
             chunk = (max_parallel_trials if max_parallel_trials > 0
                      else len(bs_trials))
             for g0 in range(0, len(bs_trials), chunk):
                 group_trials = bs_trials[g0 : g0 + chunk]
                 group = VmappedTrialGroup(model_factory(), group_trials,
-                                          mesh=mesh, seed=seed)
+                                          mesh=mesh, seed=seed,
+                                          augment_fn=augment_fn)
                 epoch = 0
                 # host snapshot of each trial's params at its BEST epoch —
                 # end-of-training weights can be worse than the best loss
@@ -377,8 +536,16 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
                 best_snap: dict[int, dict] = {}
                 for rung_idx, rung in enumerate(rungs):
                     while epoch < rung and group.trials:
-                        group.train_epoch(train_loader, epoch)
-                        val_losses = group.val_epoch(val_loader)
+                        if resident:
+                            group.train_epoch_resident(rd_train, epoch)
+                            val_losses = (
+                                group.val_epoch_resident(val_batches,
+                                                         rd_val.n)
+                                if val_batches is not None
+                                else np.zeros(len(group.trials)))
+                        else:
+                            group.train_epoch(train_loader, epoch)
+                            val_losses = group.val_epoch(val_loader)
                         group.step_schedulers(val_losses)
                         for i, (t, v) in enumerate(zip(group.trials, val_losses)):
                             v = float(v)
@@ -447,7 +614,8 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
 def run_sweep_from_config(model_factory, loader_factory, cfg, *, mesh=None,
                           output_dir: str = "./sweep_out", logger=None,
                           method: str = "tpe",
-                          wandb_mirror: WandbSweepMirror | None = None) -> dict:
+                          wandb_mirror: WandbSweepMirror | None = None,
+                          resident: bool = False, augment_fn=None) -> dict:
     """Run a sweep driven by a :class:`utils.config.SweepConfig`."""
     space = SearchSpace(batch_sizes=tuple(cfg.batch_sizes), lr_min=cfg.lr_min,
                         lr_max=cfg.lr_max, wd_min=cfg.wd_min, wd_max=cfg.wd_max)
@@ -457,6 +625,7 @@ def run_sweep_from_config(model_factory, loader_factory, cfg, *, mesh=None,
         eta=cfg.eta, method=method, seed=cfg.seed, mesh=mesh,
         output_dir=output_dir, space=space, logger=logger,
         max_parallel_trials=cfg.parallel_trials, wandb_mirror=wandb_mirror,
+        resident=resident, augment_fn=augment_fn,
     )
 
 

@@ -45,6 +45,12 @@ def test_sweep_parser_defaults():
     args = parse_args(["--data_dir", "SD1/train"])
     assert args.sweep_count == 20 and args.max_epochs == 50
     assert args.early_stop_min_iter == 10  # hyperband min_iter
+    assert not args.resident_data
+    assert parse_args(["--data_dir", "d", "--resident_data"]).resident_data
+    # reference sweep fixes mixed_precision ON -> bf16 default
+    assert args.compute_dtype == "bfloat16"
+    assert parse_args(["--data_dir", "d", "--compute_dtype", "float32"]
+                      ).compute_dtype == "float32"
 
 
 def test_enhance_parser_requires_input():

@@ -334,3 +334,28 @@ def test_tpe_waves_concentrate_on_synthetic_objective(tmp_path, monkeypatch):
     assert np.median(later) < np.median(wave1)
     # and the best trial is near the optimum
     assert dist(result["best"]) < np.median(wave1)
+
+
+def test_vmapped_group_bf16_compute(toy):
+    """bf16-dtype trial groups (the reference sweep fixes mixed_precision
+    ON, reference sweep.py:80-87) train with f32 params/optimizer and land
+    near the f32 trajectory."""
+    import jax.numpy as jnp
+
+    x, y = toy
+    trials = [Trial(trial_id=i, batch_size=8, lr=1e-3, wd=1e-5)
+              for i in range(2)]
+    g16 = VmappedTrialGroup(
+        LightweightUNet(features_start=2, num_groups=2, dtype=jnp.bfloat16),
+        trials, seed=0)
+    g32 = VmappedTrialGroup(_tiny_model(), list(trials), seed=0)
+    loader = _ArrayLoader(x, y, 8)
+    l16 = g16.train_epoch(loader, 0)
+    l32 = g32.train_epoch(loader, 0)
+    assert np.isfinite(l16).all()
+    # AMP semantics: master params stay f32
+    for leaf in jax.tree_util.tree_leaves(g16.params):
+        assert leaf.dtype == jnp.float32
+    np.testing.assert_allclose(l16, l32, rtol=0.05)
+    v16, v32 = g16.val_epoch(loader), g32.val_epoch(loader)
+    np.testing.assert_allclose(v16, v32, rtol=0.05)
