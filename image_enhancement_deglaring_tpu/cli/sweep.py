@@ -22,6 +22,13 @@ def parse_args(argv=None):
                    help="cap trials per vmapped group (0 = whole group)")
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--method", type=str, default="tpe", choices=["tpe", "random"])
+    # the reference's train_sweep builds any of the three families from the
+    # sweep config (reference: sweep.py:135-143; fixed to 'basic' at :86)
+    p.add_argument("--model", type=str, default="basic",
+                   choices=["basic", "enhanced", "optimized"],
+                   help="architecture every trial trains (reference fixes "
+                        "'basic'; 'enhanced' sweeps BatchNorm stats + "
+                        "dropout per trial)")
     p.add_argument("--cache_images", action="store_true")
     p.add_argument("--resident_data", action="store_true",
                    help="decode the dataset once, keep it in device HBM "
@@ -51,7 +58,7 @@ def main(argv=None):
     import jax
 
     from ..data import make_dataloaders
-    from ..models import LightweightUNet
+    from ..models import EnhancedUNet, LightweightUNet, OptimizedUNet
     from ..parallel import make_mesh, run_sweep
     from ..utils import ExperimentLogger, set_seed
 
@@ -92,8 +99,10 @@ def main(argv=None):
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    ctor = {"basic": LightweightUNet, "enhanced": EnhancedUNet,
+            "optimized": OptimizedUNet}[args.model]
     result = run_sweep(
-        lambda: LightweightUNet(dtype=dtype), loader_factory,
+        lambda: ctor(dtype=dtype), loader_factory,
         n_trials=args.sweep_count,
         max_epochs=args.max_epochs, min_iter=args.early_stop_min_iter,
         eta=args.eta, method=args.method, seed=args.seed, mesh=mesh,

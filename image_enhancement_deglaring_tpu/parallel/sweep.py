@@ -156,14 +156,24 @@ class VmappedTrialGroup:
         self._data_sharding = None
         n = len(trials)
 
-        base_params = jax.jit(model.init)(
-            jax.random.PRNGKey(seed), jnp.zeros((1, 16, 16, 1))
-        )["params"]
+        # 64² init input: params are shape-independent (all convs), but
+        # EnhancedUNet's 5 pool levels + bottleneck pool need >=64 to trace
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 1))
+        )
+        base_params = variables["params"]
+        # non-trainable collections (EnhancedUNet's BatchNorm batch_stats)
+        # travel as a stacked per-trial model_state, mirroring the train
+        # loop's stateful path (train.loop:103-126) — the reference's sweep
+        # can train any of the three families (reference: sweep.py:135-143)
+        base_mstate = {k: v for k, v in variables.items() if k != "params"}
+        self.stateful = bool(base_mstate)
         # same init for every trial (reference seeds every trial identically,
         # sweep.py:103)
-        stacked = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x[None], (n,) + x.shape), base_params
-        )
+        stack = lambda tree: jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (n,) + x.shape), tree)
+        stacked = stack(base_params)
+        self.model_state = stack(base_mstate)
         tx_proto = optax.chain(
             optax.clip_by_global_norm(clip_grad_norm),
             optax.adamw(1e-3, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0),
@@ -194,6 +204,7 @@ class VmappedTrialGroup:
             self._trial_sharding = tsh
             put_t = lambda x: jax.device_put(x, tsh) if x.shape[0] == n else x
             self.params = jax.tree_util.tree_map(put_t, self.params)
+            self.model_state = jax.tree_util.tree_map(put_t, self.model_state)
             self.opt_state = jax.tree_util.tree_map(
                 lambda x: put_t(x) if hasattr(x, "shape") and x.ndim and x.shape[0] == n
                 else jax.device_put(x, rep),
@@ -204,37 +215,59 @@ class VmappedTrialGroup:
 
         apply_fn = model.apply
         clip = self.clip
+        stateful = self.stateful
 
-        def one_trial_step(params, opt_state, lr, wd, x, y):
-            def loss_fn(p):
-                return l1_loss(apply_fn({"params": p}, x), y)
+        def one_trial_step(params, mstate, opt_state, lr, wd, x, y, key):
+            if stateful:
+                def loss_fn(p):
+                    out, new_ms = apply_fn(
+                        {"params": p, **mstate}, x, train=True,
+                        mutable=list(mstate.keys()),
+                        rngs={"dropout": key})
+                    return l1_loss(out, y), new_ms
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+                (loss, new_ms), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+            else:
+                def loss_fn(p):
+                    return l1_loss(apply_fn({"params": p}, x), y)
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                new_ms = mstate
             tx = optax.chain(
                 optax.clip_by_global_norm(clip),
                 optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd),
             )
             updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+            return (optax.apply_updates(params, updates), new_ms, opt_state,
+                    loss)
 
-        def one_trial_val(params, x, y):
-            return l1_loss(apply_fn({"params": params}, x), y)
+        def one_trial_val(params, mstate, x, y):
+            if stateful:
+                out = apply_fn({"params": params, **mstate}, x, train=False)
+            else:
+                out = apply_fn({"params": params}, x)
+            return l1_loss(out, y)
 
         # Broadcast the shared data batch across the trial axis inside the
         # compiled step (XLA keeps it lazy) and vmap over everything —
         # jax's batched-kernel/shared-input conv rule mis-handles
         # 1-output-channel convs, so in_axes=None on data is not an option.
-        def group_train_step(params, opt_state, lrs, wds, x, y):
+        # The dropout key is shared (in_axes=None): every trial sees the
+        # same stream, like the shared shuffled data.
+        def group_train_step(params, mstate, opt_state, lrs, wds, x, y, key):
             k = lrs.shape[0]  # trial count (shrinks after halving)
             xb = jnp.broadcast_to(x[None], (k,) + x.shape)
             yb = jnp.broadcast_to(y[None], (k,) + y.shape)
-            return jax.vmap(one_trial_step)(params, opt_state, lrs, wds, xb, yb)
+            return jax.vmap(one_trial_step,
+                            in_axes=(0, 0, 0, 0, 0, 0, 0, None))(
+                params, mstate, opt_state, lrs, wds, xb, yb, key)
 
-        def group_val_step(params, x, y):
+        def group_val_step(params, mstate, x, y):
             k = jax.tree_util.tree_leaves(params)[0].shape[0]
             xb = jnp.broadcast_to(x[None], (k,) + x.shape)
             yb = jnp.broadcast_to(y[None], (k,) + y.shape)
-            return jax.vmap(one_trial_val)(params, xb, yb)
+            return jax.vmap(one_trial_val)(params, mstate, xb, yb)
 
         self._train_step = jax.jit(group_train_step)
         self._val_step = jax.jit(group_val_step)
@@ -247,21 +280,22 @@ class VmappedTrialGroup:
         # busy host, is paid once per EPOCH. Trial-axis sharding over the
         # mesh is untouched: the cache is replicated, so each device steps
         # its own trials against a local copy with no collectives.
-        def scan_train_epoch(params, opt_state, lrs, wds, x, y, key,
+        def scan_train_epoch(params, mstate, opt_state, lrs, wds, x, y, key,
                              n_real: int, bs: int, shuffle: bool):
             bs = min(bs, n_real)  # sampled batch_size may exceed tiny sets
             steps = n_real // bs
-            k_perm, k_aug = jax.random.split(key)
+            k_perm, k_aug, k_drop = jax.random.split(key, 3)
             if shuffle:
                 perm = jax.random.permutation(k_perm, n_real)
             else:
                 perm = jnp.arange(n_real)
             idx = perm[: steps * bs].reshape(steps, bs)
             aug_keys = jax.random.split(k_aug, steps)
+            drop_keys = jax.random.split(k_drop, steps)
 
             def body(carry, args):
-                p, o = carry
-                ix, k_step = args
+                p, ms, o = carry
+                ix, k_step, k_d = args
                 xb = jnp.take(x, ix, axis=0)
                 yb = jnp.take(y, ix, axis=0)
                 if augment_fn is not None:
@@ -269,23 +303,29 @@ class VmappedTrialGroup:
                 kt = lrs.shape[0]
                 xk = jnp.broadcast_to(xb[None], (kt,) + xb.shape)
                 yk = jnp.broadcast_to(yb[None], (kt,) + yb.shape)
-                p, o, losses = jax.vmap(one_trial_step)(p, o, lrs, wds, xk, yk)
-                return (p, o), losses
+                p, ms, o, losses = jax.vmap(
+                    one_trial_step, in_axes=(0, 0, 0, 0, 0, 0, 0, None))(
+                    p, ms, o, lrs, wds, xk, yk, k_d)
+                return (p, ms, o), losses
 
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (idx, aug_keys))
-            return params, opt_state, losses  # (steps, k)
+            (params, mstate, opt_state), losses = jax.lax.scan(
+                body, (params, mstate, opt_state), (idx, aug_keys, drop_keys))
+            return params, mstate, opt_state, losses  # (steps, k)
 
         self._resident_train = partial(
-            jax.jit, donate_argnums=(0, 1), static_argnums=(7, 8, 9)
+            jax.jit, donate_argnums=(0, 1, 2), static_argnums=(8, 9, 10)
         )(scan_train_epoch)
 
-        def one_trial_val_masked_sum(params, x, y, mask):
-            out = apply_fn({"params": params}, x).astype(jnp.float32)
+        def one_trial_val_masked_sum(params, mstate, x, y, mask):
+            if stateful:
+                out = apply_fn({"params": params, **mstate}, x, train=False)
+            else:
+                out = apply_fn({"params": params}, x)
+            out = out.astype(jnp.float32)
             per = jnp.mean(jnp.abs(out - y.astype(jnp.float32)), axis=(1, 2, 3))
             return jnp.sum(per * mask)
 
-        def scan_val_epoch(params, xb, yb, masks):
+        def scan_val_epoch(params, mstate, xb, yb, masks):
             kt = jax.tree_util.tree_leaves(params)[0].shape[0]
 
             def body(acc, args):
@@ -293,7 +333,8 @@ class VmappedTrialGroup:
                 xk = jnp.broadcast_to(x[None], (kt,) + x.shape)
                 yk = jnp.broadcast_to(y[None], (kt,) + y.shape)
                 sums = jax.vmap(one_trial_val_masked_sum,
-                                in_axes=(0, 0, 0, None))(params, xk, yk, m)
+                                in_axes=(0, 0, 0, 0, None))(
+                    params, mstate, xk, yk, m)
                 return acc + sums, None
 
             acc, _ = jax.lax.scan(body, jnp.zeros(kt, jnp.float32),
@@ -311,12 +352,15 @@ class VmappedTrialGroup:
             train_loader.set_epoch(epoch)
         from ..data.dataset import DevicePrefetcher
 
+        ek = jax.random.fold_in(self._base_key, epoch)
         per_batch = []
-        for x, y in DevicePrefetcher(train_loader,
-                                     sharding=self._data_sharding,
-                                     input_dtype=self._input_dtype):
-            self.params, self.opt_state, losses = self._train_step(
-                self.params, self.opt_state, self.lrs, self.wds, x, y,
+        for i, (x, y) in enumerate(
+                DevicePrefetcher(train_loader, sharding=self._data_sharding,
+                                 input_dtype=self._input_dtype)):
+            (self.params, self.model_state, self.opt_state,
+             losses) = self._train_step(
+                self.params, self.model_state, self.opt_state,
+                self.lrs, self.wds, x, y, jax.random.fold_in(ek, i),
             )
             per_batch.append(losses)
         if not per_batch:
@@ -331,7 +375,8 @@ class VmappedTrialGroup:
         for x, y in DevicePrefetcher(val_loader,
                                      sharding=self._data_sharding,
                                      input_dtype=self._input_dtype):
-            per_batch.append(self._val_step(self.params, x, y))
+            per_batch.append(
+                self._val_step(self.params, self.model_state, x, y))
             weights.append(x.shape[0])
         if not per_batch:
             return np.zeros(len(self.trials))
@@ -348,9 +393,10 @@ class VmappedTrialGroup:
         ``augment_fn``, identically augmented) stream — the reference's
         same-data-per-trial semantics (reference: sweep.py:103)."""
         key = jax.random.fold_in(self._base_key, epoch)
-        self.params, self.opt_state, losses = self._resident_train(
-            self.params, self.opt_state, self.lrs, self.wds, data.x, data.y,
-            key, data.n, self.batch_size, shuffle)
+        (self.params, self.model_state, self.opt_state,
+         losses) = self._resident_train(
+            self.params, self.model_state, self.opt_state, self.lrs,
+            self.wds, data.x, data.y, key, data.n, self.batch_size, shuffle)
         if losses.shape[0] == 0:
             return np.zeros(len(self.trials))
         return np.asarray(jnp.mean(losses, axis=0))
@@ -361,7 +407,8 @@ class VmappedTrialGroup:
         the ``n_real`` real samples — numerically the same sample-weighted
         mean ``val_epoch`` computes from ragged host batches."""
         xb, yb, masks = val_batches
-        sums = self._resident_val(self.params, xb, yb, masks)
+        sums = self._resident_val(self.params, self.model_state, xb, yb,
+                                  masks)
         return np.asarray(sums) / max(n_real, 1)
 
     def step_schedulers(self, val_losses: np.ndarray) -> None:
@@ -377,6 +424,7 @@ class VmappedTrialGroup:
         idx = jnp.asarray(indices)
         take = lambda x: jnp.take(x, idx, axis=0)
         self.params = jax.tree_util.tree_map(take, self.params)
+        self.model_state = jax.tree_util.tree_map(take, self.model_state)
         self.opt_state = jax.tree_util.tree_map(
             lambda x: take(x)
             if hasattr(x, "shape") and x.ndim and x.shape[0] == len(self.trials)
@@ -390,6 +438,19 @@ class VmappedTrialGroup:
 
     def params_of(self, i: int):
         return jax.tree_util.tree_map(lambda x: np.asarray(x[i]), self.params)
+
+    def snapshot_of(self, i: int):
+        """Host snapshot of trial ``i``'s weights. Stateless models return
+        the bare params tree (the flat-npz artifact convention); stateful
+        ones bundle the non-trainable collections alongside —
+        ``{"params": ..., "batch_stats": ...}`` — matching the npz layout
+        eval.harness expects for EnhancedUNet."""
+        params = self.params_of(i)
+        if not self.stateful:
+            return params
+        mstate = jax.tree_util.tree_map(lambda x: np.asarray(x[i]),
+                                        self.model_state)
+        return {"params": params, **mstate}
 
 
 # --------------------------------------------------------------------- sweep
@@ -550,7 +611,7 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
                         for i, (t, v) in enumerate(zip(group.trials, val_losses)):
                             v = float(v)
                             if v < t.best_val_loss:
-                                best_snap[t.trial_id] = group.params_of(i)
+                                best_snap[t.trial_id] = group.snapshot_of(i)
                             t.val_losses.append(v)
                             if logger is not None:
                                 # the scheduler's CURRENT lr, not the trial's

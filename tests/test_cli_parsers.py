@@ -49,6 +49,10 @@ def test_sweep_parser_defaults():
     assert parse_args(["--data_dir", "d", "--resident_data"]).resident_data
     # reference sweep fixes mixed_precision ON -> bf16 default
     assert args.compute_dtype == "bfloat16"
+    # reference train_sweep supports all three families (sweep.py:135-143)
+    assert args.model == "basic"
+    assert parse_args(["--data_dir", "d", "--model", "enhanced"]
+                      ).model == "enhanced"
     assert parse_args(["--data_dir", "d", "--compute_dtype", "float32"]
                       ).compute_dtype == "float32"
 

@@ -57,9 +57,11 @@ def test_resident_group_epoch_matches_stepwise(toy):
     g_ref = VmappedTrialGroup(_tiny_model(), _trials(bs=bs), seed=0)
     per_batch = []
     for bx, by in loader:
-        g_ref.params, g_ref.opt_state, losses = g_ref._train_step(
-            g_ref.params, g_ref.opt_state, g_ref.lrs, g_ref.wds,
-            jnp.asarray(bx), jnp.asarray(by))
+        (g_ref.params, g_ref.model_state, g_ref.opt_state,
+         losses) = g_ref._train_step(
+            g_ref.params, g_ref.model_state, g_ref.opt_state,
+            g_ref.lrs, g_ref.wds, jnp.asarray(bx), jnp.asarray(by),
+            jax.random.PRNGKey(0))
         per_batch.append(np.asarray(losses))
     ref_mean = np.mean(per_batch, axis=0)
 
@@ -114,15 +116,13 @@ def test_resident_epoch_shuffles_per_epoch(toy):
     trials = [Trial(trial_id=0, batch_size=4, lr=0.0, wd=0.0)]
     g1 = VmappedTrialGroup(_tiny_model(), trials, seed=0)
     data = cache_on_device(ArrayLoader(x, y, 4))
-    _, _, l_e0 = g1._resident_train(g1.params, g1.opt_state, g1.lrs, g1.wds,
-                                    data.x, data.y,
-                                    jax.random.fold_in(g1._base_key, 0),
-                                    data.n, 4, True)
+    _, _, _, l_e0 = g1._resident_train(
+        g1.params, g1.model_state, g1.opt_state, g1.lrs, g1.wds,
+        data.x, data.y, jax.random.fold_in(g1._base_key, 0), data.n, 4, True)
     g2 = VmappedTrialGroup(_tiny_model(), trials, seed=0)
-    _, _, l_e1 = g2._resident_train(g2.params, g2.opt_state, g2.lrs, g2.wds,
-                                    data.x, data.y,
-                                    jax.random.fold_in(g2._base_key, 1),
-                                    data.n, 4, True)
+    _, _, _, l_e1 = g2._resident_train(
+        g2.params, g2.model_state, g2.opt_state, g2.lrs, g2.wds,
+        data.x, data.y, jax.random.fold_in(g2._base_key, 1), data.n, 4, True)
     assert not np.array_equal(np.asarray(l_e0), np.asarray(l_e1))
     np.testing.assert_allclose(float(jnp.mean(l_e0)), float(jnp.mean(l_e1)),
                                rtol=1e-5)
