@@ -131,10 +131,11 @@ class VmappedTrialGroup:
     sharded over the mesh.
 
     ``augment_fn``: optional (key, x, y) -> (x, y) device augmentation
-    (ops.augment_device) applied to the SHARED data batch inside the
-    resident scanned epoch — one draw per step, seen identically by every
-    trial, matching the host path where the loader augments the one stream
-    all trials consume."""
+    (ops.augment_device) applied to the SHARED data batch inside BOTH the
+    per-step group step and the resident scanned epoch — one draw per
+    step, seen identically by every trial, matching the host path where
+    the loader augments the one stream all trials consume. Pair it with
+    non-augmenting loaders or the batch is augmented twice."""
 
     def __init__(self, model, trials: list[Trial], *, clip_grad_norm: float = 1.0,
                  mesh=None, seed: int = 42, plateau_patience: int = 5,
@@ -257,6 +258,9 @@ class VmappedTrialGroup:
         # same stream, like the shared shuffled data.
         def group_train_step(params, mstate, opt_state, lrs, wds, x, y, key):
             k = lrs.shape[0]  # trial count (shrinks after halving)
+            if augment_fn is not None:
+                key, k_aug = jax.random.split(key)
+                x, y = augment_fn(k_aug, x, y)
             xb = jnp.broadcast_to(x[None], (k,) + x.shape)
             yb = jnp.broadcast_to(y[None], (k,) + y.shape)
             return jax.vmap(one_trial_step,
@@ -282,16 +286,10 @@ class VmappedTrialGroup:
         # its own trials against a local copy with no collectives.
         def scan_train_epoch(params, mstate, opt_state, lrs, wds, x, y, key,
                              n_real: int, bs: int, shuffle: bool):
-            bs = min(bs, n_real)  # sampled batch_size may exceed tiny sets
-            steps = n_real // bs
-            k_perm, k_aug, k_drop = jax.random.split(key, 3)
-            if shuffle:
-                perm = jax.random.permutation(k_perm, n_real)
-            else:
-                perm = jnp.arange(n_real)
-            idx = perm[: steps * bs].reshape(steps, bs)
-            aug_keys = jax.random.split(k_aug, steps)
-            drop_keys = jax.random.split(k_drop, steps)
+            from ..train.resident import epoch_batch_plan
+
+            idx, aug_keys, drop_keys = epoch_batch_plan(
+                key, n_real, bs, shuffle=shuffle)
 
             def body(carry, args):
                 p, ms, o = carry
@@ -532,7 +530,9 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
             host-augment (build them with augment='none'); pass
             ``augment_fn`` to keep augmenting on device.
         augment_fn: device augmentation (key, x, y) -> (x, y) applied to
-            the shared stream inside the resident scanned epoch.
+            the shared stream on device — in the resident scanned epoch
+            AND in the per-step group path (pair with non-augmenting
+            loaders either way).
     """
     space = space or SearchSpace()
     rng = np.random.default_rng(seed)
@@ -554,9 +554,9 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
 
         if res["train"] is None:
             rep = replicated_sharding(mesh) if mesh is not None else None
-            # bf16 models: cache the train split in the compute dtype
-            # (halves HBM + the one-time ship; same policy as the resident
-            # train loop); the val cache stays f32 for untouched loss math
+            # bf16 models: cache the train INPUTS in the compute dtype
+            # (halves their HBM + one-time ship; targets always stay f32
+            # — same policy as DevicePrefetcher / the resident train loop)
             probe = model_factory()
             cache_dtype = (np.dtype("bfloat16")
                            if getattr(probe, "dtype", None) == jnp.bfloat16

@@ -320,8 +320,10 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         from .resident import (batch_val_cache, cache_on_device,
                                make_train_epoch, make_val_epoch)
 
+        # the fallback peek must come from the TRAIN loader — sample_x may
+        # have been peeked from the val loader, whose batch size can differ
         train_batch = int(getattr(train_loader, "batch_size", 0)
-                          or sample_x.shape[0])
+                          or next(iter(train_loader))[0].shape[0])
         workers = getattr(train_loader, "num_workers", 8)
         rd_train = cache_on_device(train_loader, dtype=input_dtype,
                                    sharding=sharding, num_workers=workers)

@@ -54,6 +54,13 @@ class ResidentData(NamedTuple):
     n: int
 
 
+def fits_on_device_bytes(n_bytes: int, *, hbm_bytes: int = 16 << 30,
+                         fraction: float = 0.5) -> bool:
+    """Whether ``n_bytes`` of cache fits in ``fraction`` of one device's
+    HBM (v5e: 16 GB). ``cache_on_device`` gates on this before shipping."""
+    return n_bytes <= fraction * hbm_bytes
+
+
 def fits_on_device(n: int, image_size: int, channels: int = 1,
                    *, dtype=jnp.bfloat16, hbm_bytes: int = 16 << 30,
                    fraction: float = 0.5) -> bool:
@@ -61,7 +68,7 @@ def fits_on_device(n: int, image_size: int, channels: int = 1,
     ``fraction`` of one device's HBM."""
     per = np.dtype(dtype).itemsize if dtype != jnp.bfloat16 else 2
     need = 2 * n * image_size * image_size * channels * per
-    return need <= fraction * hbm_bytes
+    return fits_on_device_bytes(need, hbm_bytes=hbm_bytes, fraction=fraction)
 
 
 def cache_on_device(source, *, dtype=None, sharding=None,
@@ -73,6 +80,12 @@ def cache_on_device(source, *, dtype=None, sharding=None,
     concatenated) — loaders wrapping an augmenting dataset are rejected:
     caching would freeze one random draw of the augmentations into the
     data; use ``--augment device`` to keep augmenting per epoch on chip.
+
+    ``dtype``: optional cast for the INPUT cache only — same policy as
+    ``DevicePrefetcher``: a bf16 input cache is free when the model's
+    first op is that cast, but targets stay f32 so the loss math matches
+    the per-step path bit-for-policy (quantizing y to bf16 would change
+    L1 gradients near convergence).
 
     ``sharding``: optional batch (leading-axis) NamedSharding — the cache
     pads N up to the mesh size and shards it, so each device holds ~N/D
@@ -104,7 +117,21 @@ def cache_on_device(source, *, dtype=None, sharding=None,
 
     if dtype is not None:
         x = x.astype(dtype)
-        y = y.astype(dtype)
+
+    # capacity gate: the cache must fit in half a chip's HBM. A leading-
+    # axis-sharded cache (train loop) splits over the mesh; a replicated
+    # one (sweep trial groups) costs the full size on every device.
+    per_device = x.nbytes + y.nbytes
+    spec = getattr(sharding, "spec", None)
+    if spec is not None and len(spec) and spec[0] is not None:
+        per_device //= sharding.mesh.devices.size
+    if not fits_on_device_bytes(per_device):
+        raise ValueError(
+            f"cache_on_device: resident cache needs {per_device / 2**30:.1f}"
+            " GiB per device — more than half of one chip's HBM. Use the "
+            "streaming loader path (drop --resident_data) or shard the "
+            "cache over a larger mesh."
+        )
 
     if sharding is not None:
         n_shards = sharding.mesh.devices.size
@@ -117,6 +144,24 @@ def cache_on_device(source, *, dtype=None, sharding=None,
     else:
         put = jax.device_put
     return ResidentData(put(x), put(y), n)
+
+
+def epoch_batch_plan(key, n_real: int, batch_size: int, *,
+                     shuffle: bool = True):
+    """Shared per-epoch batching prologue for every resident scanned path
+    (the train loop's and the sweep trial groups') — one place for the
+    clamp/permutation/key-split logic so the two cannot diverge. Returns
+    ``(idx[steps, bs], aug_keys[steps], drop_keys[steps])``; callers that
+    thread their RNG elsewhere just ignore the key arrays."""
+    bs = min(batch_size, n_real)  # tiny sets: clamp instead of 0 steps
+    steps = n_real // bs
+    k_perm, k_aug, k_drop = jax.random.split(key, 3)
+    if shuffle:
+        perm = jax.random.permutation(k_perm, n_real)
+    else:
+        perm = jnp.arange(n_real)
+    idx = perm[: steps * bs].reshape(steps, bs)
+    return idx, jax.random.split(k_aug, steps), jax.random.split(k_drop, steps)
 
 
 def make_train_epoch(apply_fn, optimizer, *, batch_size: int,
@@ -138,12 +183,10 @@ def make_train_epoch(apply_fn, optimizer, *, batch_size: int,
 
     @partial(jax.jit, donate_argnums=0, static_argnums=4)
     def train_epoch(state, x, y, epoch_key, n_real: int):
-        steps = n_real // batch_size
-        if shuffle:
-            perm = jax.random.permutation(epoch_key, n_real)
-        else:
-            perm = jnp.arange(n_real)
-        idx = perm[: steps * batch_size].reshape(steps, batch_size)
+        # per-step aug/dropout randomness threads through state.rng in
+        # make_step_body, so only the batch plan's idx is consumed here
+        idx, _, _ = epoch_batch_plan(epoch_key, n_real, batch_size,
+                                     shuffle=shuffle)
 
         def scan_body(st, ix):
             xb = jnp.take(x, ix, axis=0)

@@ -47,8 +47,10 @@ def main(n=256, size=128, bs=16, k=8, epochs=3, dtype="float32"):
     loader = ArrayLoader(x, y, bs)
     vloader = ArrayLoader(vx, vy, bs)
 
-    # ---- per-step path
-    g = VmappedTrialGroup(make_model(), trials(), seed=0)
+    # ---- per-step path (same device augmentation as the resident side,
+    # so the comparison isolates dispatch/transfer, not augment FLOPs)
+    g = VmappedTrialGroup(make_model(), trials(), seed=0,
+                          augment_fn=device_augment_batch)
     g.train_epoch(loader, 0)  # warm up compile
     g.val_epoch(vloader)
     t0 = time.time()

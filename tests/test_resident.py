@@ -235,3 +235,41 @@ def test_fits_on_device_sd1_scale():
     # the reference's full SD1 training set is a few % of one chip's HBM
     assert fits_on_device(1536, 512, dtype=jnp.bfloat16)
     assert not fits_on_device(200_000, 512, dtype=jnp.float32)
+
+
+def test_cache_dtype_casts_inputs_only(toy_data):
+    """bf16 caches follow the DevicePrefetcher policy: inputs ship in the
+    compute dtype, targets stay f32 so loss math is untouched."""
+    import jax.numpy as jnp
+
+    x, y = toy_data
+    data = cache_on_device(ArrayLoader(x, y, 4), dtype=np.dtype("bfloat16"))
+    assert data.x.dtype == jnp.bfloat16
+    assert data.y.dtype == jnp.float32
+
+
+def test_epoch_batch_plan_clamps_batch_to_set():
+    """batch_size > dataset trains one short step instead of zero."""
+    import jax
+
+    from image_enhancement_deglaring_tpu.train.resident import (
+        epoch_batch_plan,
+    )
+
+    idx, aug_keys, drop_keys = epoch_batch_plan(
+        jax.random.PRNGKey(0), 6, 8)
+    assert idx.shape == (1, 6)
+    assert aug_keys.shape[0] == 1 and drop_keys.shape[0] == 1
+    # and the permutation covers the set exactly once at full epochs
+    idx2, _, _ = epoch_batch_plan(jax.random.PRNGKey(0), 8, 4)
+    assert sorted(np.asarray(idx2).ravel().tolist()) == list(range(8))
+
+
+def test_cache_on_device_rejects_oversized_cache(toy_data, monkeypatch):
+    import image_enhancement_deglaring_tpu.train.resident as resident_mod
+
+    x, y = toy_data
+    monkeypatch.setattr(resident_mod, "fits_on_device_bytes",
+                        lambda n_bytes, **kw: False)
+    with pytest.raises(ValueError, match="HBM"):
+        resident_mod.cache_on_device(ArrayLoader(x, y, 4))

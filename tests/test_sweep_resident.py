@@ -203,3 +203,21 @@ def test_resident_bf16_group(toy):
     vdata = cache_on_device(ArrayLoader(x[:8], y[:8], 8))
     v = g16.val_epoch_resident(batch_val_cache(vdata, 8), vdata.n)
     assert np.isfinite(v).all()
+
+
+def test_stepwise_group_applies_device_augment(toy):
+    """augment_fn is honored in the per-step path too (not only resident):
+    the augmented run diverges from the raw run, and identical trials
+    still see one shared stream."""
+    x, y = toy
+    trials = [Trial(trial_id=i, batch_size=8, lr=1e-3, wd=1e-5)
+              for i in range(2)]
+    loader = ArrayLoader(x, y, 8)
+    g_raw = VmappedTrialGroup(_tiny_model(), list(trials), seed=0)
+    g_aug = VmappedTrialGroup(_tiny_model(), list(trials), seed=0,
+                              augment_fn=device_augment_batch)
+    l_raw = g_raw.train_epoch(loader, 0)
+    l_aug = g_aug.train_epoch(loader, 0)
+    assert np.isfinite(l_aug).all()
+    assert not np.allclose(l_raw, l_aug)
+    assert l_aug[0] == l_aug[1]  # same stream for identical trials
