@@ -20,6 +20,13 @@ def parse_args(argv=None):
                    help="successive-halving keep ratio (Hyperband eta)")
     p.add_argument("--parallel_trials", type=int, default=0,
                    help="cap trials per vmapped group (0 = whole group)")
+    p.add_argument("--halving", type=str, default="compact",
+                   choices=["compact", "mask"],
+                   help="successive-halving mode: compact shrinks the "
+                        "trial axis (recompiles each rung); mask keeps "
+                        "shapes static (zero rung recompiles, dead slots "
+                        "keep computing) — prefer mask when compiles "
+                        "dominate (remote compile, short rungs)")
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--method", type=str, default="tpe", choices=["tpe", "random"])
     # the reference's train_sweep builds any of the three families from the
@@ -109,6 +116,7 @@ def main(argv=None):
         output_dir=args.output_dir, logger=logger,
         max_parallel_trials=args.parallel_trials, wandb_mirror=wandb_mirror,
         resident=args.resident_data, augment_fn=augment_fn,
+        halving=args.halving,
     )
     best = result["best"]
     if best is None:

@@ -156,6 +156,9 @@ class VmappedTrialGroup:
                              else None)
         self._data_sharding = None
         n = len(trials)
+        # device-slot per live trial: identity until keep(mode="mask")
+        # retires slots without compacting the stacked arrays
+        self._slots = list(range(n))
 
         # 64² init input: params are shape-independent (all convs), but
         # EnhancedUNet's 5 pool levels + bottleneck pool need >=64 to trace
@@ -363,7 +366,7 @@ class VmappedTrialGroup:
             per_batch.append(losses)
         if not per_batch:
             return np.zeros(len(self.trials))
-        return np.asarray(jnp.mean(jnp.stack(per_batch), axis=0))
+        return np.asarray(jnp.mean(jnp.stack(per_batch), axis=0))[self._slots]
 
     def val_epoch(self, val_loader) -> np.ndarray:
         from ..data.dataset import DevicePrefetcher
@@ -380,7 +383,7 @@ class VmappedTrialGroup:
             return np.zeros(len(self.trials))
         # sample-weighted mean (final batch may be short), one device fetch
         w = jnp.asarray(weights, jnp.float32)
-        return np.asarray(jnp.stack(per_batch).T @ w / w.sum())
+        return np.asarray(jnp.stack(per_batch).T @ w / w.sum())[self._slots]
 
     def train_epoch_resident(self, data, epoch: int, *,
                              shuffle: bool = True) -> np.ndarray:
@@ -397,7 +400,7 @@ class VmappedTrialGroup:
             self.wds, data.x, data.y, key, data.n, self.batch_size, shuffle)
         if losses.shape[0] == 0:
             return np.zeros(len(self.trials))
-        return np.asarray(jnp.mean(losses, axis=0))
+        return np.asarray(jnp.mean(losses, axis=0))[self._slots]
 
     def val_epoch_resident(self, val_batches, n_real: int) -> np.ndarray:
         """Whole validation set in one dispatch over static padded batches
@@ -407,25 +410,47 @@ class VmappedTrialGroup:
         xb, yb, masks = val_batches
         sums = self._resident_val(self.params, self.model_state, xb, yb,
                                   masks)
-        return np.asarray(sums) / max(n_real, 1)
+        return np.asarray(sums)[self._slots] / max(n_real, 1)
 
     def step_schedulers(self, val_losses: np.ndarray) -> None:
         new = [s.step(float(v)) for s, v in zip(self.schedulers, val_losses)]
-        lrs = jnp.asarray(new, jnp.float32)
+        if len(self._slots) == int(self.lrs.shape[0]):
+            lrs = jnp.asarray(new, jnp.float32)
+        else:  # mask-mode halving: scatter live lrs into their slots
+            lrs = self.lrs.at[jnp.asarray(self._slots)].set(
+                jnp.asarray(new, jnp.float32))
         if self._trial_sharding is not None and lrs.shape[0] % \
                 self._trial_sharding.mesh.devices.size == 0:
             lrs = jax.device_put(lrs, self._trial_sharding)
         self.lrs = lrs
 
-    def keep(self, indices: list[int]) -> None:
-        """Drop all but ``indices`` (successive halving compaction)."""
-        idx = jnp.asarray(indices)
-        take = lambda x: jnp.take(x, idx, axis=0)
+    def keep(self, indices: list[int], *, mode: str = "compact") -> None:
+        """Drop all but ``indices`` (successive halving).
+
+        ``mode="compact"`` (default) gathers the survivors into smaller
+        stacked arrays — less compute per epoch afterwards, but the trial
+        axis SHRINKS, so every jitted group program retraces/recompiles
+        at the new shape (minutes per rung through a remote-compile
+        tunnel, seconds locally).
+
+        ``mode="mask"`` retires slots without touching device arrays:
+        shapes stay static (zero recompiles across rungs) while dead
+        slots keep training uselessly. Right when remaining-epochs x
+        per-epoch cost < recompile cost — short rungs, big compiles.
+        Measured tradeoff: docs/PERF.md."""
+        if mode == "mask":
+            self._slots = [self._slots[i] for i in indices]
+            self.trials = [self.trials[i] for i in indices]
+            self.schedulers = [self.schedulers[i] for i in indices]
+            return
+        slot_idx = jnp.asarray([self._slots[i] for i in indices])
+        take = lambda x: jnp.take(x, slot_idx, axis=0)
+        n_slots = int(self.lrs.shape[0])
         self.params = jax.tree_util.tree_map(take, self.params)
         self.model_state = jax.tree_util.tree_map(take, self.model_state)
         self.opt_state = jax.tree_util.tree_map(
             lambda x: take(x)
-            if hasattr(x, "shape") and x.ndim and x.shape[0] == len(self.trials)
+            if hasattr(x, "shape") and x.ndim and x.shape[0] == n_slots
             else x,
             self.opt_state,
         )
@@ -433,9 +458,11 @@ class VmappedTrialGroup:
         self.wds = take(self.wds)
         self.trials = [self.trials[i] for i in indices]
         self.schedulers = [self.schedulers[i] for i in indices]
+        self._slots = list(range(len(indices)))
 
     def params_of(self, i: int):
-        return jax.tree_util.tree_map(lambda x: np.asarray(x[i]), self.params)
+        s = self._slots[i]
+        return jax.tree_util.tree_map(lambda x: np.asarray(x[s]), self.params)
 
     def snapshot_of(self, i: int):
         """Host snapshot of trial ``i``'s weights. Stateless models return
@@ -446,7 +473,8 @@ class VmappedTrialGroup:
         params = self.params_of(i)
         if not self.stateful:
             return params
-        mstate = jax.tree_util.tree_map(lambda x: np.asarray(x[i]),
+        s = self._slots[i]
+        mstate = jax.tree_util.tree_map(lambda x: np.asarray(x[s]),
                                         self.model_state)
         return {"params": params, **mstate}
 
@@ -511,7 +539,8 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
               output_dir: str = "./sweep_out", space: SearchSpace | None = None,
               logger=None, max_parallel_trials: int = 0,
               wandb_mirror: WandbSweepMirror | None = None,
-              resident: bool = False, augment_fn=None) -> dict:
+              resident: bool = False, augment_fn=None,
+              halving: str = "compact") -> dict:
     """Run a sweep; returns {'best': Trial-dict, 'trials': [...]}.
 
     Args:
@@ -533,6 +562,10 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
             the shared stream on device — in the resident scanned epoch
             AND in the per-step group path (pair with non-augmenting
             loaders either way).
+        halving: "compact" (default) shrinks trial groups at each rung
+            (recompiles the group step at the new size); "mask" retires
+            slots with static shapes — zero rung recompiles, dead slots
+            keep computing (VmappedTrialGroup.keep).
     """
     space = space or SearchSpace()
     rng = np.random.default_rng(seed)
@@ -630,7 +663,8 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
                             all_trials.append(t)
                             if wandb_mirror is not None:
                                 wandb_mirror.mirror_trial(t)
-                        group.keep([int(i) for i in order[:n_keep]])
+                        group.keep([int(i) for i in order[:n_keep]],
+                                   mode=halving)
                 all_trials.extend(group.trials)
                 if wandb_mirror is not None:
                     for t in group.trials:
@@ -676,7 +710,8 @@ def run_sweep_from_config(model_factory, loader_factory, cfg, *, mesh=None,
                           output_dir: str = "./sweep_out", logger=None,
                           method: str = "tpe",
                           wandb_mirror: WandbSweepMirror | None = None,
-                          resident: bool = False, augment_fn=None) -> dict:
+                          resident: bool = False, augment_fn=None,
+                          halving: str = "compact") -> dict:
     """Run a sweep driven by a :class:`utils.config.SweepConfig`."""
     space = SearchSpace(batch_sizes=tuple(cfg.batch_sizes), lr_min=cfg.lr_min,
                         lr_max=cfg.lr_max, wd_min=cfg.wd_min, wd_max=cfg.wd_max)
@@ -686,7 +721,7 @@ def run_sweep_from_config(model_factory, loader_factory, cfg, *, mesh=None,
         eta=cfg.eta, method=method, seed=cfg.seed, mesh=mesh,
         output_dir=output_dir, space=space, logger=logger,
         max_parallel_trials=cfg.parallel_trials, wandb_mirror=wandb_mirror,
-        resident=resident, augment_fn=augment_fn,
+        resident=resident, augment_fn=augment_fn, halving=halving,
     )
 
 

@@ -51,6 +51,9 @@ def test_sweep_parser_defaults():
     assert args.compute_dtype == "bfloat16"
     # reference train_sweep supports all three families (sweep.py:135-143)
     assert args.model == "basic"
+    assert args.halving == "compact"
+    assert parse_args(["--data_dir", "d", "--halving", "mask"]
+                      ).halving == "mask"
     assert parse_args(["--data_dir", "d", "--model", "enhanced"]
                       ).model == "enhanced"
     assert parse_args(["--data_dir", "d", "--compute_dtype", "float32"]

@@ -359,3 +359,62 @@ def test_vmapped_group_bf16_compute(toy):
     np.testing.assert_allclose(l16, l32, rtol=0.05)
     v16, v32 = g16.val_epoch(loader), g32.val_epoch(loader)
     np.testing.assert_allclose(v16, v32, rtol=0.05)
+
+
+def test_mask_halving_matches_compact(toy):
+    """keep(mode='mask') retires slots without touching device arrays:
+    survivors train on identically (same trajectories as compact mode)
+    while the jitted group step never retraces."""
+    x, y = toy
+    loader = _ArrayLoader(x, y, 8)
+
+    def make():
+        trials = [Trial(trial_id=i, batch_size=8, lr=1e-3 * (i + 1),
+                        wd=1e-5) for i in range(4)]
+        return VmappedTrialGroup(_tiny_model(), trials, seed=0)
+
+    gc, gm = make(), make()
+    for g in (gc, gm):
+        g.train_epoch(loader, 0)
+    keep = [2, 0]  # survivors, by group index
+    gc.keep(list(keep), mode="compact")
+    gm.keep(list(keep), mode="mask")
+    assert [t.trial_id for t in gc.trials] == [t.trial_id for t in gm.trials]
+    # mask mode leaves the stacked arrays full-size
+    assert int(gm.lrs.shape[0]) == 4 and int(gc.lrs.shape[0]) == 2
+
+    lc = gc.train_epoch(loader, 1)
+    lm = gm.train_epoch(loader, 1)
+    np.testing.assert_allclose(lm, lc, rtol=1e-6)
+    vc, vm = gc.val_epoch(loader), gm.val_epoch(loader)
+    np.testing.assert_allclose(vm, vc, rtol=1e-6)
+    # schedulers scatter into live slots only
+    gc.step_schedulers(vc)
+    gm.step_schedulers(vm)
+    np.testing.assert_allclose(np.asarray(gm.lrs)[gm._slots],
+                               np.asarray(gc.lrs), rtol=1e-6)
+    # snapshots address the surviving slots
+    for a, b in zip(jax.tree_util.tree_leaves(gm.snapshot_of(0)),
+                    jax.tree_util.tree_leaves(gc.snapshot_of(0))):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+    # the masked group's step was compiled once; compact retraced at k=2
+    if hasattr(gm._train_step, "_cache_size"):
+        assert gm._train_step._cache_size() == 1
+        assert gc._train_step._cache_size() == 2
+
+
+def test_run_sweep_mask_halving_same_result(tmp_path, toy):
+    x, y = toy
+
+    def loader_factory(bs):
+        return _ArrayLoader(x, y, bs), _ArrayLoader(x[:8], y[:8], bs)
+
+    kw = dict(n_trials=6, max_epochs=3, min_iter=1, eta=2, method="random",
+              seed=3, space=SearchSpace(batch_sizes=(8,)))
+    rc = run_sweep(_tiny_model, loader_factory,
+                   output_dir=str(tmp_path / "c"), **kw)
+    rm = run_sweep(_tiny_model, loader_factory,
+                   output_dir=str(tmp_path / "m"), halving="mask", **kw)
+    assert rc["best"]["trial_id"] == rm["best"]["trial_id"]
+    np.testing.assert_allclose(rc["best"]["best_val_loss"],
+                               rm["best"]["best_val_loss"], rtol=1e-5)
