@@ -1503,3 +1503,68 @@ def test_multiprocess_sigterm_drains_both_workers(tmp_path):
         assert sum(served) == n_ok, (served, n_ok)
     finally:
         proc.kill()
+
+
+def test_engine_lifecycle_stress_no_leaks_or_lost_futures(small_model, rng):
+    """Hammer submit() from 4 threads while another thread stop()s and
+    implicitly restarts the engine for ~3s: every future resolves (result
+    or 'engine stopped'), no collector/drainer thread generation leaks
+    (each stop() must fully retire its pair — the round-2 race reused one
+    stop Event across generations and revived dead collectors), and the
+    engine still serves afterwards."""
+    apply_fn, params = small_model
+    eng = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=4,
+                          batch_timeout_ms=2.0, compute_dtype=jnp.float32,
+                          warmup=False)
+    img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    futures, lock = [], threading.Lock()
+    stop_all = threading.Event()
+
+    def submitter():
+        while not stop_all.is_set():
+            try:
+                f = eng.submit(img)
+            except Exception:
+                continue  # submit during teardown may refuse; that's fine
+            with lock:
+                futures.append(f)
+            time.sleep(0.002)
+
+    def cycler():
+        while not stop_all.is_set():
+            time.sleep(0.15)
+            eng.stop()
+
+    threads = [threading.Thread(target=submitter) for _ in range(4)]
+    threads.append(threading.Thread(target=cycler))
+    for t in threads:
+        t.start()
+    time.sleep(3.0)
+    stop_all.set()
+    for t in threads:
+        t.join(30)
+
+    resolved, failed = 0, 0
+    for f in futures:
+        try:
+            out = f.result(timeout=60)
+            assert out.shape == (SIZE, SIZE)
+            resolved += 1
+        except RuntimeError as e:
+            assert "engine stopped" in str(e)
+            failed += 1
+    assert resolved + failed == len(futures) and len(futures) > 0
+    assert resolved > 0  # the engine did real work between cycles
+
+    # engine serves after the storm, then shuts down with no leaked
+    # collector/drainer generations
+    assert eng.submit(img).result(timeout=60).shape == (SIZE, SIZE)
+    eng.stop()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t.name.startswith(("engine-collector", "engine-drain"))]
+        if not leaked:
+            break
+        time.sleep(0.1)
+    assert not leaked, leaked
