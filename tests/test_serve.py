@@ -1513,6 +1513,11 @@ def test_engine_lifecycle_stress_no_leaks_or_lost_futures(small_model, rng):
     stop Event across generations and revived dead collectors), and the
     engine still serves afterwards."""
     apply_fn, params = small_model
+    # other engines (e.g. the module-scoped `engine` fixture) may have live
+    # collector/drainer pairs for the rest of the session — only threads
+    # spawned by THIS engine count as leaks
+    pre_existing = {t for t in threading.enumerate()
+                    if t.name.startswith(("engine-collector", "engine-drain"))}
     eng = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=4,
                           batch_timeout_ms=2.0, compute_dtype=jnp.float32,
                           warmup=False)
@@ -1563,7 +1568,8 @@ def test_engine_lifecycle_stress_no_leaks_or_lost_futures(small_model, rng):
     deadline = time.time() + 30
     while time.time() < deadline:
         leaked = [t for t in threading.enumerate()
-                  if t.name.startswith(("engine-collector", "engine-drain"))]
+                  if t.name.startswith(("engine-collector", "engine-drain"))
+                  and t not in pre_existing]
         if not leaked:
             break
         time.sleep(0.1)
