@@ -62,11 +62,12 @@ class Trial:
         return min(self.val_losses) if self.val_losses else float("inf")
 
 
-def sample_random(rng: np.random.Generator, n: int, space: SearchSpace) -> list[Trial]:
+def sample_random(rng: np.random.Generator, n: int, space: SearchSpace,
+                  start_id: int = 0) -> list[Trial]:
     trials = []
     for i in range(n):
         trials.append(Trial(
-            trial_id=i,
+            trial_id=start_id + i,
             batch_size=int(rng.choice(space.batch_sizes)),
             lr=float(np.exp(rng.uniform(np.log(space.lr_min), np.log(space.lr_max)))),
             wd=float(np.exp(rng.uniform(np.log(space.wd_min), np.log(space.wd_max)))),
@@ -86,8 +87,11 @@ def sample_tpe(rng: np.random.Generator, n: int, space: SearchSpace,
     # which could put a diverged trial's lr/wd in the "good" density
     done = [t for t in history
             if t.val_losses and math.isfinite(t.best_val_loss)]
+    # ids continue after EVERY trial ever issued (not just finite ones) so a
+    # random fallback wave can never collide with wave-1 trial_ids
+    base_id = (max((t.trial_id for t in history), default=-1)) + 1
     if len(done) < 4:
-        return sample_random(rng, n, space)
+        return sample_random(rng, n, space, start_id=base_id)
     done = sorted(done, key=lambda t: t.best_val_loss)
     n_good = max(1, int(math.ceil(gamma * len(done))))
     good, bad = done[:n_good], done[n_good:] or done[:n_good]
@@ -101,7 +105,6 @@ def sample_tpe(rng: np.random.Generator, n: int, space: SearchSpace,
     lo_lr, hi_lr = np.log(space.lr_min), np.log(space.lr_max)
     lo_wd, hi_wd = np.log(space.wd_min), np.log(space.wd_max)
     out = []
-    base_id = (max((t.trial_id for t in history), default=-1)) + 1
     for i in range(n):
         cand_lr = rng.uniform(lo_lr, hi_lr, n_candidates)
         cand_wd = rng.uniform(lo_wd, hi_wd, n_candidates)
@@ -578,8 +581,14 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
     from ..utils.pytree import flatten_tree
 
     # resident caches: decoded once per sweep (per-sample, so shared by
-    # every batch size); val batches re-batched per group batch size
-    res: dict = {"train": None, "val": None, "val_batches": {}}
+    # every batch size); val batches re-batched per group batch size.
+    # Only the CURRENT batch size's re-batched copy is kept — each one is a
+    # full padded replica of the val set (replicated across the mesh), so
+    # caching one per batch size would hold len(space.batch_sizes) extra
+    # copies in HBM that cache_on_device's capacity gate never accounted
+    # for; rebuilding on a batch-size switch is one on-device pad+reshape
+    res: dict = {"train": None, "val": None, "val_bs": None,
+                 "val_batches": None}
 
     def resident_data(train_loader, val_loader, bs: int):
         from ..train.resident import batch_val_cache, cache_on_device
@@ -601,10 +610,11 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
             if n_val:
                 res["val"] = cache_on_device(val_loader, sharding=rep)
         rd_val = res["val"]
-        if rd_val is not None and bs not in res["val_batches"]:
-            res["val_batches"][bs] = batch_val_cache(
-                rd_val, min(bs, rd_val.n))
-        return res["train"], rd_val, res["val_batches"].get(bs)
+        if rd_val is not None and res["val_bs"] != bs:
+            res["val_batches"] = None  # free the old copy before allocating
+            res["val_batches"] = batch_val_cache(rd_val, min(bs, rd_val.n))
+            res["val_bs"] = bs
+        return res["train"], rd_val, res["val_batches"]
 
     def run_trial_batch(trials: list[Trial]) -> None:
         nonlocal best

@@ -147,6 +147,7 @@ class DeglareServer:
     MAX_BODY_BYTES = 64 * 1024 * 1024
     #: per-connection read timeout
     READ_TIMEOUT_S = 30.0
+    MAX_TRAILER_LINES = 256
 
     #: zlib level for response PNGs. 1 encodes ~2x faster than PIL's
     #: default 6 at ~1.5x the bytes — the right trade for a serving path
@@ -390,7 +391,13 @@ class DeglareServer:
                     # proxies, SDKs) — uvicorn accepts these transparently,
                     # so must this API (reference: api/app.py:221-222)
                     try:
-                        body = await self._read_chunked(reader)
+                        # ONE deadline for the whole body, like the
+                        # Content-Length path: per-read timeouts would reset
+                        # on every chunk, letting a slow-loris client hold
+                        # the connection (and the drain window) open forever
+                        body = await asyncio.wait_for(
+                            self._read_chunked(reader),
+                            timeout=self.READ_TIMEOUT_S)
                     except ValueError:
                         await self._respond(writer, 400,
                                             {"detail": "Bad chunked encoding"},
@@ -498,12 +505,14 @@ class DeglareServer:
         (none are meaningful to this API). Returns the reassembled body, or
         None once the running total exceeds MAX_BODY_BYTES — checked per
         chunk header, so an attacker cannot buffer an unbounded stream.
-        Raises ValueError on malformed framing (caller answers 400)."""
+        Raises ValueError on malformed framing (caller answers 400).
+
+        The caller bounds the ENTIRE read with one wait_for deadline; this
+        coroutine deliberately has no per-read timeouts of its own."""
         total = 0
         parts: list[bytes] = []
         while True:
-            line = await asyncio.wait_for(reader.readline(),
-                                          timeout=self.READ_TIMEOUT_S)
+            line = await reader.readline()
             if not line:
                 raise asyncio.IncompleteReadError(b"", None)
             size_field = line.strip().split(b";", 1)[0]  # drop extensions
@@ -518,17 +527,19 @@ class DeglareServer:
             total += size
             if total > self.MAX_BODY_BYTES:
                 return None
-            data = await asyncio.wait_for(reader.readexactly(size + 2),
-                                          timeout=self.READ_TIMEOUT_S)
+            data = await reader.readexactly(size + 2)
             if data[-2:] != b"\r\n":
                 raise ValueError("chunk data not CRLF-terminated")
             parts.append(data[:-2])
         # trailer section: header lines until the terminating blank line
-        while True:
-            line = await asyncio.wait_for(reader.readline(),
-                                          timeout=self.READ_TIMEOUT_S)
+        # (count-capped: the deadline alone would still let a flood of
+        # trailer lines burn CPU for the full window)
+        for _ in range(self.MAX_TRAILER_LINES):
+            line = await reader.readline()
             if line in (b"\r\n", b"\n", b""):
                 break
+        else:
+            raise ValueError("too many trailer lines")
         return b"".join(parts)
 
     async def _respond(self, writer, status: int, payload: dict,

@@ -370,7 +370,9 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             if profiling:
                 jax.profiler.stop_trace()
                 profiling = False
-            n_seen = losses_np.size * train_batch
+            # epoch_batch_plan clamps the step batch to the dataset size, so
+            # mirror it — steps * train_batch would overcount on tiny sets
+            n_seen = losses_np.size * min(train_batch, rd_train.n)
             train_loss = float(losses_np.mean()) if losses_np.size else 0.0
         else:
             if hasattr(train_loader, "set_epoch"):

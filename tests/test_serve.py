@@ -560,6 +560,20 @@ def test_chunked_oversized_413(live_server):
     assert b"413" in resp.split(b"\r\n", 1)[0]
 
 
+def test_chunked_trailer_flood_rejected(live_server):
+    """The trailer section is count-capped: a client streaming endless
+    trailer header lines after the 0-chunk cannot hold the de-chunk loop
+    (and the SIGTERM drain window) open."""
+    host, port = live_server
+    flood = b"x-junk: y\r\n" * (DeglareServer.MAX_TRAILER_LINES + 8)
+    with socket.create_connection((host, port), timeout=10) as s:
+        s.sendall(b"POST /infer HTTP/1.1\r\nHost: x\r\n"
+                  b"Transfer-Encoding: chunked\r\n\r\n"
+                  b"1\r\nA\r\n0\r\n" + flood)
+        resp = s.recv(65536)
+    assert b"400" in resp.split(b"\r\n", 1)[0]
+
+
 def test_unknown_transfer_encoding_501(live_server):
     """Non-chunked transfer codings stay explicitly rejected (answering
     without consuming an unknown framing would desync keep-alive)."""

@@ -69,6 +69,24 @@ def test_sample_tpe_prefers_good_region():
     assert median_dist < rand_dist  # TPE concentrates near the optimum
 
 
+def test_sample_tpe_random_fallback_continues_trial_ids():
+    """With <4 finite-history trials the TPE sampler falls back to random —
+    the fallback wave's trial_ids must continue after every id ever issued
+    (duplicates would interleave two trials' W&B runs / JSONL streams)."""
+    rng = np.random.default_rng(0)
+    history = []
+    for i in range(5):
+        t = Trial(trial_id=i, batch_size=8, lr=1e-3, wd=1e-5)
+        # only 2 finite trials: the rest diverged (all-NaN val losses)
+        t.val_losses = [0.1] if i < 2 else [float("nan")]
+        history.append(t)
+    wave2 = sample_tpe(rng, 4, SPACE, history)
+    ids = [t.trial_id for t in wave2]
+    assert ids == [5, 6, 7, 8]
+    all_ids = [t.trial_id for t in history] + ids
+    assert len(all_ids) == len(set(all_ids))
+
+
 def test_hyperband_rungs():
     assert hyperband_rungs(10, 50, eta=3) == [10, 30, 50]
     assert hyperband_rungs(10, 9, eta=3) == [9]
