@@ -25,6 +25,14 @@ def main():
     p.add_argument("--n_val", type=int, default=24)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--patience", type=int, default=40)
+    p.add_argument("--size", type=int, default=512,
+                   help="square image size (512 = the SD1 contract; "
+                        "smaller sizes make CPU smoke runs tractable)")
+    p.add_argument("--resident", action="store_true",
+                   help="device-resident training: cache the decoded "
+                        "dataset in HBM, one compiled dispatch per epoch, "
+                        "device-side augmentation")
     args = p.parse_args()
 
     import jax
@@ -42,11 +50,12 @@ def main():
     if not os.path.exists(os.path.join(args.data_dir, "train")):
         print(f"Generating synthetic SD1 ({args.n_train}+{args.n_val} triptychs)...")
         generate_synthetic_sd1(args.data_dir, n_train=args.n_train,
-                               n_val=args.n_val, size=512, seed=0)
+                               n_val=args.n_val, size=args.size, seed=0)
 
     train_loader, val_loader = make_dataloaders(
         os.path.join(args.data_dir, "train"), batch_size=args.batch_size,
-        val_split=0.2, seed=42, image_size=512, cache_images=True,
+        val_split=0.2, seed=42, image_size=args.size, cache_images=True,
+        augment="none" if args.resident else "optimized",
     )
     print(f"train/val samples: {train_loader.num_samples}/{val_loader.num_samples}")
 
@@ -60,7 +69,8 @@ def main():
     best_params, _best_ms, best_val, _ = train_model(
         model, train_loader, val_loader, epochs=args.epochs,
         output_dir=args.out_dir, save_every=1000,
-        validation_metrics_every=25, progress=False, patience=40,
+        validation_metrics_every=25, progress=False, patience=args.patience,
+        resident=args.resident, device_augment=args.resident,
     )
     print(f"trained in {time.time() - t0:.0f}s; best val L1 {best_val:.4f}")
 
