@@ -47,7 +47,8 @@ def optimized_augment(image: np.ndarray, target: np.ndarray,
     return image, target
 
 
-def _affine(img: np.ndarray, scale: float, tx: float, ty: float, angle: float):
+def _affine(img: np.ndarray, scale: float, tx: float, ty: float, angle: float,
+            interpolation=None):
     """Rotate/scale about the image center + translate, constant-0 border.
 
     Matches A.Affine's defaults (mode=cv2.BORDER_CONSTANT, cval=0) — the
@@ -61,8 +62,10 @@ def _affine(img: np.ndarray, scale: float, tx: float, ty: float, angle: float):
     m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, scale)
     m[0, 2] += tx * w
     m[1, 2] += ty * h
-    return cv2.warpAffine(img, m, (w, h), borderMode=cv2.BORDER_CONSTANT,
-                          borderValue=0)
+    return cv2.warpAffine(img, m, (w, h),
+                          flags=(cv2.INTER_LINEAR if interpolation is None
+                                 else interpolation),
+                          borderMode=cv2.BORDER_CONSTANT, borderValue=0)
 
 
 def heavy_augment(image: np.ndarray, target: np.ndarray,
@@ -93,7 +96,11 @@ def heavy_augment(image: np.ndarray, target: np.ndarray,
         ty = rng.uniform(-0.0625, 0.0625)
         angle = rng.uniform(-15.0, 15.0)
         image = _affine(image, scale, tx, ty, angle)
-        target = _affine(target, scale, tx, ty, angle)
+        # the reference feeds the ground truth as the albumentations
+        # 'mask' target (reference: src/dataset.py:70), and A.Affine warps
+        # masks with INTER_NEAREST — hard target values, no edge blending
+        target = _affine(target, scale, tx, ty, angle,
+                         interpolation=cv2.INTER_NEAREST)
     # OneOf(noise, blur)(p=.5) — image only. GaussianBlur(blur_limit=3)
     # admits exactly ksize=3 (the only odd value in [3, 3]), so the kernel
     # is not "pinned" — it is the whole sampling range.

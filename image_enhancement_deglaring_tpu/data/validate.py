@@ -3,7 +3,12 @@
 Checks every PNG under {data_dir}/train and {data_dir}/val for:
 - dimensions == required (1536x512 by default),
 - RGBA mode (4 channels),
-- grayscale pixel values within [0, 255].
+- fully decodable pixel data (truncated/corrupt files).
+
+The reference's third check asserts grayscale values in [0, 255], which
+is vacuous for uint8 data (the reference has the same dead branch); here
+"invalid pixels" means the entropy-coded data itself fails to decode —
+the failure mode that actually breaks the training pipeline mid-epoch.
 """
 
 from __future__ import annotations
@@ -35,15 +40,18 @@ def check_png_dimensions(data_dir: str = "SD1", required_width: int = 1536,
         for png in sorted(sub.glob("*.png")):
             total += 1
             rel = f"{subdir}/{png.name}"
-            with Image.open(png) as img:
-                w, h = img.size
-                if (w, h) != (required_width, required_height):
-                    incorrect_dimensions.append((rel, w, h))
-                if img.mode != "RGBA":
-                    invalid_channels.append((rel, img.mode))
-                gray = np.asarray(img.convert("L"))
-                if gray.min() < 0 or gray.max() > 255:
-                    invalid_pixels.append(rel)
+            try:
+                with Image.open(png) as img:
+                    w, h = img.size
+                    if (w, h) != (required_width, required_height):
+                        incorrect_dimensions.append((rel, w, h))
+                    if img.mode != "RGBA":
+                        invalid_channels.append((rel, img.mode))
+                    # force the full entropy decode: a truncated or
+                    # bit-flipped file raises here, not at open()
+                    np.asarray(img.convert("L"))
+            except Exception:
+                invalid_pixels.append(rel)
     return incorrect_dimensions, invalid_channels, invalid_pixels, total
 
 

@@ -74,19 +74,38 @@ def _conv_transpose(x, w, b, *, pads, strides):
     return out
 
 
-def _pool(x, *, kernel, strides, mode):
-    n, c, h, w = x.shape
+def _pool(x, *, kernel, strides, mode, pads=(0, 0, 0, 0),
+          count_include_pad=0):
     kh, kw = kernel
     sh, sw = strides
+    pt, pl, pb, pr = pads
+    if any(pads):
+        # max ignores padding entirely; avg excludes it unless
+        # count_include_pad=1 (the ONNX default is exclude)
+        fill = -np.inf if mode == "max" else 0.0
+        xp = np.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr)),
+                    constant_values=fill)
+    else:
+        xp = x
+    h, w = xp.shape[2:]
     ho = (h - kh) // sh + 1
     wo = (w - kw) // sw + 1
-    stack = [
-        x[:, :, i : i + ho * sh : sh, j : j + wo * sw : sw]
-        for i in range(kh)
-        for j in range(kw)
-    ]
-    arr = np.stack(stack)
-    return arr.mean(0) if mode == "avg" else arr.max(0)
+
+    def windows(a):
+        return np.stack([
+            a[..., i : i + ho * sh : sh, j : j + wo * sw : sw]
+            for i in range(kh)
+            for j in range(kw)
+        ])
+
+    arr = windows(xp)
+    if mode == "max":
+        return arr.max(0)
+    if any(pads) and not count_include_pad:
+        ones = np.pad(np.ones(x.shape[2:], np.float32),
+                      ((pt, pb), (pl, pr)))
+        return arr.sum(0) / windows(ones).sum(0)
+    return arr.mean(0)
 
 
 def _resize_nearest(x, scales):
@@ -138,10 +157,21 @@ def run_graph(g: OnnxGraph, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarra
                 strides=_attr(node, "strides", [1, 1]),
             )
         elif op in ("AveragePool", "MaxPool"):
+            # attributes this oracle cannot honor must fail loudly, not
+            # silently compute the wrong pool
+            if _attr(node, "ceil_mode", 0):
+                raise NotImplementedError(f"{op} ceil_mode")
+            if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", ""):
+                raise NotImplementedError(f"{op} auto_pad")
+            if any(int(d) != 1 for d in _attr(node, "dilations", [1, 1])):
+                raise NotImplementedError(f"{op} dilations")
             y = _pool(
                 inp(node, 0),
                 kernel=_attr(node, "kernel_shape"),
-                strides=_attr(node, "strides", _attr(node, "kernel_shape")),
+                # ONNX defaults: strides are 1 per axis (NOT kernel_shape)
+                strides=_attr(node, "strides", [1, 1]),
+                pads=_attr(node, "pads", [0, 0, 0, 0]),
+                count_include_pad=int(_attr(node, "count_include_pad", 0)),
                 mode="avg" if op == "AveragePool" else "max",
             )
         elif op == "GlobalAveragePool":

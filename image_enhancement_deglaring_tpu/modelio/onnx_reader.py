@@ -112,6 +112,9 @@ def _parse_tensor(buf: bytes, start: int, end: int) -> tuple[str, np.ndarray]:
     raw_span = None
     float_data: list[float] = []
     int64_data: list[int] = []
+    int32_data: list[int] = []
+    double_data: list[float] = []
+    uint64_data: list[int] = []
     for fn, wt, v in _iter_fields(buf, start, end):
         if fn == 1 and wt == 0:  # dims (repeated varint)
             dims.append(v)
@@ -140,6 +143,27 @@ def _parse_tensor(buf: bytes, start: int, end: int) -> tuple[str, np.ndarray]:
             name = _span_str(buf, v)
         elif fn == 9:  # raw_data
             raw_span = v
+        elif fn == 5 and wt == 2:  # packed int32_data (also carries
+            s, e = v               # INT8/16, UINT8/16, BOOL, FLOAT16 bits)
+            i = s
+            while i < e:
+                d, i = _read_varint(buf, i)
+                int32_data.append(_signed64(d))
+        elif fn == 5 and wt == 0:
+            int32_data.append(_signed64(v))
+        elif fn == 10 and wt == 2:  # packed double_data
+            s, e = v
+            double_data.extend(struct.unpack(f"<{(e - s) // 8}d", buf[s:e]))
+        elif fn == 10 and wt == 1:
+            double_data.append(struct.unpack("<d", struct.pack("<Q", v))[0])
+        elif fn == 11 and wt == 2:  # packed uint64_data (UINT32/UINT64)
+            s, e = v
+            i = s
+            while i < e:
+                d, i = _read_varint(buf, i)
+                uint64_data.append(d)
+        elif fn == 11 and wt == 0:
+            uint64_data.append(v)
     np_dtype = _ONNX_DTYPES.get(dtype_code)
     if np_dtype is None:
         raise ValueError(f"unsupported ONNX tensor dtype {dtype_code} for {name!r}")
@@ -149,6 +173,16 @@ def _parse_tensor(buf: bytes, start: int, end: int) -> tuple[str, np.ndarray]:
         arr = np.asarray(float_data, dtype=np_dtype)
     elif int64_data:
         arr = np.asarray(int64_data, dtype=np_dtype)
+    elif int32_data:
+        if np_dtype == np.float16:  # stored as uint16 bit patterns
+            arr = (np.asarray(int32_data, np.int64) & 0xFFFF).astype(
+                np.uint16).view(np.float16)
+        else:
+            arr = np.asarray(int32_data, np.int64).astype(np_dtype)
+    elif double_data:
+        arr = np.asarray(double_data, dtype=np_dtype)
+    elif uint64_data:
+        arr = np.asarray(uint64_data, np.uint64).astype(np_dtype)
     else:
         arr = np.zeros(0, dtype=np_dtype)
     return name, arr.reshape(dims) if dims else arr

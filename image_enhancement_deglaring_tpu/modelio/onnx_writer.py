@@ -235,17 +235,29 @@ def _emit_block(g: OnnxGraphBuilder, x: str, blk: str, p: dict, groups: int = 8)
 
 def export_lightweight_unet(params: dict, path: str, *, groups: int = 8) -> str:
     """Write our LightweightUNet params as an opset-11 .onnx file."""
+    from ..ops.conv_blocks import resolve_group_count
+
     g = OnnxGraphBuilder()
     g.inputs.append(_value_info("input", ["batch_size", 1, "height", "width"]))
     g.outputs.append(_value_info("output", ["batch_size", 1, "height", "width"]))
 
+    def block_groups(blk: str) -> int:
+        # the Flax model resolves the group count PER BLOCK (largest
+        # divisor of that block's width <= num_groups, models/unet.py:108);
+        # a uniform count would silently mis-normalize narrow models: the
+        # Reshape [0, groups, -1] still succeeds whenever groups divides
+        # C*H*W, computing statistics across the wrong boundaries
+        f = int(np.asarray(params[blk]["gn1_scale"]).shape[0])
+        return resolve_group_count(f, groups)
+
     x = "input"
     skips = {}
     for blk in ("enc1", "enc2", "enc3", "enc4"):
-        x = _emit_block(g, x, blk, params[blk], groups)
+        x = _emit_block(g, x, blk, params[blk], block_groups(blk))
         skips[blk] = x
         (x,) = g.add("AveragePool", [x], kernel_shape=[2, 2], strides=[2, 2])
-    x = _emit_block(g, x, "bottleneck", params["bottleneck"], groups)
+    x = _emit_block(g, x, "bottleneck", params["bottleneck"],
+                    block_groups("bottleneck"))
 
     for up, dec, skip in (("upconv4", "dec4", "enc4"), ("upconv3", "dec3", "enc3"),
                           ("upconv2", "dec2", "enc2"), ("upconv1", "dec1", "enc1")):
@@ -253,7 +265,7 @@ def export_lightweight_unet(params: dict, path: str, *, groups: int = 8) -> str:
         b = g.init_tensor(f"{up}.bias", np.asarray(params[up]["bias"], np.float32))
         (x,) = g.add("ConvTranspose", [x, w, b], kernel_shape=[2, 2], strides=[2, 2])
         (x,) = g.add("Concat", [x, skips[skip]], axis=1)
-        x = _emit_block(g, x, dec, params[dec], groups)
+        x = _emit_block(g, x, dec, params[dec], block_groups(dec))
 
     wout = g.init_tensor("output_conv.weight", _conv_oihw(params["output_conv_weight"]))
     bout = g.init_tensor("output_conv.bias",

@@ -81,7 +81,11 @@ void resize_norm(const uint8_t* src, int sh, int sw, float* dst, int dh, int dw)
       float wx = fxs[x];
       float top = r0[x0s[x]] * (1.0f - wx) + r0[x1s[x]] * wx;
       float bot = r1[x0s[x]] * (1.0f - wx) + r1[x1s[x]] * wx;
-      orow[x] = (top * (1.0f - wy) + bot * wy) / 255.0f;
+      // quantize through uint8 exactly like the numpy/cv2 fallback
+      // (cv2.resize on uint8 rounds each output pixel) so the native and
+      // Python paths produce bit-identical tensors
+      float v = std::nearbyintf(top * (1.0f - wy) + bot * wy);
+      orow[x] = std::min(std::max(v, 0.0f), 255.0f) / 255.0f;
     }
   }
 }

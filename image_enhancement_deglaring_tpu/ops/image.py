@@ -45,12 +45,15 @@ def split_triptych(img: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
 def resize_bilinear(img: jax.Array, height: int, width: int) -> jax.Array:
     """Bilinear resize of (..., H, W, C) to (..., height, width, C).
 
-    jax.image half-pixel-centers bilinear — same convention as
-    cv2.resize(INTER_LINEAR) used in the reference data path
-    (reference: src/optimized_dataset.py:74-75).
+    jax.image half-pixel-centers bilinear with antialias OFF — the same
+    2x2-neighborhood convention as cv2.resize(INTER_LINEAR) used in the
+    reference data path (reference: src/optimized_dataset.py:74-75).
+    jax.image.resize defaults to antialias=True, which widens the kernel
+    on downscale and diverges from cv2 well beyond rounding.
     """
     out_shape = img.shape[:-3] + (height, width, img.shape[-1])
-    return jax.image.resize(img, out_shape, method="bilinear")
+    return jax.image.resize(img, out_shape, method="bilinear",
+                            antialias=False)
 
 
 def resize_nearest(img: jax.Array, height: int, width: int) -> jax.Array:

@@ -37,6 +37,20 @@ def test_synthetic_matches_sd1_contract(sd1_fullsize_dir):
     assert bad_dims == [] and bad_chan == [] and bad_pix == []
 
 
+def test_validator_flags_truncated_png(tmp_path):
+    """'Invalid pixels' must be a falsifiable check: a truncated PNG (the
+    corruption that actually breaks training mid-epoch) is flagged, not
+    silently passed by the vacuous uint8-in-[0,255] assertion."""
+    generate_synthetic_sd1(str(tmp_path), n_train=2, n_val=0, size=512,
+                           seed=2)
+    victim = sorted((tmp_path / "train").glob("*.png"))[0]
+    data = victim.read_bytes()
+    victim.write_bytes(data[: len(data) // 2])  # chop the IDAT stream
+    bad_dims, bad_chan, bad_pix, total = check_png_dimensions(str(tmp_path))
+    assert total == 2
+    assert bad_pix == [f"train/{victim.name}"]
+
+
 def test_seeded_split_matches_reference_semantics():
     paths = [f"img_{i:03d}.png" for i in range(10)]
     train, val = seeded_split(list(paths), 0.2, seed=42)
@@ -228,6 +242,27 @@ def test_affine_translation_golden():
     out = _affine(img, scale=1.0, tx=0.25, ty=0.0, angle=0.0)
     assert out[8, 8] == pytest.approx(1.0)  # moved 0.25 * 16 = 4 px right
     assert out[8, 4] == 0.0
+
+
+def test_heavy_augment_affine_target_nearest_no_blending():
+    """The reference warps the ground truth as an albumentations 'mask'
+    (INTER_NEAREST, reference: src/dataset.py:70): a binary target must
+    stay binary through the affine — bilinear blending would soften text
+    strokes the model is trained to reproduce."""
+    from image_enhancement_deglaring_tpu.data.augment import heavy_augment
+
+    binary = (np.random.default_rng(1).random((64, 64)) > 0.5
+              ).astype(np.float32)
+    rotated_any = False
+    for seed in range(40):  # ~20 of these fire the p=.5 affine branch
+        img, tgt = heavy_augment(binary.copy(), binary.copy(),
+                                 np.random.default_rng(seed))
+        vals = np.unique(tgt)
+        assert np.isin(vals, [0.0, 1.0]).all(), (seed, vals[:5])
+        # the IMAGE is warped bilinearly, so a rotated draw shows blended
+        # values there — proof the affine branch actually ran
+        rotated_any |= not np.isin(np.unique(img), [0.0, 1.0]).all()
+    assert rotated_any
 
 
 def test_clahe_clip_limit_sampled_from_1_to_4():

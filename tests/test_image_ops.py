@@ -2,6 +2,7 @@
 resize, dtype ladders, pad-to-multiple."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -36,6 +37,20 @@ def test_resize_bilinear_identity_and_shape(rng):
     np.testing.assert_allclose(same, img, atol=1e-6)
     up = resize_bilinear(jnp.asarray(img), 32, 24)
     assert up.shape == (32, 24, 1)
+
+
+def test_resize_bilinear_matches_cv2_on_downscale(rng):
+    """The op documents cv2.resize(INTER_LINEAR) parity; jax's default
+    antialias=True widens the downscale kernel and breaks it — this pins
+    the 2x2-neighborhood convention on both directions."""
+    cv2 = pytest.importorskip("cv2")
+    img = rng.random((32, 32, 1)).astype(np.float32)
+    down = np.asarray(resize_bilinear(jnp.asarray(img), 16, 16))[..., 0]
+    want = cv2.resize(img[..., 0], (16, 16), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_allclose(down, want, atol=1e-5)
+    up = np.asarray(resize_bilinear(jnp.asarray(img), 48, 40))[..., 0]
+    want_up = cv2.resize(img[..., 0], (40, 48), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_allclose(up, want_up, atol=1e-5)
 
 
 def test_uint8_ladder_roundtrip():

@@ -38,9 +38,10 @@ def test_native_resize_close_to_cv2(rng):
     img = make_triptych(rng, size=64)
     glared_n, gt_n = native.triptych_preprocess(img, 48)
     glared_p, gt_p = _numpy_reference(img, 48)
-    # both are half-pixel bilinear; allow small fixed-point differences
-    assert np.abs(glared_n - glared_p).max() <= 2.5 / 255.0
-    assert np.abs(gt_n - gt_p).max() <= 2.5 / 255.0
+    # both are half-pixel bilinear quantized through uint8; the only
+    # residual is cv2's fixed-point (11-bit coeff) tie rounding: <=1 step
+    assert np.abs(glared_n - glared_p).max() <= 1.5 / 255.0
+    assert np.abs(gt_n - gt_p).max() <= 1.5 / 255.0
 
 
 def test_native_batch_matches_single(rng):

@@ -32,6 +32,75 @@ def test_export_import_roundtrip(tmp_path, params):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
 
 
+def test_export_narrow_model_per_block_group_counts(tmp_path):
+    """A features_start=4 model normalizes enc1/dec1 with 4 groups
+    (resolve_group_count), not the default 8 — a uniform exporter count
+    would produce an ONNX whose Reshape [0, 8, -1] still *succeeds*
+    (8 divides C*H*W) while computing statistics across the wrong
+    boundaries. Executing the export must match the Flax forward."""
+    from image_enhancement_deglaring_tpu.modelio import run_onnx
+
+    model = LightweightUNet(features_start=4)
+    p = jax.tree_util.tree_map(
+        np.asarray,
+        jax.jit(model.init)(jax.random.PRNGKey(5),
+                            jnp.zeros((1, 32, 32, 1)))["params"],
+    )
+    path = export_lightweight_unet(p, str(tmp_path / "narrow.onnx"))
+    x = np.random.default_rng(0).random((1, 32, 32, 1), np.float32)
+    want = np.asarray(model.apply({"params": p}, x))  # NHWC
+    got = run_onnx(path, {"input": x.transpose(0, 3, 1, 2)})["output"]
+    np.testing.assert_allclose(got.transpose(0, 2, 3, 1), want,
+                               rtol=0, atol=2e-5)
+
+
+def test_executor_pool_pads_and_default_strides_match_torch():
+    """The numpy oracle must honor ONNX pooling semantics: pads applied
+    (max ignores the padding, avg excludes it by default) and missing
+    strides meaning 1 per axis — NOT kernel_shape."""
+    import torch
+    import torch.nn.functional as F
+
+    from image_enhancement_deglaring_tpu.modelio import run_graph
+    from image_enhancement_deglaring_tpu.modelio.onnx_reader import (
+        OnnxGraph,
+        OnnxNode,
+    )
+
+    x = np.random.default_rng(1).random((1, 3, 8, 8), np.float32)
+    cases = [
+        ("MaxPool", {"kernel_shape": [3, 3], "pads": [1, 1, 1, 1],
+                     "strides": [1, 1]},
+         lambda t: F.max_pool2d(t, 3, stride=1, padding=1)),
+        ("MaxPool", {"kernel_shape": [2, 2]},  # strides default = 1
+         lambda t: F.max_pool2d(t, 2, stride=1)),
+        ("AveragePool", {"kernel_shape": [2, 2], "pads": [1, 1, 1, 1],
+                         "strides": [2, 2]},
+         lambda t: F.avg_pool2d(t, 2, stride=2, padding=1,
+                                count_include_pad=False)),
+        ("AveragePool", {"kernel_shape": [2, 2], "pads": [1, 1, 1, 1],
+                         "strides": [2, 2], "count_include_pad": 1},
+         lambda t: F.avg_pool2d(t, 2, stride=2, padding=1,
+                                count_include_pad=True)),
+    ]
+    for op, attrs, torch_fn in cases:
+        g = OnnxGraph(initializers={},
+                      nodes=[OnnxNode(op, ["x"], ["y"], attributes=attrs)],
+                      inputs=["x"], outputs=["y"])
+        got = run_graph(g, {"x": x})["y"]
+        want = torch_fn(torch.from_numpy(x)).numpy()
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-6), (op, attrs)
+
+    # unsupported attributes fail loudly instead of mis-pooling
+    g = OnnxGraph(initializers={},
+                  nodes=[OnnxNode("MaxPool", ["x"], ["y"],
+                                  attributes={"kernel_shape": [2, 2],
+                                              "ceil_mode": 1})],
+                  inputs=["x"], outputs=["y"])
+    with pytest.raises(NotImplementedError):
+        run_graph(g, {"x": x})
+
+
 def test_export_graph_structure_matches_reference_contract(tmp_path, params):
     path = export_lightweight_unet(params, str(tmp_path / "model.onnx"))
     g = load_onnx(path)
@@ -124,6 +193,65 @@ def test_negative_ints_roundtrip_through_codec():
 
     # the varint encoder itself must terminate on negatives (10 bytes)
     assert len(_varint(-1)) == 10
+
+
+def test_reader_decodes_int32_double_uint64_tensor_fields():
+    """Legal ONNX initializers may use int32_data (field 5 — also carries
+    INT8/16, UINT8/16, BOOL and FLOAT16 bit patterns), double_data (10) or
+    uint64_data (11) instead of raw_data; onnx.helper.make_tensor emits
+    these by default. They must parse, not reshape-crash as empty."""
+    import struct
+
+    from image_enhancement_deglaring_tpu.modelio.onnx_reader import (
+        _parse_tensor,
+    )
+    from image_enhancement_deglaring_tpu.modelio.onnx_writer import _varint
+
+    def field(fn, wire, payload):
+        return _varint((fn << 3) | wire) + payload
+
+    def packed(fn, payload):
+        return field(fn, 2, _varint(len(payload)) + payload)
+
+    def tensor(dims, dtype_code, data_field):
+        b = b"".join(field(1, 0, _varint(d)) for d in dims)
+        b += field(2, 0, _varint(dtype_code))
+        b += packed(8, b"t")  # name
+        return b + data_field
+
+    # INT32 in packed int32_data, including a negative
+    buf = tensor([2, 2], 6, packed(5, b"".join(
+        _varint(v & ((1 << 64) - 1)) for v in [1, -2, 3, 4])))
+    name, arr = _parse_tensor(buf, 0, len(buf))
+    assert name == "t" and arr.dtype == np.int32
+    np.testing.assert_array_equal(arr, [[1, -2], [3, 4]])
+
+    # FLOAT16 bit patterns in int32_data
+    want16 = np.asarray([1.5, -0.25, 0.0], np.float16)
+    buf = tensor([3], 10, packed(5, b"".join(
+        _varint(int(v)) for v in want16.view(np.uint16))))
+    _, arr = _parse_tensor(buf, 0, len(buf))
+    assert arr.dtype == np.float16
+    np.testing.assert_array_equal(arr, want16)
+
+    # DOUBLE in packed double_data
+    want64 = np.asarray([1.25, -3.5], np.float64)
+    buf = tensor([2], 11, packed(10, struct.pack("<2d", *want64)))
+    _, arr = _parse_tensor(buf, 0, len(buf))
+    assert arr.dtype == np.float64
+    np.testing.assert_array_equal(arr, want64)
+
+    # UINT64 in packed uint64_data
+    buf = tensor([2], 13, packed(11, _varint(7) + _varint(2**40)))
+    _, arr = _parse_tensor(buf, 0, len(buf))
+    assert arr.dtype == np.uint64
+    np.testing.assert_array_equal(arr, [7, 2**40])
+
+    # BOOL in int32_data
+    buf = tensor([2], 9, packed(5, _varint(1) + _varint(0)))
+    _, arr = _parse_tensor(buf, 0, len(buf))
+    assert arr.dtype == np.bool_
+    np.testing.assert_array_equal(arr, [True, False])
 
 
 def test_reader_decodes_unpacked_negative_int64_data():
