@@ -22,39 +22,24 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def _load_enhanced(model_path: str):
-    """(params, batch_stats) for EnhancedUNet from .pth or .onnx."""
-    lower = model_path.lower()
-    if lower.endswith((".pth", ".pt")):
-        from ..modelio import (
-            enhanced_unet_params_from_state_dict,
-            load_torch_state_dict,
-        )
-
-        return enhanced_unet_params_from_state_dict(load_torch_state_dict(model_path))
-    if lower.endswith(".onnx"):
-        from ..modelio import enhanced_unet_params_from_onnx
-
-        return enhanced_unet_params_from_onnx(model_path)
-    raise SystemExit(
-        "EnhancedUNet export needs a .pth or .onnx checkpoint "
-        "(BatchNorm running stats travel with the weights)"
-    )
-
-
 def main(argv=None):
     args = parse_args(argv)
+    import jax
     import numpy as np
+
+    from ..eval.harness import load_model_for_eval
 
     if args.model == "enhanced":
         from ..modelio.onnx_writer import export_enhanced_unet
 
-        params, stats = _load_enhanced(args.model_path)
-        out = export_enhanced_unet(params, stats, args.output)
+        # the eval loader handles every checkpoint format this repo can
+        # produce (.pth / .onnx / .npz / orbax dir) and returns the
+        # {params, batch_stats} bundle the stateful family needs
+        _, bundle = load_model_for_eval(args.model_path, model_arch="enhanced")
+        bundle = jax.tree_util.tree_map(np.asarray, bundle)
+        out = export_enhanced_unet(bundle["params"], bundle["batch_stats"],
+                                   args.output)
     else:
-        import jax
-
-        from ..eval.harness import load_model_for_eval
         from ..modelio.onnx_writer import (
             export_lightweight_unet,
             export_optimized_unet,

@@ -108,8 +108,14 @@ def main(argv=None):
 
     import jax
 
-    n_dev = args.n_devices or len(jax.devices())
+    # make_mesh truncates to the devices that actually exist, so clamp the
+    # request before validating against it — checking the raw --n_devices
+    # would reject batch sizes the real mesh shards fine (and vice versa)
+    n_dev = min(args.n_devices or len(jax.devices()), len(jax.devices()))
     mesh = make_mesh(n_dev) if n_dev > 1 else None
+    if args.n_devices and args.n_devices > len(jax.devices()):
+        print(f"requested --n_devices {args.n_devices}, but only "
+              f"{len(jax.devices())} available; using {n_dev}")
     if mesh is not None and args.batch_size % n_dev != 0:
         raise SystemExit(f"--batch_size {args.batch_size} must divide by "
                          f"{n_dev} devices")

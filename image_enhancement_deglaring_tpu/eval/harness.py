@@ -229,7 +229,8 @@ def load_model_for_eval(model_path: str, *, model_arch: str = "auto",
             raise ValueError(
                 "EnhancedUNet needs a .pth/.onnx/.npz checkpoint or an orbax "
                 "dir (BatchNorm running stats travel with the weights)")
-        model = EnhancedUNet(dtype=compute_dtype)
+        model = EnhancedUNet(dtype=compute_dtype,
+                             init_features=_infer_width(params, 16))
 
         # The returned "params" is a {params, batch_stats} BUNDLE and the
         # apply unpacks it: the running stats must travel through the traced
@@ -248,11 +249,6 @@ def load_model_for_eval(model_path: str, *, model_arch: str = "auto",
             "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats),
         }
         return apply_fn, bundle
-
-    if model_arch == "optimized":
-        model = OptimizedUNet(dtype=compute_dtype)
-    else:
-        model = LightweightUNet(dtype=compute_dtype)
 
     if lower.endswith(".onnx"):
         from ..modelio import (
@@ -286,8 +282,26 @@ def load_model_for_eval(model_path: str, *, model_arch: str = "auto",
         from ..train.checkpoint import restore_params
 
         params = restore_params(model_path)
+    # module widths come from the ARTIFACT, not hard-coded defaults —
+    # narrow exports (e.g. LightweightUNet features_start=4) would
+    # otherwise crash at apply time with group/shape mismatches
+    if model_arch == "optimized":
+        model = OptimizedUNet(dtype=compute_dtype,
+                              init_features=_infer_width(params, 16))
+    else:
+        model = LightweightUNet(dtype=compute_dtype,
+                                features_start=_infer_width(params, 8))
     params = jax.tree_util.tree_map(jnp.asarray, params)
     return model.apply, params
+
+
+def _infer_width(params, default: int) -> int:
+    """First-block output width of an imported param tree (enc1/conv1 is
+    (3, 3, in, width) for every family)."""
+    try:
+        return int(np.asarray(params["enc1"]["conv1"]).shape[-1])
+    except Exception:
+        return default
 
 
 def write_results_file(metrics: dict, model_path: str, data_dir: str,

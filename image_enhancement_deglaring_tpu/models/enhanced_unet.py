@@ -2,7 +2,8 @@
 bottleneck, and sigmoid head (capability parity with
 reference: src/model.py:135-361).
 
-Uses BatchNorm (running stats in the ``batch_stats`` collection) and
+Uses BatchNorm (running stats in the ``batch_stats`` collection; flax
+momentum 0.9 == torch's default momentum=0.1 update rate) and
 Dropout(0.2) like the reference; call with ``train=True`` and a ``dropout``
 rng during training, and ``mutable=["batch_stats"]`` to update stats.
 """
@@ -32,17 +33,17 @@ class ResidualBlock(nn.Module):
 
         w1 = self.param("conv1", torch_conv_kernel_init, (3, 3, cin, f))
         y = conv2d(x, w1, padding=1)
-        y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Dropout(0.2, deterministic=not train)(y)
         w2 = self.param("conv2", torch_conv_kernel_init, (3, 3, f, f))
         y = conv2d(y, w2, padding=1)
-        y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(y)
 
         if cin != f:
             ws = self.param("shortcut_conv", torch_conv_kernel_init, (1, 1, cin, f))
             shortcut = conv2d(x, ws)
-            shortcut = nn.BatchNorm(use_running_average=not train, name="shortcut_bn")(shortcut)
+            shortcut = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="shortcut_bn")(shortcut)
         else:
             shortcut = x
         return nn.relu(y + shortcut)
@@ -62,10 +63,10 @@ class AttentionGate(nn.Module):
         wp = self.param("psi", torch_conv_kernel_init, (1, 1, self.f_int, 1))
         bp = self.param("psi_bias", _uniform_bias_init(self.f_int), (1,))
 
-        g1 = nn.BatchNorm(use_running_average=not train, name="bn_g")(conv2d(g, wg, bg))
-        x1 = nn.BatchNorm(use_running_average=not train, name="bn_x")(conv2d(x, wx, bx))
+        g1 = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn_g")(conv2d(g, wg, bg))
+        x1 = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn_x")(conv2d(x, wx, bx))
         psi = nn.relu(g1 + x1)
-        psi = nn.BatchNorm(use_running_average=not train, name="bn_psi")(conv2d(psi, wp, bp))
+        psi = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn_psi")(conv2d(psi, wp, bp))
         return x * jax.nn.sigmoid(psi)
 
 
@@ -90,12 +91,12 @@ class EnhancedUNet(nn.Module):
         b = max_pool_2x2(enc5)
         wb1 = self.param("bottleneck_conv1", torch_conv_kernel_init, (3, 3, f * 16, f * 32))
         b = conv2d(b, wb1, padding=2, dilation=2)
-        b = nn.BatchNorm(use_running_average=not train, name="bottleneck_bn1")(b)
+        b = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bottleneck_bn1")(b)
         b = nn.relu(b)
         b = nn.Dropout(0.2, deterministic=not train)(b)
         wb2 = self.param("bottleneck_conv2", torch_conv_kernel_init, (3, 3, f * 32, f * 32))
         b = conv2d(b, wb2, padding=2, dilation=2)
-        b = nn.BatchNorm(use_running_average=not train, name="bottleneck_bn2")(b)
+        b = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bottleneck_bn2")(b)
         b = nn.relu(b)
 
         d5 = UpConv2x(f * 32, f * 16, name="upconv5")(b)

@@ -43,9 +43,14 @@ def prune_params(params, amount: float = 0.3):
         k = int(round(amount * x.size))
         if k <= 0:
             return x
+        # zero EXACTLY the k smallest magnitudes (torch's l1_unstructured
+        # removes exactly k via topk) — a <=threshold test would also zero
+        # every tie at the k-th magnitude, e.g. after int8 dequantization
+        # puts many weights on the same grid point
         flat = jnp.abs(x).reshape(-1)
-        threshold = jnp.sort(flat)[k - 1]
-        return jnp.where(jnp.abs(x) <= threshold, jnp.zeros_like(x), x)
+        keep = jnp.ones(flat.shape, jnp.bool_).at[
+            jnp.argsort(flat)[:k]].set(False)
+        return jnp.where(keep.reshape(x.shape), x, jnp.zeros_like(x))
 
     return jax.tree_util.tree_map(prune_leaf, params)
 
@@ -71,11 +76,17 @@ def quantize_params_int8(params, *, per_channel: bool = False):
         if per_channel:
             # output-channel axis: last for HWIO conv / (in, out) dense
             # kernels, but axis 1 for ConvTranspose weights stored in the
-            # torch (Cin, Cout, kh, kw) layout (models/unet.py UpConv2x) —
-            # reducing over all-but-last there would pool every output
-            # channel into kw-indexed scales
-            path_str = "/".join(str(getattr(k, "key", k)) for k in path)
-            ch_axis = 1 if ("upconv" in path_str and x.ndim == 4) else x.ndim - 1
+            # torch (Cin, Cout, kh, kw) layout. Those are exactly the
+            # params NAMED "weight" under upconv modules (UpConv2x in
+            # models/unet.py + enhanced_unet.py); OptimizedUNet's upconvN
+            # blocks hold ordinary HWIO kernels named "conv", which must
+            # keep the last axis — keying on the module name alone pooled
+            # their output channels into kernel-width-indexed scales
+            keys = [str(getattr(k, "key", k)) for k in path]
+            path_str = "/".join(keys)
+            ch_axis = (1 if ("upconv" in path_str and x.ndim == 4
+                             and keys[-1] == "weight")
+                       else x.ndim - 1)
             axes = tuple(a for a in range(x.ndim) if a != ch_axis)
             amax = jnp.max(jnp.abs(xf), axis=axes, keepdims=True)
         else:

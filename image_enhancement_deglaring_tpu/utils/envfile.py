@@ -22,7 +22,17 @@ def load_dotenv(path: str = ".env", *, override: bool = False) -> dict[str, str]
                 line = line[len("export "):]
             key, _, value = line.partition("=")
             key = key.strip()
-            value = value.strip().strip('"').strip("'")
+            value = value.strip()
+            if value[:1] in ("'", '"'):
+                # quoted: the value runs to the matching quote; anything
+                # after (incl. comments) is dropped
+                q = value[0]
+                end = value.find(q, 1)
+                value = value[1:end] if end > 0 else value[1:]
+            else:
+                # python-dotenv strips unquoted inline comments:
+                # KEY=abc # note  ->  'abc', not 'abc # note'
+                value = value.split(" #", 1)[0].rstrip()
             parsed[key] = value
             if override or key not in os.environ:
                 os.environ[key] = value

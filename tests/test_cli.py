@@ -69,6 +69,28 @@ def test_export_and_extract_cli(trained, tmp_path):
     assert sum(v.size for v in data.values()) == 486409
 
 
+def test_export_enhanced_from_orbax_dir(tmp_path):
+    """cli.export_onnx must accept the repo's own training output for the
+    stateful family: an orbax dir whose model_state carries batch_stats
+    (previously only .pth/.onnx were accepted)."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_enhancement_deglaring_tpu.cli.export_onnx import main as export_main
+    from image_enhancement_deglaring_tpu.models import EnhancedUNet
+    from image_enhancement_deglaring_tpu.train.checkpoint import save_checkpoint
+
+    variables = jax.jit(EnhancedUNet().init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    ckpt = str(tmp_path / "enhanced_ckpt")
+    save_checkpoint(ckpt, params=variables["params"],
+                    model_state={"batch_stats": variables["batch_stats"]})
+    out = str(tmp_path / "enhanced.onnx")
+    export_main(["--model", "enhanced", "--model_path", ckpt,
+                 "--output", out])
+    assert os.path.getsize(out) > 100_000
+
+
 def test_enhance_cli(trained, tmp_path, rng):
     from image_enhancement_deglaring_tpu.cli.enhance import main
 

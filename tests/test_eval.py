@@ -115,6 +115,35 @@ def test_evaluate_mesh_with_explicit_nondivisible_batch(rng):
     np.testing.assert_allclose(sharded["psnr"], solo["psnr"], rtol=1e-5)
 
 
+def test_load_model_for_eval_infers_narrow_width(tmp_path, rng):
+    """Module widths come from the artifact: a features_start=4 ONNX
+    export must load and forward (hard-coded defaults would crash at
+    group_norm reshape with 8 groups over 4 channels)."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_enhancement_deglaring_tpu.eval.harness import (
+        load_model_for_eval,
+    )
+    from image_enhancement_deglaring_tpu.models import LightweightUNet
+    from image_enhancement_deglaring_tpu.modelio.onnx_writer import (
+        export_lightweight_unet,
+    )
+
+    model = LightweightUNet(features_start=4)
+    params = jax.tree_util.tree_map(
+        np.asarray,
+        jax.jit(model.init)(jax.random.PRNGKey(7),
+                            jnp.zeros((1, 32, 32, 1)))["params"],
+    )
+    path = export_lightweight_unet(params, str(tmp_path / "narrow.onnx"))
+    apply_fn, loaded = load_model_for_eval(path)
+    x = rng.random((1, 32, 32, 1)).astype(np.float32)
+    got = np.asarray(apply_fn({"params": loaded}, x))
+    want = np.asarray(model.apply({"params": params}, x))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
+
+
 def test_evaluate_padded_identical_rows_stay_finite():
     """mse=0 on a padded row gives psnr=inf; masking must not turn the
     totals into NaN (inf * 0 = NaN with plain multiplication)."""

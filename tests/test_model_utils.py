@@ -90,3 +90,39 @@ def test_per_channel_quant_upconv_axis():
     deq = dequantize_params_int8(q, s)
     err = jnp.abs(deq["upconv4"]["weight"] - up_w)
     assert float(jnp.max(err - up_s * 0.5)) <= 1e-6
+
+
+def test_per_channel_quant_optimized_upconv_is_hwio():
+    """OptimizedUNet's upconvN blocks hold ordinary HWIO (3,3,cin,f) conv
+    kernels named 'conv' — per-channel scales must stay on the LAST axis;
+    keying on the module name alone pooled every output channel into 3
+    kernel-width scales."""
+    import jax
+    import jax.numpy as jnp
+    from image_enhancement_deglaring_tpu.models import OptimizedUNet
+    from image_enhancement_deglaring_tpu.models.model_utils import (
+        quantize_params_int8,
+    )
+
+    params = jax.jit(OptimizedUNet().init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    _, s = quantize_params_int8(params, per_channel=True)
+    w = params["upconv4"]["conv"]
+    f = w.shape[-1]
+    assert w.shape[:2] == (3, 3)
+    assert s["upconv4"]["conv"].shape == (1, 1, 1, f), s["upconv4"]["conv"].shape
+
+
+def test_prune_exact_count_with_ties():
+    """Exactly k weights are zeroed even when magnitudes tie at the k-th
+    value (torch l1_unstructured semantics) — a <=threshold rule would
+    zero every tie, e.g. after int8 dequantization grids the weights."""
+    import jax.numpy as jnp
+    from image_enhancement_deglaring_tpu.models.model_utils import (
+        prune_params,
+    )
+
+    w = jnp.asarray([[0.1, 0.1, 0.1, 0.1], [0.5, 0.6, 0.7, 0.8]])
+    pruned = prune_params({"w": w}, amount=0.25)["w"]  # k = 2, 4 ties at 0.1
+    assert int((pruned == 0).sum()) == 2
+    assert float(jnp.abs(pruned[1]).min()) > 0  # large weights untouched

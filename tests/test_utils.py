@@ -28,6 +28,22 @@ def test_load_dotenv(tmp_path, monkeypatch):
     assert os.environ["EXISTING"] == "old"  # no override by default
 
 
+def test_load_dotenv_strips_unquoted_inline_comments(tmp_path):
+    """python-dotenv semantics (what the reference loads with): an
+    unquoted inline comment is stripped; a quoted value keeps everything
+    inside the quotes."""
+    envfile = tmp_path / ".env"
+    envfile.write_text(
+        "KEY=abc123 # personal key\n"
+        "QUOTED='abc # not a comment'\n"
+        "HASHED=a#b\n"  # no space before # -> part of the value
+    )
+    parsed = load_dotenv(str(envfile))
+    assert parsed["KEY"] == "abc123"
+    assert parsed["QUOTED"] == "abc # not a comment"
+    assert parsed["HASHED"] == "a#b"
+
+
 def test_step_timer():
     t = StepTimer(window=10)
     for _ in range(5):
