@@ -30,7 +30,12 @@ def initialize(coordinator_address: str | None = None,
     """Initialize the distributed runtime (no-op if single-process).
 
     On TPU VMs all arguments are auto-detected from the environment.
+    With EXPLICIT arguments a failure re-raises: swallowing a typo'd
+    coordinator address would silently fall back to independent
+    single-host runs that stomp each other's checkpoints.
     """
+    explicit = any(a is not None
+                   for a in (coordinator_address, num_processes, process_id))
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -38,7 +43,9 @@ def initialize(coordinator_address: str | None = None,
             process_id=process_id,
         )
     except (RuntimeError, ValueError):
-        # already initialized, or single-process environment
+        if explicit:
+            raise
+        # auto-detect mode: already initialized, or single-process env
         pass
 
 

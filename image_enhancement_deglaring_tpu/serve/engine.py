@@ -274,6 +274,13 @@ class InferenceEngine:
             # blow up np.stack for every request batched with it
             raise ValueError(
                 f"submit expects a ({s}, {s}) frame, got {img_u8.shape}")
+        if img_u8.dtype != np.uint8:
+            # same blast-radius argument as the shape check: one float
+            # frame upcasts the whole coalesced batch, forces a fresh XLA
+            # compile for the new dtype, and double-normalizes (/255) every
+            # innocent request batched with it
+            raise ValueError(
+                f"submit expects a uint8 frame, got dtype {img_u8.dtype}")
         # enqueue under the lifecycle lock: a request slipped in between
         # stop()'s final queue drain and its queue swap would otherwise
         # strand its Future unresolved until the HTTP layer's timeout

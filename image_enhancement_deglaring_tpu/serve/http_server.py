@@ -148,6 +148,7 @@ class DeglareServer:
     #: per-connection read timeout
     READ_TIMEOUT_S = 30.0
     MAX_TRAILER_LINES = 256
+    MAX_HEADER_LINES = 256
 
     #: zlib level for response PNGs. 1 encodes ~2x faster than PIL's
     #: default 6 at ~1.5x the bytes — the right trade for a serving path
@@ -371,15 +372,27 @@ class DeglareServer:
                                         close=True)
                     return
 
+                # header section: count-capped and under ONE deadline, like
+                # the body paths — a per-line timeout resets on every line,
+                # letting a slow-loris client grow the dict without bound
+                # and hold the connection through the SIGTERM drain
                 headers: dict[str, str] = {}
-                while True:
-                    line = await asyncio.wait_for(
-                        reader.readline(), timeout=self.READ_TIMEOUT_S
-                    )
-                    if line in (b"\r\n", b"\n", b""):
-                        break
-                    k, _, v = line.decode(errors="replace").partition(":")
-                    headers[k.strip().lower()] = v.strip()
+
+                async def read_headers():
+                    for _ in range(self.MAX_HEADER_LINES):
+                        line = await reader.readline()
+                        if line in (b"\r\n", b"\n", b""):
+                            return True
+                        k, _, v = line.decode(errors="replace").partition(":")
+                        headers[k.strip().lower()] = v.strip()
+                    return False
+
+                if not await asyncio.wait_for(read_headers(),
+                                              timeout=self.READ_TIMEOUT_S):
+                    await self._respond(writer, 400,
+                                        {"detail": "Too many headers"},
+                                        close=True)
+                    return
 
                 conn = headers.get("connection", "").lower()
                 keep_alive = (version.upper() != "HTTP/1.0" or conn == "keep-alive") \
@@ -459,10 +472,18 @@ class DeglareServer:
                         # stats() is a blocking IPC round-trip that must not
                         # stall the event loop's other connections
                         loop = asyncio.get_running_loop()
-                        stats = await loop.run_in_executor(
-                            self._executor, self.engine.stats)
-                        stats.update(self.host_phase_stats())
-                        status, payload = 200, stats
+                        try:
+                            stats = await loop.run_in_executor(
+                                self._executor, self.engine.stats)
+                            stats.update(self.host_phase_stats())
+                            status, payload = 200, stats
+                        except (TimeoutError, RuntimeError) as e:
+                            if self._draining:
+                                raise  # handled by the drain-race catch
+                            # a dead engine must read as a 500, not a
+                            # dropped connection monitoring mistakes for a
+                            # network flake
+                            status, payload = 500, {"detail": str(e)}
                     elif method == "POST" and route == "/infer":
                         loop = asyncio.get_running_loop()
                         status, payload = await loop.run_in_executor(

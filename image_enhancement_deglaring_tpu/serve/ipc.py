@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from multiprocessing.connection import Client, Listener
 
@@ -68,7 +69,14 @@ class EngineIPCServer:
             try:
                 conn = self._listener.accept()
             except (OSError, EOFError):
-                return
+                if self._stop.is_set():
+                    return  # stop() closed the listener — clean exit
+                # transient accept failure (ECONNABORTED from a client
+                # dropping mid-handshake, EMFILE under fd pressure):
+                # returning here would permanently stop accepting new
+                # workers while the engine keeps running
+                time.sleep(0.1)
+                continue
             t = threading.Thread(target=self._serve_conn, args=(conn,),
                                  daemon=True)
             t.start()

@@ -144,7 +144,7 @@ def make_train_step(apply_fn, optimizer, *, stateful: bool = False,
     return partial(jax.jit, donate_argnums=0)(body)
 
 
-def make_val_body(apply_fn, metric_subset: int = 4, *, stateful: bool = False):
+def make_val_body(apply_fn, metric_subset: int = 4):
     """Pure (params, model_state, x, y, mask) -> (batch L1, subset psnr
     mean, subset ssim mean, prediction) — shared by the jitted per-batch
     ``make_val_step`` and the resident scanned validation epoch."""
@@ -172,7 +172,7 @@ def make_val_body(apply_fn, metric_subset: int = 4, *, stateful: bool = False):
     return val_step
 
 
-def make_val_step(apply_fn, metric_subset: int = 4, *, stateful: bool = False):
+def make_val_step(apply_fn, metric_subset: int = 4):
     """Returns jitted (params, model_state, x, y, mask) -> (batch L1, subset
     psnr mean, subset ssim mean, prediction) — metrics on the first <=4 real
     images like the reference (reference: optimized_train.py:92-122).
@@ -181,7 +181,7 @@ def make_val_step(apply_fn, metric_subset: int = 4, *, stateful: bool = False):
     batches are padded to one static, mesh-aligned shape so the compiled
     step never re-specializes and sharded batches divide the mesh evenly.
     """
-    return jax.jit(make_val_body(apply_fn, metric_subset, stateful=stateful))
+    return jax.jit(make_val_body(apply_fn, metric_subset))
 
 
 class _PaddedValLoader:
@@ -300,7 +300,7 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         augment_fn = device_augment_batch
     train_step = make_train_step(model.apply, optimizer, stateful=stateful,
                                  augment_fn=augment_fn)
-    val_step = make_val_step(model.apply, stateful=stateful)
+    val_step = make_val_step(model.apply)
 
     # validation shards over the same mesh as training; ragged final batches
     # pad to one static, mesh-aligned shape (masked out of the metrics)
@@ -336,7 +336,7 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             rd_val = cache_on_device(val_loader, sharding=sharding,
                                      num_workers=workers)
             val_batches = batch_val_cache(rd_val, val_static_b, sharding)
-            val_epoch_fn = make_val_epoch(model.apply, stateful=stateful)
+            val_epoch_fn = make_val_epoch(model.apply)
         else:
             val_batches = None
 
@@ -348,6 +348,28 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
     best_val_loss = float("inf")
     best_params = None
     best_model_state = None
+    if resume_from is not None:
+        # seed best-val tracking from the run's existing best_model:
+        # without this, the first post-resume epoch always "improves" on
+        # inf and OVERWRITES a genuinely better pre-resume checkpoint
+        best_dir = os.path.join(output_dir, "best_model")
+        if os.path.isdir(best_dir):
+            from .checkpoint import restore_checkpoint
+
+            try:
+                prev_item, prev_meta = restore_checkpoint(best_dir)
+                prev_val = prev_meta.get("val_loss")
+                if prev_val is not None and np.isfinite(prev_val):
+                    best_val_loss = float(prev_val)
+                    best_params = jax.tree_util.tree_map(
+                        np.asarray, prev_item["params"])
+                    best_model_state = jax.tree_util.tree_map(
+                        np.asarray, prev_item.get("model_state", {}))
+                    print(f"Resume: keeping existing best_model "
+                          f"(val loss {best_val_loss:.4f}) as the bar")
+            except Exception as e:  # corrupt best: start tracking fresh
+                print(f"Resume: could not read {best_dir} ({e}); "
+                      "best-model tracking restarts")
     epochs_without_improvement = 0
     warned_no_val = False
     history = {"train_loss": [], "val_loss": []}

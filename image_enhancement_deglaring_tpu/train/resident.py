@@ -231,13 +231,12 @@ def batch_val_cache(data: ResidentData, batch_size: int,
     return x, y, jnp.asarray(mask)
 
 
-def make_val_epoch(apply_fn, metric_subset: int = 4, *,
-                   stateful: bool = False):
+def make_val_epoch(apply_fn, metric_subset: int = 4):
     """Jitted whole-set validation: scans ``make_val_body`` over the
     batched cache, returning (VB, 4) rows of
     [masked L1, subset PSNR, subset SSIM, real-sample count] — the same
     per-batch stats the host path stacks, fetched in one transfer."""
-    body = make_val_body(apply_fn, metric_subset, stateful=stateful)
+    body = make_val_body(apply_fn, metric_subset)
 
     @jax.jit
     def val_epoch(params, model_state, xb, yb, masks):

@@ -574,6 +574,27 @@ def test_chunked_trailer_flood_rejected(live_server):
     assert b"400" in resp.split(b"\r\n", 1)[0]
 
 
+def test_header_flood_rejected(live_server):
+    """The header section is count-capped under one deadline: a client
+    streaming endless header lines cannot grow the dict without bound or
+    hold the connection through the drain window."""
+    host, port = live_server
+    flood = b"".join(b"x-h%d: y\r\n" % i
+                     for i in range(DeglareServer.MAX_HEADER_LINES + 8))
+    with socket.create_connection((host, port), timeout=10) as s:
+        s.sendall(b"GET /ping HTTP/1.1\r\nHost: x\r\n" + flood)
+        resp = s.recv(65536)
+    assert b"400" in resp.split(b"\r\n", 1)[0]
+
+
+def test_engine_submit_rejects_wrong_dtype(engine, rng):
+    """A non-uint8 frame fails fast at submit(): inside a coalesced batch
+    it would upcast every neighbor, force a fresh dtype compile, and
+    double-normalize the innocent requests."""
+    with pytest.raises(ValueError, match="uint8"):
+        engine.submit(rng.random((SIZE, SIZE)).astype(np.float32))
+
+
 def test_unknown_transfer_encoding_501(live_server):
     """Non-chunked transfer codings stay explicitly rejected (answering
     without consuming an unknown framing would desync keep-alive)."""

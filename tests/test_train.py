@@ -257,6 +257,39 @@ def test_resume_from_checkpoint_continues_exactly(tmp_path, toy_data):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_resume_preserves_better_preexisting_best(tmp_path, toy_data):
+    """Resuming into an output_dir whose best_model is BETTER than anything
+    the resumed run will reach must not clobber it: best-val tracking seeds
+    from the existing checkpoint instead of inf."""
+    from image_enhancement_deglaring_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    x, y = toy_data
+    train_loader = _ArrayLoader(x[:8], y[:8], 4)
+    val_loader = _ArrayLoader(x[8:], y[8:], 4)
+    out = tmp_path / "run"
+    # one epoch to get a real checkpoint to resume from
+    train_model(_MODEL, train_loader, val_loader, epochs=1, lr=1e-3,
+                output_dir=str(out), save_every=1, progress=False)
+    # plant a best_model with an unbeatable val loss and marker params
+    marker = jax.tree_util.tree_map(
+        lambda a: np.full_like(np.asarray(a), 0.125),
+        restore_checkpoint(str(out / "checkpoint_epoch_1"))[0]["params"])
+    save_checkpoint(str(out / "best_model"), params=marker, epoch=0,
+                    val_loss=1e-9)
+    _, _, best_val, _ = train_model(
+        _MODEL, train_loader, val_loader, epochs=2, lr=1e-3,
+        output_dir=str(out), save_every=100, progress=False,
+        resume_from=str(out / "checkpoint_epoch_1"),
+    )
+    assert best_val == pytest.approx(1e-9)  # the planted bar was kept
+    kept = restore_checkpoint(str(out / "best_model"))[0]["params"]
+    for leaf in jax.tree_util.tree_leaves(kept):
+        assert np.all(np.asarray(leaf) == 0.125)  # not overwritten
+
+
 def _RaggedLoader(x, y, batch_size):
     """ArrayLoader that also yields the final partial batch."""
     return _ArrayLoader(x, y, batch_size, ragged_tail=True)
