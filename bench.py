@@ -45,8 +45,14 @@ def _tpu_throughput(params, quantize: str | None = None) -> float:
         model.apply, params, image_size=SIZE, max_batch_size=BATCH,
         compute_dtype=jnp.bfloat16, warmup=False, quantize=quantize,
     )
-    rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.random((BATCH, SIZE, SIZE, 1)) * 255).astype(np.uint8))
+    # generate the 64 MB input batch ON DEVICE: shipping it from the host
+    # costs ~6-7s of the watchdog budget through the ~10 MB/s relay
+    @jax.jit
+    def make_batch(key):
+        u = jax.random.uniform(key, (BATCH, SIZE, SIZE, 1)) * 255.0
+        return u.astype(jnp.uint8)
+
+    x = make_batch(jax.random.PRNGKey(0))
     step = engine._step
 
     # On some backends block_until_ready returns before execution completes;

@@ -23,7 +23,7 @@ COPY deploy/models/best_model.onnx /app/best_model.onnx
 ENV MODEL_PATH=/app/best_model.onnx
 
 EXPOSE 4000
-HEALTHCHECK --interval=30s --timeout=5s --start-period=120s \
+HEALTHCHECK --interval=30s --timeout=5s --start-period=120s --retries=5 \
     CMD curl -sf http://localhost:4000/ping || exit 1
 CMD ["python", "-m", "image_enhancement_deglaring_tpu.cli.serve", \
      "--host", "0.0.0.0", "--port", "4000"]

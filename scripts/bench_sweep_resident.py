@@ -7,12 +7,14 @@ epoch in one compiled program. Prints JSON with both epoch times.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+# runnable from any checkout: scripts/ is sys.path[0], the package one up
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

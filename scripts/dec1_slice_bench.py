@@ -49,8 +49,11 @@ def main():
 
     @jax.jit
     def gen(key):
-        xu = jax.random.uniform(key, (B, H, W, C), jnp.float32) * 2 - 1
-        xs = jax.random.uniform(key, (B, H, W, C), jnp.float32) * 2 - 1
+        # DISTINCT keys: identical up/skip tensors would make the parity
+        # check blind to operand swaps inside the fused kernel
+        ku, ks = jax.random.split(key)
+        xu = jax.random.uniform(ku, (B, H, W, C), jnp.float32) * 2 - 1
+        xs = jax.random.uniform(ks, (B, H, W, C), jnp.float32) * 2 - 1
         return xu.astype(DTYPE), xs.astype(DTYPE)
 
     xu, xs = gen(jax.random.PRNGKey(1))

@@ -133,11 +133,16 @@ def main():
                     errors[0] += 1
         conn.close()
 
-    # one warm request (compiles/warms everything before the clock starts)
-    w = http.client.HTTPConnection(u.hostname, u.port, timeout=600)
-    w.request("POST", "/infer", body=body, headers=headers)
-    w.getresponse().read()
-    w.close()
+    # one warm request (compiles/warms everything before the clock starts);
+    # guarded so a down server still yields the errors-counted summary
+    # instead of a raw traceback
+    try:
+        w = http.client.HTTPConnection(u.hostname, u.port, timeout=600)
+        w.request("POST", "/infer", body=body, headers=headers)
+        w.getresponse().read()
+        w.close()
+    except OSError as e:
+        print(f"warm request failed ({e}); proceeding cold")
 
     threads = [threading.Thread(target=worker) for _ in range(args.concurrency)]
     t0 = time.perf_counter()

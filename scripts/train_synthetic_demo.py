@@ -47,13 +47,27 @@ def main():
     from image_enhancement_deglaring_tpu.ops.metrics import batched_psnr_ssim
     from image_enhancement_deglaring_tpu.train.loop import train_model
 
-    if not os.path.exists(os.path.join(args.data_dir, "train")):
+    train_dir = os.path.join(args.data_dir, "train")
+    n_existing = (len([f for f in os.listdir(train_dir) if f.endswith(".png")])
+                  if os.path.isdir(train_dir) else 0)
+    if n_existing != args.n_train:
+        # regenerate on ANY count mismatch — silently reusing a stale
+        # dataset would measure the wrong experiment (the generator is
+        # deterministic, so a matching count is the same data)
+        if n_existing:
+            import shutil
+
+            print(f"dataset at {args.data_dir} has {n_existing} train "
+                  f"triptychs, want {args.n_train}; regenerating")
+            for sub in ("train", "val"):
+                shutil.rmtree(os.path.join(args.data_dir, sub),
+                              ignore_errors=True)
         print(f"Generating synthetic SD1 ({args.n_train}+{args.n_val} triptychs)...")
         generate_synthetic_sd1(args.data_dir, n_train=args.n_train,
                                n_val=args.n_val, size=args.size, seed=0)
 
     train_loader, val_loader = make_dataloaders(
-        os.path.join(args.data_dir, "train"), batch_size=args.batch_size,
+        train_dir, batch_size=args.batch_size,
         val_split=0.2, seed=42, image_size=args.size, cache_images=True,
         augment="none" if args.resident else "optimized",
     )
@@ -74,9 +88,19 @@ def main():
     )
     print(f"trained in {time.time() - t0:.0f}s; best val L1 {best_val:.4f}")
 
-    metrics = evaluate(model.apply, best_params, val_loader,
+    # final evaluation: the generated held-out val/ when --n_val produced
+    # one (those images are otherwise never read), else the 80/20 split
+    val_dir = os.path.join(args.data_dir, "val")
+    if args.n_val > 0 and os.path.isdir(val_dir):
+        _, heldout = make_dataloaders(
+            val_dir, batch_size=args.batch_size, val_split=1.0, seed=42,
+            image_size=args.size, cache_images=True, augment="none")
+        eval_loader, which = heldout, f"held-out val/ ({heldout.num_samples})"
+    else:
+        eval_loader, which = val_loader, "train-split val"
+    metrics = evaluate(model.apply, best_params, eval_loader,
                        batch_size=args.batch_size, progress=False)
-    print(f"final: L1 {metrics['l1_loss']:.4f}, "
+    print(f"final ({which}): L1 {metrics['l1_loss']:.4f}, "
           f"PSNR {metrics['psnr']:.2f} dB, SSIM {metrics['ssim']:.4f}")
 
 
