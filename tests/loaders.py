@@ -17,6 +17,10 @@ class ArrayLoader:
 
     def __init__(self, x, y, batch_size, *, min_one_batch: bool = False,
                  ragged_tail: bool = False):
+        if len(x) == 0:
+            # min_one_batch would otherwise yield a zero-length batch and
+            # fail deep inside XLA instead of at the loader
+            raise ValueError("ArrayLoader needs at least one sample")
         self.x, self.y, self.batch_size = x, y, batch_size
         self.min_one_batch = min_one_batch
         self.ragged_tail = ragged_tail

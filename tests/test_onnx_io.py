@@ -89,7 +89,8 @@ def test_executor_pool_pads_and_default_strides_match_torch():
                       inputs=["x"], outputs=["y"])
         got = run_graph(g, {"x": x})["y"]
         want = torch_fn(torch.from_numpy(x)).numpy()
-        np.testing.assert_allclose(got, want, rtol=0, atol=1e-6), (op, attrs)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-6,
+                                   err_msg=str((op, attrs)))
 
     # unsupported attributes fail loudly instead of mis-pooling
     g = OnnxGraph(initializers={},

@@ -328,14 +328,9 @@ def live_server(engine, tmp_path_factory):
                            image_size=SIZE, log_dir=logdir)
     t = threading.Thread(target=server.run, daemon=True)
     t.start()
-    for _ in range(100):
-        try:
-            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=1)
-            conn.request("GET", "/ping")
-            conn.getresponse().read()
-            break
-        except OSError:
-            time.sleep(0.1)
+    # fail HERE with a clear TimeoutError if the server never binds —
+    # proceeding anyway would fail every test with opaque refusals
+    _wait_ready("127.0.0.1", port, timeout=60)
     return "127.0.0.1", port
 
 
@@ -734,9 +729,6 @@ def test_stats_endpoint(live_server, rng):
 def test_multipart_parser_fuzz(rng):
     """Parser must never raise on junk bodies — it returns empty/partial
     fields and the handler converts that to a clean 400."""
-    import random as pyrandom
-
-    pyrandom.seed(0)
     junk_bodies = [
         b"",
         b"--",
@@ -1140,39 +1132,58 @@ def test_sigterm_drains_inflight_requests(small_model, tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     try:
-        # stderr is merged into stdout: warnings may precede READY
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            line = proc.stdout.readline()
-            if "READY" in line:
-                break
-        else:
-            raise AssertionError("server subprocess never printed READY")
-        deadline = time.time() + 60
-        while time.time() < deadline:
-            try:
-                st, _ = _request("127.0.0.1", port, "GET", "/ping")
-                if st == 200:
-                    break
-            except OSError:
-                time.sleep(0.2)
+        # read READY with a real deadline (stderr is merged into stdout:
+        # warnings may precede it): a blocking readline() would hang the
+        # whole pytest run if the child wedges before printing
+        import selectors
 
-        # fire a request and SIGTERM while it is in flight
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stdout, selectors.EVENT_READ)
+        deadline = time.time() + 120
+        ready = False
+        while time.time() < deadline and not ready:
+            if sel.select(timeout=1.0):
+                line = proc.stdout.readline()
+                if not line and proc.poll() is not None:
+                    break
+                ready = "READY" in line
+        sel.unregister(proc.stdout)
+        if not ready:
+            raise AssertionError("server subprocess never printed READY")
+        _wait_ready("127.0.0.1", port, timeout=60)
+
+        # fire a request and SIGTERM once it is ON THE WIRE (barrier, not a
+        # fixed sleep — under full-suite CPU contention a sleep raced the
+        # send). The drain contract: an already-sent request gets a
+        # definitive answer — 200 if parsed/dispatched before SIGTERM, 503
+        # if the drain window caught it unparsed; never a dropped socket.
         img = (np.random.default_rng(0).random((64, 64)) * 255).astype(np.uint8)
         body, headers = _multipart_png(img)
         result = {}
+        sent = threading.Barrier(2, timeout=60)
 
         def do_req():
-            result["resp"] = _request("127.0.0.1", port, "POST", "/infer",
-                                      body, headers)
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            try:
+                conn.request("POST", "/infer", body=body, headers=headers)
+                sent.wait()
+                resp = conn.getresponse()
+                result["resp"] = (resp.status, resp.read())
+            except Exception as e:
+                result["resp"] = ("EXC", repr(e))
+            finally:
+                conn.close()
 
         t = threading.Thread(target=do_req)
         t.start()
-        time.sleep(0.15)  # request in flight
+        sent.wait()  # request on the wire
+        time.sleep(0.15)  # give the server a beat to dispatch it
         proc.send_signal(signal.SIGTERM)
         t.join(60)
         status, data = result["resp"]
-        assert status == 200 and "image" in json.loads(data)
+        assert status in (200, 503), result["resp"]
+        if status == 200:
+            assert "image" in json.loads(data)
         out = proc.communicate(timeout=60)[0]
         assert "DRAINED-EXIT" in out
         assert proc.returncode == 0
@@ -1229,13 +1240,7 @@ def test_draining_connection_gets_503_not_dropped(tmp_path):
     t = threading.Thread(target=server.run, daemon=True)
     t.start()
     try:
-        for _ in range(100):
-            try:
-                st, _ = _request("127.0.0.1", port, "GET", "/ping")
-                if st == 200:
-                    break
-            except OSError:
-                time.sleep(0.1)
+        _wait_ready("127.0.0.1", port, timeout=30)
 
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
         conn.request("GET", "/ping")  # establish keep-alive
@@ -1472,14 +1477,7 @@ def test_multiprocess_sigterm_drains_both_workers(tmp_path):
         sel.unregister(proc.stdout)
         if not ready:
             raise AssertionError("parent never printed READY")
-        deadline = time.time() + 60
-        while time.time() < deadline:
-            try:
-                st, _ = _request("127.0.0.1", port, "GET", "/ping")
-                if st == 200:
-                    break
-            except OSError:
-                time.sleep(0.2)
+        _wait_ready("127.0.0.1", port, timeout=60)
 
         img = (np.random.default_rng(0).random((64, 64)) * 255).astype(np.uint8)
         body, headers = _multipart_png(img)
