@@ -17,10 +17,12 @@ class ArrayLoader:
 
     def __init__(self, x, y, batch_size, *, min_one_batch: bool = False,
                  ragged_tail: bool = False):
-        if len(x) == 0:
+        if len(x) == 0 and min_one_batch:
             # min_one_batch would otherwise yield a zero-length batch and
-            # fail deep inside XLA instead of at the loader
-            raise ValueError("ArrayLoader needs at least one sample")
+            # fail deep inside XLA instead of at the loader (an empty
+            # loader WITHOUT it is legitimate: e.g. the no-validation-data
+            # path, which iterates zero batches)
+            raise ValueError("ArrayLoader(min_one_batch) needs >=1 sample")
         self.x, self.y, self.batch_size = x, y, batch_size
         self.min_one_batch = min_one_batch
         self.ragged_tail = ragged_tail
