@@ -7,6 +7,11 @@ FastAPI app (reference: api/app.py):
 - missing image -> 400 ``{"detail":"No image provided"}``; any processing
   error -> 500 ``{"detail": "..."}`` (FastAPI HTTPException body shape)
 
+Additions beyond the reference API: ``GET /stats`` (JSON serving
+observability), ``GET /metrics`` (the same numbers in Prometheus text
+exposition format for k8s scraping), optional ``POST /reload``
+(zero-downtime weight swap), and per-request ``?mode=tile|resize``.
+
 The environment has no FastAPI/uvicorn, so this is a stdlib asyncio
 HTTP/1.1 server with hand-rolled multipart parsing. Image decode and the
 LANCZOS resizes stay on host PIL for byte parity with the reference
@@ -455,6 +460,7 @@ class DeglareServer:
                         )
 
                 route, _, query = path.partition("?")
+                raw = None  # (body_bytes, content_type) for non-JSON routes
                 if self._draining and not (method == "GET" and route == "/ping"):
                     # drain window: answer (don't drop) late pipelined
                     # requests on surviving keep-alive connections, and tell
@@ -484,6 +490,28 @@ class DeglareServer:
                             # dropped connection monitoring mistakes for a
                             # network flake
                             status, payload = 500, {"detail": str(e)}
+                    elif method == "GET" and route == "/metrics":
+                        # Prometheus scrape target: the /stats numbers in
+                        # text exposition format (same executor rationale
+                        # as /stats — the IPC stats round-trip must not
+                        # stall the event loop)
+                        from .metrics import (
+                            PROMETHEUS_CONTENT_TYPE,
+                            prometheus_text,
+                        )
+
+                        loop = asyncio.get_running_loop()
+                        try:
+                            stats = await loop.run_in_executor(
+                                self._executor, self.engine.stats)
+                            stats.update(self.host_phase_stats())
+                            status = 200
+                            raw = (prometheus_text(stats).encode(),
+                                   PROMETHEUS_CONTENT_TYPE)
+                        except (TimeoutError, RuntimeError) as e:
+                            if self._draining:
+                                raise  # handled by the drain-race catch
+                            status, payload = 500, {"detail": str(e)}
                     elif method == "POST" and route == "/infer":
                         loop = asyncio.get_running_loop()
                         status, payload = await loop.run_in_executor(
@@ -505,8 +533,13 @@ class DeglareServer:
                         raise
                     status, payload, keep_alive = (
                         503, {"detail": "Server is shutting down"}, False)
-                await self._respond(writer, status, payload,
-                                    close=not keep_alive)
+                    raw = None
+                if raw is not None:
+                    await self._respond_raw(writer, status, raw[0], raw[1],
+                                            close=not keep_alive)
+                else:
+                    await self._respond(writer, status, payload,
+                                        close=not keep_alive)
                 if not keep_alive:
                     return
         except (asyncio.IncompleteReadError, ConnectionResetError,
@@ -565,13 +598,18 @@ class DeglareServer:
 
     async def _respond(self, writer, status: int, payload: dict,
                        close: bool = False) -> None:
+        body = json.dumps(payload, separators=(",", ":")).encode()
+        await self._respond_raw(writer, status, body, "application/json",
+                                close=close)
+
+    async def _respond_raw(self, writer, status: int, body: bytes,
+                           content_type: str, close: bool = False) -> None:
         reasons = {200: "OK", 400: "Bad Request", 404: "Not Found",
                    413: "Payload Too Large", 500: "Internal Server Error",
                    501: "Not Implemented", 503: "Service Unavailable"}
-        body = json.dumps(payload, separators=(",", ":")).encode()
         head = (
             f"HTTP/1.1 {status} {reasons.get(status, 'OK')}\r\n"
-            f"Content-Type: application/json\r\n"
+            f"Content-Type: {content_type}\r\n"
             f"Content-Length: {len(body)}\r\n"
             f"Access-Control-Allow-Origin: *\r\n"
             f"Connection: {'close' if close else 'keep-alive'}\r\n\r\n"

@@ -726,6 +726,72 @@ def test_stats_endpoint(live_server, rng):
     assert stats["latency_ms_p50"] is None or stats["latency_ms_p50"] > 0
 
 
+def test_prometheus_text_rendering():
+    """Unit: stats dict -> Prometheus exposition (units, None omission,
+    unknown-key passthrough)."""
+    from image_enhancement_deglaring_tpu.serve.metrics import prometheus_text
+
+    text = prometheus_text({
+        "requests_served": 7,
+        "latency_ms_p50": 12.5,
+        "latency_ms_p95": None,   # empty window -> series omitted
+        "latency_ms_p99": 40.0,
+        "mean_batch_fill": 0.75,
+        "host_decode_ms_p50": 3.0,
+        "host_engine_ms_p50": None,
+        "host_encode_ms_p50": 1.5,
+        "queue_depth": 4,          # key unknown to the renderer
+        "note": "ignored",        # non-numeric -> dropped
+    })
+    assert "deglaring_requests_served_total 7" in text
+    # ms -> seconds per Prometheus conventions
+    assert 'deglaring_request_latency_seconds{quantile="0.5"} 0.0125' in text
+    assert 'quantile="0.95"' not in text  # None sample omitted
+    assert 'deglaring_request_latency_seconds{quantile="0.99"} 0.04' in text
+    assert "deglaring_engine_batch_fill_ratio 0.75" in text
+    assert ('deglaring_host_phase_seconds{phase="decode",quantile="0.5"} '
+            "0.003" in text)
+    assert 'phase="engine"' not in text
+    assert "deglaring_queue_depth 4" in text
+    assert "ignored" not in text
+    # exposition-format framing: HELP/TYPE precede each metric family
+    assert "# TYPE deglaring_requests_served_total counter" in text
+    assert "# TYPE deglaring_request_latency_seconds summary" in text
+    assert text.endswith("\n")
+
+
+def test_prometheus_text_all_none():
+    """A freshly started engine (no samples anywhere) must still render."""
+    from image_enhancement_deglaring_tpu.serve.metrics import prometheus_text
+
+    text = prometheus_text({"requests_served": 0, "latency_ms_p50": None,
+                            "mean_batch_fill": None})
+    assert "deglaring_requests_served_total 0" in text
+    assert "latency" not in text
+
+
+def test_metrics_endpoint(live_server, rng):
+    """GET /metrics serves Prometheus text for the live engine."""
+    img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    body, headers = _multipart_png(img)
+    _request(*live_server, "POST", "/infer", body, headers)
+
+    conn = http.client.HTTPConnection(*live_server, timeout=60)
+    conn.request("GET", "/metrics")
+    resp = conn.getresponse()
+    data = resp.read()
+    ctype = resp.getheader("Content-Type")
+    conn.close()
+    assert resp.status == 200
+    assert ctype.startswith("text/plain")
+    text = data.decode()
+    served = [line for line in text.splitlines()
+              if line.startswith("deglaring_requests_served_total ")]
+    assert served and float(served[0].split()[-1]) >= 1
+    # host phases were recorded by the /infer above
+    assert 'deglaring_host_phase_seconds{phase="decode"' in text
+
+
 def test_multipart_parser_fuzz(rng):
     """Parser must never raise on junk bodies — it returns empty/partial
     fields and the handler converts that to a clean 400."""
