@@ -11,6 +11,8 @@ Additions beyond the reference API: ``GET /stats`` (JSON serving
 observability), ``GET /metrics`` (the same numbers in Prometheus text
 exposition format for k8s scraping), optional ``POST /reload``
 (zero-downtime weight swap), and per-request ``?mode=tile|resize``.
+``GET /openapi.json`` and ``GET /docs`` match the reference's FastAPI
+auto-docs (self-contained HTML — no CDN assets).
 
 The environment has no FastAPI/uvicorn, so this is a stdlib asyncio
 HTTP/1.1 server with hand-rolled multipart parsing. Image decode and the
@@ -512,6 +514,26 @@ class DeglareServer:
                             if self._draining:
                                 raise  # handled by the drain-race catch
                             status, payload = 500, {"detail": str(e)}
+                    elif method == "GET" and route in ("/openapi.json",
+                                                       "/docs"):
+                        # the reference's default FastAPI() auto-serves
+                        # these (reference: api/app.py:47); /docs here is
+                        # server-rendered HTML — no CDN assets, so it
+                        # works inside an air-gapped pod
+                        from .openapi import docs_html, openapi_spec
+
+                        spec = openapi_spec(
+                            allow_reload=self.allow_reload,
+                            tile_enabled=self.tiler is not None,
+                        )
+                        status = 200
+                        if route == "/openapi.json":
+                            raw = (json.dumps(
+                                spec, separators=(",", ":")).encode(),
+                                "application/json")
+                        else:
+                            raw = (docs_html(spec).encode(),
+                                   "text/html; charset=utf-8")
                     elif method == "POST" and route == "/infer":
                         loop = asyncio.get_running_loop()
                         status, payload = await loop.run_in_executor(

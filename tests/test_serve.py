@@ -792,6 +792,41 @@ def test_metrics_endpoint(live_server, rng):
     assert 'deglaring_host_phase_seconds{phase="decode"' in text
 
 
+def test_openapi_spec_reflects_config():
+    """The spec advertises exactly what this server instance enables."""
+    from image_enhancement_deglaring_tpu.serve.openapi import openapi_spec
+
+    base = openapi_spec(allow_reload=False, tile_enabled=False)
+    assert set(base["paths"]) == {"/ping", "/infer", "/stats", "/metrics"}
+    assert base["paths"]["/infer"]["post"]["parameters"] == []
+
+    full = openapi_spec(allow_reload=True, tile_enabled=True)
+    assert "/reload" in full["paths"]
+    modes = full["paths"]["/infer"]["post"]["parameters"][0]["schema"]["enum"]
+    assert set(modes) == {"resize", "tile"}
+
+
+def test_openapi_and_docs_endpoints(live_server):
+    """GET /openapi.json is a valid OpenAPI doc; GET /docs is HTML that
+    renders every route in it (the reference's FastAPI auto-docs)."""
+    status, data = _request(*live_server, "GET", "/openapi.json")
+    assert status == 200
+    spec = json.loads(data)
+    assert spec["openapi"].startswith("3.")
+    assert "/infer" in spec["paths"]
+
+    conn = http.client.HTTPConnection(*live_server, timeout=60)
+    conn.request("GET", "/docs")
+    resp = conn.getresponse()
+    page = resp.read().decode()
+    ctype = resp.getheader("Content-Type")
+    conn.close()
+    assert resp.status == 200 and ctype.startswith("text/html")
+    for path in spec["paths"]:
+        assert path in page
+    assert "<script" not in page  # self-contained: no CDN/JS dependencies
+
+
 def test_multipart_parser_fuzz(rng):
     """Parser must never raise on junk bodies — it returns empty/partial
     fields and the handler converts that to a clean 400."""
