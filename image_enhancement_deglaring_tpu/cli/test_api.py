@@ -40,9 +40,29 @@ def test_infer(url: str, image_path: str, out_dir: str = "test_output") -> bool:
     return True
 
 
+def test_observability(url: str) -> bool:
+    """Probe the endpoints beyond the reference API: /stats (JSON),
+    /metrics (Prometheus text), /openapi.json (spec)."""
+    import requests
+
+    ok = True
+    resp = requests.get(f"{url}/stats", timeout=10)
+    ok &= resp.status_code == 200 and "requests_served" in resp.json()
+    resp = requests.get(f"{url}/metrics", timeout=10)
+    ok &= (resp.status_code == 200
+           and "deglaring_requests_served_total" in resp.text)
+    resp = requests.get(f"{url}/openapi.json", timeout=10)
+    ok &= resp.status_code == 200 and "/infer" in resp.json()["paths"]
+    print(f"Observability test: {'PASSED' if ok else 'FAILED'}")
+    return ok
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Test the de-glaring API")
-    p.add_argument("--test", choices=["ping", "infer", "all"], default="all")
+    # "stats" probes /stats + /metrics + /openapi.json — endpoints beyond
+    # the reference API; reference flag usage (ping|infer|all) unchanged
+    p.add_argument("--test", choices=["ping", "infer", "stats", "all"],
+                   default="all")
     p.add_argument("--url", default="http://localhost:4000")
     p.add_argument("--image", default=None)
     args = p.parse_args(argv)
@@ -55,6 +75,8 @@ def main(argv=None):
             print("Infer test skipped: provide --image path")
         else:
             ok &= test_infer(args.url, args.image)
+    if args.test in ("stats", "all"):
+        ok &= test_observability(args.url)
     return 0 if ok else 1
 
 

@@ -827,6 +827,15 @@ def test_openapi_and_docs_endpoints(live_server):
     assert "<script" not in page  # self-contained: no CDN/JS dependencies
 
 
+def test_cli_test_api_observability(live_server):
+    """cli.test_api --test stats drives /stats, /metrics, /openapi.json."""
+    pytest.importorskip("requests")
+    from image_enhancement_deglaring_tpu.cli.test_api import main
+
+    host, port = live_server
+    assert main(["--test", "stats", "--url", f"http://{host}:{port}"]) == 0
+
+
 def test_multipart_parser_fuzz(rng):
     """Parser must never raise on junk bodies — it returns empty/partial
     fields and the handler converts that to a clean 400."""
