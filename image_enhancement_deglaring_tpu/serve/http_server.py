@@ -546,6 +546,12 @@ class DeglareServer:
                         status, payload = await loop.run_in_executor(
                             self._executor, self._reload, body,
                         )
+                    elif route in ("/ping", "/stats", "/metrics",
+                                   "/openapi.json", "/docs", "/infer") or (
+                            route == "/reload" and self.allow_reload):
+                        # known path, wrong method — FastAPI answers 405
+                        # (the reference app inherits this), not 404
+                        status, payload = 405, {"detail": "Method Not Allowed"}
                     else:
                         status, payload = 404, {"detail": "Not Found"}
                 except RuntimeError:
@@ -627,8 +633,9 @@ class DeglareServer:
     async def _respond_raw(self, writer, status: int, body: bytes,
                            content_type: str, close: bool = False) -> None:
         reasons = {200: "OK", 400: "Bad Request", 404: "Not Found",
-                   413: "Payload Too Large", 500: "Internal Server Error",
-                   501: "Not Implemented", 503: "Service Unavailable"}
+                   405: "Method Not Allowed", 413: "Payload Too Large",
+                   500: "Internal Server Error", 501: "Not Implemented",
+                   503: "Service Unavailable"}
         head = (
             f"HTTP/1.1 {status} {reasons.get(status, 'OK')}\r\n"
             f"Content-Type: {content_type}\r\n"

@@ -412,6 +412,16 @@ def test_unknown_route_404(live_server):
     assert status == 404
 
 
+def test_known_route_wrong_method_405(live_server):
+    """FastAPI (the reference app) answers 405 on a known path with the
+    wrong method; 404 is reserved for unknown paths."""
+    status, data = _request(*live_server, "GET", "/infer")
+    assert status == 405
+    assert json.loads(data) == {"detail": "Method Not Allowed"}
+    status, _ = _request(*live_server, "POST", "/ping", b"")
+    assert status == 405
+
+
 @pytest.mark.parametrize("mode", ["LA", "P", "1", "I;16", "CMYK"])
 def test_infer_exotic_pil_modes(live_server, rng, mode):
     """Grayscale+alpha, palette, 1-bit, 16-bit, and CMYK uploads must
