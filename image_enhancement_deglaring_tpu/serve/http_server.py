@@ -463,13 +463,19 @@ class DeglareServer:
 
                 route, _, query = path.partition("?")
                 raw = None  # (body_bytes, content_type) for non-JSON routes
+                # Starlette (the reference's FastAPI) serves HEAD on every
+                # GET route: same status/headers, no body — k8s probes and
+                # load balancers rely on it
+                head_only = method == "HEAD"
+                if head_only:
+                    method = "GET"
                 if self._draining and not (method == "GET" and route == "/ping"):
                     # drain window: answer (don't drop) late pipelined
                     # requests on surviving keep-alive connections, and tell
                     # the client to reconnect elsewhere
                     await self._respond(writer, 503,
                                         {"detail": "Server is shutting down"},
-                                        close=True)
+                                        close=True, head_only=head_only)
                     return
                 try:
                     if method == "GET" and route == "/ping":
@@ -564,10 +570,12 @@ class DeglareServer:
                     raw = None
                 if raw is not None:
                     await self._respond_raw(writer, status, raw[0], raw[1],
-                                            close=not keep_alive)
+                                            close=not keep_alive,
+                                            head_only=head_only)
                 else:
                     await self._respond(writer, status, payload,
-                                        close=not keep_alive)
+                                        close=not keep_alive,
+                                        head_only=head_only)
                 if not keep_alive:
                     return
         except (asyncio.IncompleteReadError, ConnectionResetError,
@@ -625,13 +633,14 @@ class DeglareServer:
         return b"".join(parts)
 
     async def _respond(self, writer, status: int, payload: dict,
-                       close: bool = False) -> None:
+                       close: bool = False, head_only: bool = False) -> None:
         body = json.dumps(payload, separators=(",", ":")).encode()
         await self._respond_raw(writer, status, body, "application/json",
-                                close=close)
+                                close=close, head_only=head_only)
 
     async def _respond_raw(self, writer, status: int, body: bytes,
-                           content_type: str, close: bool = False) -> None:
+                           content_type: str, close: bool = False,
+                           head_only: bool = False) -> None:
         reasons = {200: "OK", 400: "Bad Request", 404: "Not Found",
                    405: "Method Not Allowed", 413: "Payload Too Large",
                    500: "Internal Server Error", 501: "Not Implemented",
@@ -643,7 +652,8 @@ class DeglareServer:
             f"Access-Control-Allow-Origin: *\r\n"
             f"Connection: {'close' if close else 'keep-alive'}\r\n\r\n"
         ).encode()
-        writer.write(head + body)
+        # HEAD: advertise the GET Content-Length but send no body (RFC 9110)
+        writer.write(head if head_only else head + body)
         await writer.drain()
 
     # ------------------------------------------------------------- control

@@ -412,6 +412,28 @@ def test_unknown_route_404(live_server):
     assert status == 404
 
 
+def test_head_on_get_routes(live_server):
+    """Starlette serves HEAD on every GET route (k8s probes and load
+    balancers use it): GET's status + Content-Length, empty body."""
+    for route, expect_len in [("/ping", len(b'{"message":"pong"}')),
+                              ("/metrics", None), ("/docs", None)]:
+        conn = http.client.HTTPConnection(*live_server, timeout=60)
+        conn.request("HEAD", route)
+        resp = conn.getresponse()
+        body = resp.read()
+        clen = int(resp.getheader("Content-Length"))
+        conn.close()
+        assert resp.status == 200 and body == b""
+        assert clen == expect_len if expect_len is not None else clen > 0
+    # HEAD on a POST-only route is still a wrong method
+    conn = http.client.HTTPConnection(*live_server, timeout=60)
+    conn.request("HEAD", "/infer")
+    resp = conn.getresponse()
+    resp.read()
+    conn.close()
+    assert resp.status == 405
+
+
 def test_known_route_wrong_method_405(live_server):
     """FastAPI (the reference app) answers 405 on a known path with the
     wrong method; 404 is reserved for unknown paths."""
