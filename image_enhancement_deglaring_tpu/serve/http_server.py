@@ -378,6 +378,14 @@ class DeglareServer:
                     await self._respond(writer, 400, {"detail": "Bad request"},
                                         close=True)
                     return
+                # Starlette (the reference's FastAPI) serves HEAD on every
+                # GET route: same status/headers, no body — k8s probes and
+                # load balancers rely on it. Decided here so that even
+                # error responses (bad headers, oversize body, ...) honor
+                # RFC 9110 §9.3.2 and carry no body on a HEAD request.
+                head_only = method == "HEAD"
+                if head_only:
+                    method = "GET"
 
                 # header section: count-capped and under ONE deadline, like
                 # the body paths — a per-line timeout resets on every line,
@@ -398,7 +406,7 @@ class DeglareServer:
                                               timeout=self.READ_TIMEOUT_S):
                     await self._respond(writer, 400,
                                         {"detail": "Too many headers"},
-                                        close=True)
+                                        close=True, head_only=head_only)
                     return
 
                 conn = headers.get("connection", "").lower()
@@ -421,20 +429,20 @@ class DeglareServer:
                     except ValueError:
                         await self._respond(writer, 400,
                                             {"detail": "Bad chunked encoding"},
-                                            close=True)
+                                            close=True, head_only=head_only)
                         return
                     if body is None:
                         # bound exceeded mid-stream; the rest is unread, so
                         # the connection cannot be kept in sync — close it
                         await self._respond(writer, 413,
                                             {"detail": "Request body too large"},
-                                            close=True)
+                                            close=True, head_only=head_only)
                         return
                 elif te and te != "identity":
                     await self._respond(writer, 501,
                                         {"detail": f"transfer-encoding "
                                                    f"{te!r} not supported"},
-                                        close=True)
+                                        close=True, head_only=head_only)
                     return
                 else:
                     try:
@@ -442,17 +450,17 @@ class DeglareServer:
                     except ValueError:
                         await self._respond(writer, 400,
                                             {"detail": "Bad Content-Length"},
-                                            close=True)
+                                            close=True, head_only=head_only)
                         return
                     if length < 0:
                         await self._respond(writer, 400,
                                             {"detail": "Bad Content-Length"},
-                                            close=True)
+                                            close=True, head_only=head_only)
                         return
                     if length > self.MAX_BODY_BYTES:
                         await self._respond(writer, 413,
                                             {"detail": "Request body too large"},
-                                            close=True)
+                                            close=True, head_only=head_only)
                         return
                     body = b""
                     if length:
@@ -463,12 +471,7 @@ class DeglareServer:
 
                 route, _, query = path.partition("?")
                 raw = None  # (body_bytes, content_type) for non-JSON routes
-                # Starlette (the reference's FastAPI) serves HEAD on every
-                # GET route: same status/headers, no body — k8s probes and
-                # load balancers rely on it
-                head_only = method == "HEAD"
-                if head_only:
-                    method = "GET"
+                extra_headers = None  # e.g. Allow on 405
                 if self._draining and not (method == "GET" and route == "/ping"):
                     # drain window: answer (don't drop) late pipelined
                     # requests on surviving keep-alive connections, and tell
@@ -556,8 +559,12 @@ class DeglareServer:
                                    "/openapi.json", "/docs", "/infer") or (
                             route == "/reload" and self.allow_reload):
                         # known path, wrong method — FastAPI answers 405
-                        # (the reference app inherits this), not 404
+                        # with the permitted methods in Allow (RFC 9110
+                        # §15.5.6), not 404
+                        allow = ("POST" if route in ("/infer", "/reload")
+                                 else "GET, HEAD")
                         status, payload = 405, {"detail": "Method Not Allowed"}
+                        extra_headers = {"Allow": allow}
                     else:
                         status, payload = 404, {"detail": "Not Found"}
                 except RuntimeError:
@@ -575,7 +582,8 @@ class DeglareServer:
                 else:
                     await self._respond(writer, status, payload,
                                         close=not keep_alive,
-                                        head_only=head_only)
+                                        head_only=head_only,
+                                        extra_headers=extra_headers)
                 if not keep_alive:
                     return
         except (asyncio.IncompleteReadError, ConnectionResetError,
@@ -633,23 +641,29 @@ class DeglareServer:
         return b"".join(parts)
 
     async def _respond(self, writer, status: int, payload: dict,
-                       close: bool = False, head_only: bool = False) -> None:
+                       close: bool = False, head_only: bool = False,
+                       extra_headers: dict[str, str] | None = None) -> None:
         body = json.dumps(payload, separators=(",", ":")).encode()
         await self._respond_raw(writer, status, body, "application/json",
-                                close=close, head_only=head_only)
+                                close=close, head_only=head_only,
+                                extra_headers=extra_headers)
 
     async def _respond_raw(self, writer, status: int, body: bytes,
                            content_type: str, close: bool = False,
-                           head_only: bool = False) -> None:
+                           head_only: bool = False,
+                           extra_headers: dict[str, str] | None = None) -> None:
         reasons = {200: "OK", 400: "Bad Request", 404: "Not Found",
                    405: "Method Not Allowed", 413: "Payload Too Large",
                    500: "Internal Server Error", 501: "Not Implemented",
                    503: "Service Unavailable"}
+        extras = "".join(f"{k}: {v}\r\n"
+                         for k, v in (extra_headers or {}).items())
         head = (
             f"HTTP/1.1 {status} {reasons.get(status, 'OK')}\r\n"
             f"Content-Type: {content_type}\r\n"
             f"Content-Length: {len(body)}\r\n"
             f"Access-Control-Allow-Origin: *\r\n"
+            f"{extras}"
             f"Connection: {'close' if close else 'keep-alive'}\r\n\r\n"
         ).encode()
         # HEAD: advertise the GET Content-Length but send no body (RFC 9110)

@@ -13,7 +13,6 @@ static HTML instead.
 from __future__ import annotations
 
 import html as _html
-import json
 
 _ERROR_SCHEMA = {
     "type": "object",
@@ -111,11 +110,15 @@ def openapi_spec(*, allow_reload: bool = False,
                 "summary": "Serving statistics (Prometheus)",
                 "description": "The /stats numbers in Prometheus text "
                                "exposition format v0.0.4.",
-                "responses": {"200": {
-                    "description": "Exposition text",
-                    "content": {"text/plain": {
-                        "schema": {"type": "string"}}},
-                }},
+                "responses": {
+                    "200": {
+                        "description": "Exposition text",
+                        "content": {"text/plain": {
+                            "schema": {"type": "string"}}},
+                    },
+                    "500": _json_response("Engine unavailable",
+                                          _ERROR_SCHEMA),
+                },
             }
         },
     }
@@ -208,10 +211,3 @@ def docs_html(spec: dict) -> str:
     parts.append("</body></html>")
     return "".join(parts)
 
-
-def openapi_json(*, allow_reload: bool = False,
-                 tile_enabled: bool = False) -> bytes:
-    return json.dumps(
-        openapi_spec(allow_reload=allow_reload, tile_enabled=tile_enabled),
-        separators=(",", ":"),
-    ).encode()

@@ -436,12 +436,42 @@ def test_head_on_get_routes(live_server):
 
 def test_known_route_wrong_method_405(live_server):
     """FastAPI (the reference app) answers 405 on a known path with the
-    wrong method; 404 is reserved for unknown paths."""
-    status, data = _request(*live_server, "GET", "/infer")
-    assert status == 405
+    wrong method, carrying the permitted methods in Allow (RFC 9110
+    §15.5.6); 404 is reserved for unknown paths."""
+    conn = http.client.HTTPConnection(*live_server, timeout=60)
+    conn.request("GET", "/infer")
+    resp = conn.getresponse()
+    data = resp.read()
+    allow = resp.getheader("Allow")
+    conn.close()
+    assert resp.status == 405
     assert json.loads(data) == {"detail": "Method Not Allowed"}
-    status, _ = _request(*live_server, "POST", "/ping", b"")
-    assert status == 405
+    assert allow == "POST"
+
+    conn = http.client.HTTPConnection(*live_server, timeout=60)
+    conn.request("POST", "/ping", body=b"")
+    resp = conn.getresponse()
+    resp.read()
+    allow = resp.getheader("Allow")
+    conn.close()
+    assert resp.status == 405
+    assert allow == "GET, HEAD"
+
+
+def test_head_error_responses_carry_no_body(live_server):
+    """Even error responses to a HEAD request must be bodyless (RFC 9110
+    §9.3.2) — e.g. an oversize declared Content-Length."""
+    conn = http.client.HTTPConnection(*live_server, timeout=60)
+    conn.putrequest("HEAD", "/ping", skip_host=False,
+                    skip_accept_encoding=True)
+    conn.putheader("Content-Length", str(10**12))
+    conn.endheaders()
+    resp = conn.getresponse()
+    body = resp.read()
+    conn.close()
+    assert resp.status == 413
+    assert body == b""
+    assert int(resp.getheader("Content-Length")) > 0  # GET would have one
 
 
 @pytest.mark.parametrize("mode", ["LA", "P", "1", "I;16", "CMYK"])
@@ -836,6 +866,8 @@ def test_openapi_spec_reflects_config():
     assert "/reload" in full["paths"]
     modes = full["paths"]["/infer"]["post"]["parameters"][0]["schema"]["enum"]
     assert set(modes) == {"resize", "tile"}
+    # every status a route can actually answer is documented
+    assert "500" in full["paths"]["/metrics"]["get"]["responses"]
 
 
 def test_openapi_and_docs_endpoints(live_server):
