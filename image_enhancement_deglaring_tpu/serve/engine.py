@@ -151,6 +151,12 @@ class InferenceEngine:
             "latency_ms_p95": pct(0.95),
             "latency_ms_p99": pct(0.99),
             "mean_batch_fill": sum(fill) / len(fill) if fill else None,
+            # live load gauges (the autoscaling signals): requests waiting
+            # for a batch slot, and device batches dispatched but not yet
+            # fetched. qsize() is approximate under concurrency — fine for
+            # monitoring, asserted-on only loosely in tests.
+            "queue_depth": self._queue.qsize(),
+            "inflight_batches": self._inflight.qsize(),
         }
 
     def _bucket_for(self, b: int) -> int:

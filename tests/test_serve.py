@@ -786,6 +786,9 @@ def test_stats_endpoint(live_server, rng):
     stats = json.loads(data)
     assert stats["requests_served"] >= 1
     assert stats["latency_ms_p50"] is None or stats["latency_ms_p50"] > 0
+    # live load gauges (autoscaling signals)
+    assert stats["queue_depth"] >= 0
+    assert stats["inflight_batches"] >= 0
 
 
 def test_prometheus_text_rendering():
@@ -852,6 +855,9 @@ def test_metrics_endpoint(live_server, rng):
     assert served and float(served[0].split()[-1]) >= 1
     # host phases were recorded by the /infer above
     assert 'deglaring_host_phase_seconds{phase="decode"' in text
+    # live gauges flow through the unknown-key passthrough
+    assert "deglaring_queue_depth" in text
+    assert "deglaring_inflight_batches" in text
 
 
 def test_openapi_spec_reflects_config():
