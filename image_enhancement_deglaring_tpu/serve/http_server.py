@@ -517,8 +517,9 @@ class DeglareServer:
                                 self._executor, self.engine.stats)
                             stats.update(self.host_phase_stats())
                             status = 200
-                            raw = (prometheus_text(stats).encode(),
-                                   PROMETHEUS_CONTENT_TYPE)
+                            raw = (prometheus_text(
+                                stats, worker=str(os.getpid())).encode(),
+                                PROMETHEUS_CONTENT_TYPE)
                         except (TimeoutError, RuntimeError) as e:
                             if self._draining:
                                 raise  # handled by the drain-race catch

@@ -57,13 +57,19 @@ def _emit(lines: list[str], name: str, mtype: str, help_text: str,
         lines.append(f"{name}{label_str} {_fmt(value)}")
 
 
-def prometheus_text(stats: dict) -> str:
+def prometheus_text(stats: dict, worker: str | None = None) -> str:
     """Render an engine/server stats dict as Prometheus exposition text.
 
     Known keys get stable, unit-correct metric names (milliseconds are
     converted to seconds per Prometheus naming conventions); any other
     numeric key is passed through as a ``deglaring_<key>`` gauge so new
     stats fields surface in monitoring without a code change here.
+
+    ``worker`` labels the host-phase series with the serving process's
+    identity. Engine numbers are global (one shared engine), but in
+    ``--workers N`` mode the HTTP phases are per-process and SO_REUSEPORT
+    routes each scrape to a random worker — without the label those
+    scrapes would interleave different processes into one series.
     """
     lines: list[str] = []
 
@@ -80,10 +86,11 @@ def prometheus_text(stats: dict) -> str:
           "Mean fraction of the engine's max batch filled per dispatch",
           [({}, stats.get("mean_batch_fill"))])
 
+    phase_labels = ({"worker": worker} if worker else {})
     _emit(lines, "deglaring_host_phase_seconds", "summary",
           "Host-side request phase time (rolling p50): PIL decode+resize, "
           "engine round-trip, PNG encode",
-          [({"phase": p, "quantile": "0.5"},
+          [({**phase_labels, "phase": p, "quantile": "0.5"},
             _ms_to_s(stats.get(f"host_{p}_ms_p50")))
            for p in _HOST_PHASES])
 

@@ -6,6 +6,7 @@ import http.client
 import io
 import json
 import os
+import re
 import socket
 import threading
 import time
@@ -825,6 +826,18 @@ def test_prometheus_text_rendering():
     assert text.endswith("\n")
 
 
+def test_prometheus_worker_label():
+    """worker= labels the per-process host phases, not the global engine
+    numbers."""
+    from image_enhancement_deglaring_tpu.serve.metrics import prometheus_text
+
+    text = prometheus_text({"requests_served": 1, "host_decode_ms_p50": 2.0},
+                           worker="321")
+    assert ('deglaring_host_phase_seconds{worker="321",phase="decode",'
+            'quantile="0.5"} 0.002') in text
+    assert "deglaring_requests_served_total 1" in text  # unlabeled
+
+
 def test_prometheus_text_all_none():
     """A freshly started engine (no samples anywhere) must still render."""
     from image_enhancement_deglaring_tpu.serve.metrics import prometheus_text
@@ -853,8 +866,10 @@ def test_metrics_endpoint(live_server, rng):
     served = [line for line in text.splitlines()
               if line.startswith("deglaring_requests_served_total ")]
     assert served and float(served[0].split()[-1]) >= 1
-    # host phases were recorded by the /infer above
-    assert 'deglaring_host_phase_seconds{phase="decode"' in text
+    # host phases were recorded by the /infer above, labeled with the
+    # serving process identity (multi-worker scrapes hit a random worker)
+    assert re.search(
+        r'deglaring_host_phase_seconds\{worker="\d+",phase="decode"', text)
     # live gauges flow through the unknown-key passthrough
     assert "deglaring_queue_depth" in text
     assert "deglaring_inflight_batches" in text
