@@ -80,7 +80,7 @@ def main(argv=None):
         mps = serve_multiprocess(
             server.engine, host=args.host, port=args.port,
             image_size=args.image_size, n_workers=args.workers,
-            log_dir=args.log_dir,
+            log_dir=args.log_dir, model_info=server.model_info,
         )
         # SIGTERM on the parent (k8s pod shutdown) forwards to the workers,
         # each of which drains its in-flight requests before exiting

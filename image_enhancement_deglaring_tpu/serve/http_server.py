@@ -173,7 +173,8 @@ class DeglareServer:
     def __init__(self, engine, *, host: str = "0.0.0.0", port: int = 4000,
                  image_size: int = 512, mode: str = "resize",
                  tiler=None, log_dir: str | None = None,
-                 allow_reload: bool = False, log_filename: str = "api.log"):
+                 allow_reload: bool = False, log_filename: str = "api.log",
+                 model_info: dict | None = None):
         """Args:
             engine: InferenceEngine (512^2 path).
             mode: "resize" reproduces the reference API exactly (downsample
@@ -190,6 +191,11 @@ class DeglareServer:
         self.mode = mode
         self.tiler = tiler
         self.allow_reload = allow_reload
+        # what's deployed (artifact path, family, quantize, dtype) — merged
+        # into /stats so operators can confirm which weights are live,
+        # especially after a /reload. String values: the /metrics renderer
+        # passes through numeric stats only, so these never become series.
+        self.model_info = dict(model_info or {})
         self.logger = make_api_logger(log_dir, filename=log_filename)
         self._server: asyncio.AbstractServer | None = None
         # request-processing pool: asyncio's default executor is ~5 threads,
@@ -344,6 +350,7 @@ class DeglareServer:
             if self.tiler is not None:
                 self.tiler.reload_params(params)
             log.info(f"Reloaded weights from {model_path} (arch={arch})")
+            self.model_info.update(model_path=model_path, model=arch)
             return 200, {"status": "reloaded", "model_path": model_path,
                          "model": arch}
         except ValueError as e:
@@ -493,6 +500,7 @@ class DeglareServer:
                             stats = await loop.run_in_executor(
                                 self._executor, self.engine.stats)
                             stats.update(self.host_phase_stats())
+                            stats.update(self.model_info)
                             status, payload = 200, stats
                         except (TimeoutError, RuntimeError) as e:
                             if self._draining:
@@ -730,6 +738,10 @@ def create_server(model_path: str, *, host: str = "0.0.0.0", port: int = 4000,
     from .engine import InferenceEngine
 
     dtype = compute_dtype or jnp.bfloat16
+    if model_arch == "auto":
+        from ..modelio import detect_model_arch
+
+        model_arch = detect_model_arch(model_path)
     apply_fn, params = load_model_for_eval(model_path, model_arch=model_arch,
                                            compute_dtype=dtype)
     engine = InferenceEngine(
@@ -746,6 +758,9 @@ def create_server(model_path: str, *, host: str = "0.0.0.0", port: int = 4000,
                                mesh=mesh)
     # "both" serves resize by default with ?mode=tile available per request
     default_mode = "tile" if mode == "tile" else "resize"
+    model_info = {"model_path": model_path, "model": model_arch,
+                  "quantize": quantize or "none",
+                  "compute_dtype": jnp.dtype(dtype).name}
     return DeglareServer(engine, host=host, port=port, mode=default_mode,
                          tiler=tiler, log_dir=log_dir, image_size=image_size,
-                         allow_reload=allow_reload)
+                         allow_reload=allow_reload, model_info=model_info)

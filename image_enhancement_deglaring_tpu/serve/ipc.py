@@ -214,7 +214,7 @@ class RemoteEngine:
 
 
 def _worker_main(address: str, host: str, port: int, image_size: int,
-                 log_dir: str | None) -> None:
+                 log_dir: str | None, model_info: dict | None = None) -> None:
     """HTTP worker entry point (spawned process): SO_REUSEPORT server backed
     by a RemoteEngine. Never initializes a device runtime.
 
@@ -232,7 +232,8 @@ def _worker_main(address: str, host: str, port: int, image_size: int,
     server = DeglareServer(engine, host=host, port=port,
                            image_size=image_size, mode="resize",
                            log_dir=log_dir,
-                           log_filename=f"api.worker{os.getpid()}.log")
+                           log_filename=f"api.worker{os.getpid()}.log",
+                           model_info=model_info)
 
     async def run():
         srv = await asyncio.start_server(server._handle, host, port,
@@ -294,7 +295,8 @@ class MultiprocessServer:
 
 def serve_multiprocess(engine, *, host: str, port: int, image_size: int,
                        n_workers: int, log_dir: str | None = None,
-                       address: str | None = None) -> MultiprocessServer:
+                       address: str | None = None,
+                       model_info: dict | None = None) -> MultiprocessServer:
     """Start the IPC server + n_workers HTTP worker processes; returns a
     :class:`MultiprocessServer` that owns their lifecycle (callers must
     ``stop()`` it; it also unpacks as the legacy ``(ipc, procs)`` pair)."""
@@ -307,7 +309,8 @@ def serve_multiprocess(engine, *, host: str, port: int, image_size: int,
     procs = []
     for _ in range(n_workers):
         p = ctx.Process(target=_worker_main,
-                        args=(address, host, port, image_size, log_dir),
+                        args=(address, host, port, image_size, log_dir,
+                              model_info),
                         daemon=True)
         p.start()
         procs.append(p)

@@ -738,6 +738,10 @@ def test_create_server_from_onnx(tmp_path, rng):
     img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
     out = server.engine.infer_one(img)
     assert out.shape == (SIZE, SIZE) and out.dtype == np.uint8
+    # deployment identity surfaces in /stats (arch resolved from "auto")
+    assert server.model_info == {"model_path": ref, "model": "lightweight",
+                                 "quantize": "none",
+                                 "compute_dtype": "float32"}
     server.engine.stop()
 
 
@@ -1109,6 +1113,13 @@ def _reload_body(port, rng, new_path):
     after = np.array(Image.open(io.BytesIO(
         base64.b64decode(json.loads(data)["image"]))))
     assert np.any(before != after)
+
+    # /stats now reports which weights are live
+    status, data = _request("127.0.0.1", port, "GET", "/stats")
+    assert status == 200
+    stats = json.loads(data)
+    assert stats["model_path"] == new_path
+    assert stats["model"] == "lightweight"
 
     # missing path -> 400
     status, _ = _request("127.0.0.1", port, "POST", "/reload",
