@@ -1211,6 +1211,7 @@ def test_multiprocess_workers_end_to_end(small_model, rng, tmp_path):
     mps = serve_multiprocess(
         eng, host="127.0.0.1", port=port, image_size=SIZE, n_workers=2,
         log_dir=str(tmp_path / "logs"), address=str(tmp_path / "e.sock"),
+        model_info={"model_path": "/m.onnx", "model": "lightweight"},
     )
     ipc, procs = mps  # legacy unpacking stays supported
     try:
@@ -1237,6 +1238,13 @@ def test_multiprocess_workers_end_to_end(small_model, rng, tmp_path):
                 json.loads(data)["image"])))
             assert out.size == (SIZE, SIZE)
         assert all(p.is_alive() for p in procs)
+
+        # every worker reports the shared engine's stats + deploy identity
+        status, data = _request("127.0.0.1", port, "GET", "/stats")
+        assert status == 200
+        stats = json.loads(data)
+        assert stats["requests_served"] >= 4
+        assert stats["model_path"] == "/m.onnx"
     finally:
         mps.stop()
         eng.stop()
