@@ -88,13 +88,28 @@ class FrontendHandler(BaseHTTPRequestHandler):
             self._send(200, f.read(), "image/png")
 
     def _api_status(self):
-        """Server-side API liveness probe (reference: frontend/app.py:21-29)."""
+        """Server-side API liveness probe (reference: frontend/app.py:21-29),
+        enriched with the API's /stats (deployed model + serving numbers)
+        when it answers — shown in the page's status line."""
         try:
             with urllib.request.urlopen(f"{API_URL}/ping", timeout=3) as r:
                 ok = r.status == 200
         except Exception:
             ok = False
-        self._send(200, json.dumps({"online": ok}).encode(), "application/json")
+        payload: dict = {"online": ok}
+        if ok:
+            try:
+                with urllib.request.urlopen(f"{API_URL}/stats", timeout=3) as r:
+                    stats = json.loads(r.read())
+                payload["stats"] = {
+                    k: stats[k]
+                    for k in ("model", "model_path", "requests_served",
+                              "latency_ms_p50")
+                    if k in stats
+                }
+            except Exception:
+                pass  # stats are decoration; liveness already answered
+        self._send(200, json.dumps(payload).encode(), "application/json")
 
     def log_message(self, fmt, *args):
         pass

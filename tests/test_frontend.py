@@ -79,6 +79,56 @@ def test_api_status_reports_offline(frontend):
     assert json.loads(body) == {"online": False}
 
 
+def test_api_status_reports_stats_when_online(frontend):
+    """When the API answers, /api_status enriches the payload with the
+    deployed-model identity and serving numbers from /stats."""
+    import sys
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class MockApi(BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = (b'{"message":"pong"}' if self.path == "/ping" else
+                    json.dumps({"model": "lightweight",
+                                "model_path": "/m.onnx",
+                                "requests_served": 3,
+                                "latency_ms_p50": 8.5,
+                                "queue_depth": 0}).encode())
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):
+            pass
+
+    mock = ThreadingHTTPServer(("127.0.0.1", 0), MockApi)
+    t = threading.Thread(target=mock.serve_forever, daemon=True)
+    t.start()
+    app = sys.modules["app"]
+    old = app.API_URL
+    app.API_URL = f"http://127.0.0.1:{mock.server_address[1]}"
+    try:
+        status, body = _get(*frontend, "/api_status")
+    finally:
+        app.API_URL = old
+        mock.shutdown()
+    assert status == 200
+    payload = json.loads(body)
+    assert payload["online"] is True
+    assert payload["stats"] == {"model": "lightweight",
+                                "model_path": "/m.onnx",
+                                "requests_served": 3,
+                                "latency_ms_p50": 8.5}
+
+
+def test_index_renders_stats_in_status_line(frontend):
+    """The page JS turns the enriched /api_status into the status text."""
+    status, body = _get(*frontend, "/")
+    assert status == 200
+    for needle in (b"j.stats", b"requests_served", b"latency_ms_p50"):
+        assert needle in body
+
+
 def test_samples_served(frontend):
     status, body = _get(*frontend, "/samples/test_input1.png")
     assert status == 200
