@@ -13,7 +13,6 @@ the failure mode that actually breaks the training pipeline mid-epoch.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import numpy as np

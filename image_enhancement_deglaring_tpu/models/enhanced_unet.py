@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv_blocks import conv2d, max_pool_2x2, upsample2x_matmul
+from ..ops.conv_blocks import conv2d, max_pool_2x2
 from .unet import UpConv2x, torch_conv_kernel_init, _uniform_bias_init
 
 
