@@ -14,6 +14,8 @@ Entry points (python -m image_enhancement_deglaring_tpu.cli.<name>):
   extract_weights  weights-only artifact (reference: scripts/extract_weights.py)
   split_image      triptych splitter (reference: scripts/split_image.py)
   check_dataset    SD1 contract validator (reference: scripts/check_png.py)
+  make_synthetic   generate an SD1-contract synthetic dataset (no reference
+                   counterpart; the real SD1 data is not redistributable)
 
 Demo: python scripts/train_synthetic_demo.py
 Docs: README.md, docs/PERF.md
