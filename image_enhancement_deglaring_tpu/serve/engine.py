@@ -46,6 +46,12 @@ def _check_same_tree(old, new) -> None:
         if a.shape != b.shape:
             raise ValueError(
                 f"param shape mismatch on reload: {a.shape} vs {b.shape}")
+        if a.dtype != b.dtype:
+            # jit caches key on leaf dtypes too: a same-shape f16 swap into
+            # an f32 engine would silently recompile every warmed bucket and
+            # change the serving precision
+            raise ValueError(
+                f"param dtype mismatch on reload: {a.dtype} vs {b.dtype}")
 
 
 class InferenceEngine:
@@ -150,7 +156,11 @@ class InferenceEngine:
             "latency_ms_p50": pct(0.50),
             "latency_ms_p95": pct(0.95),
             "latency_ms_p99": pct(0.99),
+            # mean_batch_fill is an absolute request count per dispatched
+            # batch; max_batch_size ships alongside so consumers (e.g. the
+            # /metrics fill-ratio gauge) can normalize it
             "mean_batch_fill": sum(fill) / len(fill) if fill else None,
+            "max_batch_size": self.max_batch_size,
             # live load gauges (the autoscaling signals): requests waiting
             # for a batch slot, and device batches dispatched but not yet
             # fetched. qsize() is approximate under concurrency — fine for

@@ -32,6 +32,9 @@ import io
 import json
 import logging
 import os
+# NOT an alias of builtin TimeoutError until Python 3.11; pyproject's floor
+# is 3.10, where engine-future timeouts would otherwise escape the handlers
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 from logging.handlers import RotatingFileHandler
 
 import numpy as np
@@ -206,6 +209,13 @@ class DeglareServer:
 
         self._executor = ThreadPoolExecutor(max_workers=64,
                                             thread_name_prefix="infer")
+        # tile-mode device calls run on their own small pool with the same
+        # bounded wait as the resize path (which is bounded by the engine
+        # future's timeout): a wedged device call must not pin request
+        # threads — at worst it strands these 4, never the 64 above, so
+        # /stats and resize-mode /infer keep working through a device hang
+        self._tile_executor = ThreadPoolExecutor(max_workers=4,
+                                                 thread_name_prefix="tile")
         # host-side phase timing for /stats (rolling, last 1024 requests):
         # where a request's wall time goes — PIL decode+resize, engine
         # (queue + device), PNG encode — alongside the engine's own stats
@@ -282,7 +292,9 @@ class DeglareServer:
                 log.info(f"[{request_id}] Tiled full-resolution inference "
                          f"({self.tiler.num_tiles(*img_gray.shape)} tiles)")
                 t1 = _mono()
-                enhanced_u8 = self.tiler(img_gray.astype(np.uint8))
+                enhanced_u8 = self._tile_executor.submit(
+                    self.tiler, img_gray.astype(np.uint8)).result(
+                        timeout=self.INFER_TIMEOUT_S)
                 t2 = _mono()
                 enhanced_img = Image.fromarray(enhanced_u8, mode="L")
             else:
@@ -371,11 +383,20 @@ class DeglareServer:
         try:
             first = True
             while True:
-                request_line = await asyncio.wait_for(
-                    reader.readline(),
-                    timeout=self.READ_TIMEOUT_S if first
-                    else self.KEEPALIVE_TIMEOUT_S,
-                )
+                try:
+                    request_line = await asyncio.wait_for(
+                        reader.readline(),
+                        timeout=self.READ_TIMEOUT_S if first
+                        else self.KEEPALIVE_TIMEOUT_S,
+                    )
+                except ValueError:
+                    # StreamReader.readline raises ValueError once a line
+                    # exceeds its 64 KiB limit (e.g. a huge query string) —
+                    # answer, don't drop with an unhandled traceback
+                    await self._respond(writer, 414,
+                                        {"detail": "Request line too long"},
+                                        close=True)
+                    return
                 first = False
                 if not request_line or request_line in (b"\r\n", b"\n"):
                     return
@@ -409,8 +430,17 @@ class DeglareServer:
                         headers[k.strip().lower()] = v.strip()
                     return False
 
-                if not await asyncio.wait_for(read_headers(),
-                                              timeout=self.READ_TIMEOUT_S):
+                try:
+                    headers_ok = await asyncio.wait_for(
+                        read_headers(), timeout=self.READ_TIMEOUT_S)
+                except ValueError:
+                    # a single header line above the StreamReader limit
+                    await self._respond(
+                        writer, 431,
+                        {"detail": "Request header fields too large"},
+                        close=True, head_only=head_only)
+                    return
+                if not headers_ok:
                     await self._respond(writer, 400,
                                         {"detail": "Too many headers"},
                                         close=True, head_only=head_only)
@@ -502,7 +532,8 @@ class DeglareServer:
                             stats.update(self.host_phase_stats())
                             stats.update(self.model_info)
                             status, payload = 200, stats
-                        except (TimeoutError, RuntimeError) as e:
+                        except (TimeoutError, FuturesTimeoutError,
+                                RuntimeError) as e:
                             if self._draining:
                                 raise  # handled by the drain-race catch
                             # a dead engine must read as a 500, not a
@@ -528,7 +559,8 @@ class DeglareServer:
                             raw = (prometheus_text(
                                 stats, worker=str(os.getpid())).encode(),
                                 PROMETHEUS_CONTENT_TYPE)
-                        except (TimeoutError, RuntimeError) as e:
+                        except (TimeoutError, FuturesTimeoutError,
+                                RuntimeError) as e:
                             if self._draining:
                                 raise  # handled by the drain-race catch
                             status, payload = 500, {"detail": str(e)}
@@ -663,6 +695,8 @@ class DeglareServer:
                            extra_headers: dict[str, str] | None = None) -> None:
         reasons = {200: "OK", 400: "Bad Request", 404: "Not Found",
                    405: "Method Not Allowed", 413: "Payload Too Large",
+                   414: "URI Too Long",
+                   431: "Request Header Fields Too Large",
                    500: "Internal Server Error", 501: "Not Implemented",
                    503: "Service Unavailable"}
         extras = "".join(f"{k}: {v}\r\n"
@@ -710,6 +744,9 @@ class DeglareServer:
                 # in-flight handlers run in the executor; shutdown(wait=True)
                 # blocks until every queued request has been answered
                 await loop.run_in_executor(None, self._executor.shutdown)
+                # request threads already waited on their tile futures above;
+                # wait=False so a wedged device call can't hang the drain
+                self._tile_executor.shutdown(wait=False)
                 await asyncio.sleep(0.25)  # let final response writes flush
                 self.logger.info("Drained; shutting down")
             server_task.cancel()

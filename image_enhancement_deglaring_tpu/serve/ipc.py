@@ -180,7 +180,11 @@ class RemoteEngine:
                     fut.set_result(payload)
                 else:
                     fut.set_exception(RuntimeError(payload))
-        except (EOFError, OSError) as e:
+        # broad on purpose: ANY reader death (unpickling error on a corrupt
+        # frame, unexpected message shape, ...) must fail the pending
+        # futures — a silently dead reader leaves every in-flight AND future
+        # request hanging its full timeout on a live-looking connection
+        except Exception as e:
             with self._pending_lock:
                 pending = list(self._pending.values())
                 self._pending.clear()

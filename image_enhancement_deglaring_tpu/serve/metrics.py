@@ -28,7 +28,7 @@ _LATENCY_QUANTILES = (
 _HOST_PHASES = ("decode", "engine", "encode")
 
 _HANDLED_KEYS = frozenset(
-    {"requests_served", "mean_batch_fill"}
+    {"requests_served", "mean_batch_fill", "max_batch_size"}
     | {k for k, _ in _LATENCY_QUANTILES}
     | {f"host_{p}_ms_p50" for p in _HOST_PHASES}
 )
@@ -82,9 +82,20 @@ def prometheus_text(stats: dict, worker: str | None = None) -> str:
           [({"quantile": q}, _ms_to_s(stats.get(k)))
            for k, q in _LATENCY_QUANTILES])
 
+    # stats() reports mean_batch_fill as an ABSOLUTE request count per
+    # dispatched batch; the ratio gauge normalizes by max_batch_size so a
+    # 0..1 fill fraction is what dashboards actually see
+    fill = stats.get("mean_batch_fill")
+    max_batch = stats.get("max_batch_size")
     _emit(lines, "deglaring_engine_batch_fill_ratio", "gauge",
           "Mean fraction of the engine's max batch filled per dispatch",
-          [({}, stats.get("mean_batch_fill"))])
+          [({}, fill / max_batch if fill is not None and max_batch else None)])
+    _emit(lines, "deglaring_engine_batch_fill_mean", "gauge",
+          "Mean requests per dispatched device batch (absolute count)",
+          [({}, fill)])
+    _emit(lines, "deglaring_engine_max_batch_size", "gauge",
+          "Engine max_batch_size (upper bound of a dispatched batch)",
+          [({}, max_batch)])
 
     phase_labels = ({"worker": worker} if worker else {})
     _emit(lines, "deglaring_host_phase_seconds", "summary",

@@ -58,6 +58,13 @@ class TiledInference:
         programs is log2(cap)+1 (4 at the default). Larger images run in
         several bucket-shaped chunks, dispatched asynchronously so the
         device pipelines them back-to-back."""
+        if not 0 <= overlap < tile:
+            # overlap == tile -> stride 0 (range() crash per request);
+            # overlap > tile -> negative stride silently leaves uncovered
+            # (black) bands in the stitched output
+            raise ValueError(
+                f"tile overlap must be in [0, tile): got overlap={overlap} "
+                f"with tile={tile}")
         self.apply_fn = apply_fn
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.tile = tile

@@ -806,7 +806,8 @@ def test_prometheus_text_rendering():
         "latency_ms_p50": 12.5,
         "latency_ms_p95": None,   # empty window -> series omitted
         "latency_ms_p99": 40.0,
-        "mean_batch_fill": 0.75,
+        "mean_batch_fill": 6.0,    # ABSOLUTE requests per dispatched batch
+        "max_batch_size": 8,
         "host_decode_ms_p50": 3.0,
         "host_engine_ms_p50": None,
         "host_encode_ms_p50": 1.5,
@@ -818,7 +819,11 @@ def test_prometheus_text_rendering():
     assert 'deglaring_request_latency_seconds{quantile="0.5"} 0.0125' in text
     assert 'quantile="0.95"' not in text  # None sample omitted
     assert 'deglaring_request_latency_seconds{quantile="0.99"} 0.04' in text
+    # the ratio gauge is NORMALIZED by max_batch_size (6/8), and the
+    # absolute mean ships under its own correctly-named series
     assert "deglaring_engine_batch_fill_ratio 0.75" in text
+    assert "deglaring_engine_batch_fill_mean 6" in text
+    assert "deglaring_engine_max_batch_size 8" in text
     assert ('deglaring_host_phase_seconds{phase="decode",quantile="0.5"} '
             "0.003" in text)
     assert 'phase="engine"' not in text
@@ -1821,3 +1826,132 @@ def test_engine_lifecycle_stress_no_leaks_or_lost_futures(small_model, rng):
             break
         time.sleep(0.1)
     assert not leaked, leaked
+
+
+# ------------------------------------------- round-3 serve review fixes
+
+
+def test_engine_reload_rejects_dtype_mismatch(small_model):
+    """Same shapes, different leaf dtype must be refused: jit caches key on
+    dtype, so the swap would recompile every warmed bucket and silently
+    change the serving precision."""
+    apply_fn, params = small_model
+    eng = InferenceEngine(apply_fn, params, image_size=SIZE, max_batch_size=2,
+                          warmup=False, compute_dtype=jnp.float32)
+    halved = jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float16), params)
+    with pytest.raises(ValueError, match="dtype"):
+        eng.reload_params(halved)
+    eng.stop()
+
+
+def test_tiler_rejects_degenerate_overlap(small_model):
+    """overlap == tile -> stride 0 (range() crash per request); overlap >
+    tile -> silently black bands. Both must fail at construction."""
+    apply_fn, params = small_model
+    for overlap in (SIZE, SIZE + 16, -1):
+        with pytest.raises(ValueError, match="overlap"):
+            TiledInference(apply_fn, params, tile=SIZE, overlap=overlap)
+
+
+def test_oversized_request_line_414(live_server):
+    """A request line above asyncio's 64 KiB StreamReader limit must be
+    answered (414), not dropped with an unhandled ValueError traceback."""
+    host, port = live_server
+    with socket.create_connection((host, port), timeout=30) as s:
+        s.sendall(b"GET /infer?pad=" + b"x" * (70 * 1024) +
+                  b" HTTP/1.1\r\nHost: t\r\n\r\n")
+        s.settimeout(30)
+        data = b""
+        while b"\r\n\r\n" not in data:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            data += chunk
+    assert data.startswith(b"HTTP/1.1 414")
+
+
+def test_oversized_header_line_431(live_server):
+    host, port = live_server
+    with socket.create_connection((host, port), timeout=30) as s:
+        s.sendall(b"GET /ping HTTP/1.1\r\nHost: t\r\nX-Pad: " +
+                  b"y" * (70 * 1024) + b"\r\n\r\n")
+        s.settimeout(30)
+        data = b""
+        while b"\r\n\r\n" not in data:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            data += chunk
+    assert data.startswith(b"HTTP/1.1 431")
+
+
+def test_remote_engine_reader_death_fails_pending(tmp_path):
+    """ANY malformed engine->worker frame (not just EOF) must fail the
+    pending futures promptly — a silently dead reader thread would hang
+    every in-flight and future request on a live-looking connection."""
+    from multiprocessing.connection import Listener
+
+    from image_enhancement_deglaring_tpu.serve.ipc import RemoteEngine
+
+    address = str(tmp_path / "bad_engine.sock")
+    listener = Listener(address, family="AF_UNIX")
+    try:
+        remote_box = {}
+
+        def connect():
+            remote_box["remote"] = RemoteEngine(address)
+
+        t = threading.Thread(target=connect)
+        t.start()
+        conn = listener.accept()
+        t.join(30)
+        remote = remote_box["remote"]
+        fut = remote._request("stats")
+        conn.recv()  # consume the request so the pipe stays in sync
+        conn.send(("ok", 0))  # 2-tuple: unpack ValueError in the reader
+        with pytest.raises(RuntimeError, match="engine connection lost"):
+            fut.result(timeout=30)
+        # later submits fail fast too (the socket would still accept sends)
+        remote.stop()
+        conn.close()
+    finally:
+        listener.close()
+
+
+def test_worker_import_path_stays_jax_free():
+    """serve/__init__ re-exports lazily (PEP 562): importing the modules a
+    spawned HTTP worker uses must not pull in jax (RemoteEngine's contract,
+    serve/ipc.py) — eager package imports would add seconds + resident
+    memory to every worker start."""
+    import subprocess
+    import sys
+
+    import image_enhancement_deglaring_tpu as pkg
+
+    code = (
+        "import sys; "
+        "import image_enhancement_deglaring_tpu.serve.http_server, "
+        "image_enhancement_deglaring_tpu.serve.ipc; "
+        "pulled = [m for m in sys.modules if m == 'jax' "
+        "or m.startswith('jax.')]; "
+        "assert not pulled, f'worker import path pulled in {pulled[:3]}'"
+    )
+    # a clean PYTHONPATH (repo root only): this container's device-plugin
+    # sitecustomize imports jax into EVERY interpreter, which would mask
+    # what the package imports actually pull in
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(pkg.__file__))
+    proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                          text=True, timeout=120, env=env)
+    assert proc.returncode == 0, proc.stderr
+
+
+def test_serve_lazy_reexports_resolve():
+    """The lazy __getattr__ serves every documented name and rejects junk."""
+    import image_enhancement_deglaring_tpu.serve as serve_pkg
+
+    for name in serve_pkg.__all__:
+        assert getattr(serve_pkg, name) is not None
+    with pytest.raises(AttributeError):
+        serve_pkg.does_not_exist
