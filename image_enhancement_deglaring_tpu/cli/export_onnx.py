@@ -19,6 +19,12 @@ def parse_args(argv=None):
                    choices=["lightweight", "optimized", "enhanced"],
                    help="model family the checkpoint belongs to")
     p.add_argument("--output", type=str, default="best_model.onnx")
+    p.add_argument("--num_groups", type=int, default=8,
+                   help="GroupNorm group budget the lightweight checkpoint "
+                        "was trained with (LightweightUNet.num_groups; per-"
+                        "block counts resolve to the largest divisor of the "
+                        "block width <= this). Must match training — a "
+                        "mismatch exports a mis-normalized graph.")
     return p.parse_args(argv)
 
 
@@ -50,7 +56,8 @@ def main(argv=None):
         if args.model == "optimized":
             out = export_optimized_unet(params, args.output)
         else:
-            out = export_lightweight_unet(params, args.output)
+            out = export_lightweight_unet(params, args.output,
+                                          groups=args.num_groups)
 
     import os
 

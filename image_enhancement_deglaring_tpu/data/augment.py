@@ -76,11 +76,14 @@ def heavy_augment(image: np.ndarray, target: np.ndarray,
     caller when requested."""
     import cv2
 
-    # RandomRotate90(p=.5)
+    # RandomRotate90(p=.5): albumentations samples the factor uniformly
+    # from {0,1,2,3} when the transform fires, so each nonzero rotation
+    # lands with p = .5/4 = .125 and the NET rotation probability is .375
     if rng.random() < 0.5:
-        k = int(rng.integers(1, 4))
-        image = np.rot90(image, k).copy()
-        target = np.rot90(target, k).copy()
+        k = int(rng.integers(0, 4))
+        if k:
+            image = np.rot90(image, k).copy()
+            target = np.rot90(target, k).copy()
     # HorizontalFlip(p=.5)
     if rng.random() < 0.5:
         image = image[:, ::-1].copy()

@@ -56,7 +56,7 @@ class GlareRemovalDataset:
             glared, gt = decode_triptych(self.image_paths[index], self.image_size)
         if self.augment != "none":
             rng = np.random.default_rng(
-                (self.seed or 0) + index if self.seed is not None else None
+                self.seed + index if self.seed is not None else None
             )
             fn = optimized_augment if self.augment == "optimized" else heavy_augment
             glared, gt = fn(glared, gt, rng)
@@ -165,7 +165,17 @@ class DevicePrefetcher:
             except BaseException as e:  # surface in the consumer, don't
                 error.append(e)        # silently truncate the epoch
             finally:
-                q.put(sentinel)
+                # the sentinel put needs the same stop-checked bound as the
+                # batch puts: with prefetch=1 an abandoning consumer can
+                # drain once and refill the queue before this line runs, and
+                # a plain q.put would then block this thread forever
+                while True:
+                    try:
+                        q.put(sentinel, timeout=0.2)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -207,6 +217,14 @@ def make_dataloaders(data_dir: str, *, batch_size: int = 32, val_split: float = 
         val_paths, image_size=image_size, seed=seed, augment="none",
         cache_images=cache_images, num_workers=num_workers,
     )
+    if len(train_ds) < batch_size:
+        # drop_last would yield ZERO training batches: every epoch would run
+        # 0 steps and the init-weight model would be saved as "best" with no
+        # error — fail here, where the cause is visible
+        raise ValueError(
+            f"train split has {len(train_ds)} images but batch_size is "
+            f"{batch_size}; drop_last training would run zero steps per "
+            "epoch. Lower --batch_size or provide more data.")
     train_loader = _Loader(train_ds, batch_size, shuffle=True, drop_last=True,
                            seed=seed, num_workers=num_workers)
     val_loader = _Loader(val_ds, batch_size, shuffle=False, drop_last=False,

@@ -92,6 +92,11 @@ def decode_triptych(path: str, image_size: int = 512, *, with_mask: bool = False
                 return native.triptych_preprocess(img, image_size)
             if use_native:
                 raise RuntimeError("native library unavailable")
+    elif use_native:
+        # honor the explicit request rather than silently running numpy —
+        # a quiet fallback would mask native-vs-numpy discrepancies in
+        # exactly the tests/benchmarks that set the flag
+        raise RuntimeError("native decode does not support with_mask=True")
 
     third = img.shape[1] // 3
     gt = _to_gray_uint8(img[:, :third])
@@ -107,13 +112,20 @@ def decode_triptych(path: str, image_size: int = 512, *, with_mask: bool = False
 
 def decode_inference_image(path_or_array, image_size: int = 512) -> np.ndarray:
     """Single-image inference preprocessing: gray, resize, [0,1] (H, W)
-    (reference: src/preprocess.py:54-90)."""
+    (reference: src/preprocess.py:54-90).
+
+    Array inputs may be uint8 [0,255] or float [0,1]; floats are converted
+    to the uint8 path up front — feeding a [0,1] float straight into the
+    /255 normalization (or into the uint8-rounding gray conversion) would
+    silently produce a near-black input."""
     if isinstance(path_or_array, (str, os.PathLike)):
         from PIL import Image
 
         img = np.asarray(Image.open(path_or_array))
     else:
         img = np.asarray(path_or_array)
+        if np.issubdtype(img.dtype, np.floating):
+            img = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
     gray = _to_gray_uint8(img) if img.ndim == 3 else img
     gray = _resize_uint8(gray, image_size)
     return gray.astype(np.float32) / 255.0

@@ -23,6 +23,8 @@ def check_png_dimensions(data_dir: str = "SD1", required_width: int = 1536,
     """Returns (incorrect_dimensions, invalid_channels, invalid_pixels, total)."""
     from PIL import Image
 
+    from .pipeline import list_image_paths
+
     data_path = Path(data_dir)
     if not data_path.is_dir():
         raise FileNotFoundError(f"Directory '{data_dir}' does not exist")
@@ -36,9 +38,14 @@ def check_png_dimensions(data_dir: str = "SD1", required_width: int = 1536,
         sub = data_path / subdir
         if not sub.is_dir():
             continue
-        for png in sorted(sub.glob("*.png")):
+        # scan EXACTLY what the loader consumes (pipeline.list_image_paths:
+        # recursive, any case, .png/.jpg/.jpeg) — a validator that sees a
+        # narrower set than the training pipeline would report all-clear on
+        # files that later break mid-epoch. Non-RGBA (incl. every JPEG,
+        # which cannot carry alpha) is flagged by the mode check below.
+        for png in (Path(p) for p in list_image_paths(str(sub))):
             total += 1
-            rel = f"{subdir}/{png.name}"
+            rel = f"{subdir}/{png.relative_to(sub)}"
             try:
                 with Image.open(png) as img:
                     w, h = img.size
@@ -56,7 +63,7 @@ def check_png_dimensions(data_dir: str = "SD1", required_width: int = 1536,
 
 def main(data_dir: str = "SD1") -> int:
     bad_dims, bad_chan, bad_pix, total = check_png_dimensions(data_dir)
-    print(f"Checked {total} PNG files in {data_dir}/train and {data_dir}/val")
+    print(f"Checked {total} image files in {data_dir}/train and {data_dir}/val")
     ok = True
     if bad_dims:
         ok = False

@@ -123,6 +123,23 @@ def _resize_nearest(x, scales):
     return out
 
 
+def _resize_nearest_to(x, sizes):
+    """Resize to EXACT requested sizes (asymmetric + floor). Round-tripping
+    sizes through scales and re-flooring can land one pixel short
+    (e.g. 11 -> 15: floor(11 * (15/11)) == 14), so the requested size is
+    used directly as the output extent."""
+    out = x
+    for axis, size in enumerate(int(s) for s in sizes):
+        in_sz = out.shape[axis]
+        if size == in_sz:
+            continue
+        scale = size / in_sz
+        idx = np.floor(np.arange(size) / scale).astype(np.int64)
+        idx = np.clip(idx, 0, in_sz - 1)  # fp guard at the top edge
+        out = np.take(out, idx, axis=axis)
+    return out
+
+
 def _reshape(x, shape):
     shape = [int(s) for s in shape]
     shape = [x.shape[i] if s == 0 else s for i, s in enumerate(shape)]
@@ -136,6 +153,17 @@ def run_graph(g: OnnxGraph, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarra
     for k, v in feeds.items():
         vals[k] = np.asarray(v, np.float32)
 
+    # remaining-use counts: an intermediate is freed after its last consumer
+    # runs, so peak memory is the live activation frontier, not the sum of
+    # every layer's activations (a full-res UNet verification would
+    # otherwise hold all encoder/decoder maps at once)
+    remaining: dict[str, int] = {}
+    for node in g.nodes:
+        for name in node.inputs:
+            if name:
+                remaining[name] = remaining.get(name, 0) + 1
+    protected = set(g.outputs) | set(g.initializers) | set(feeds)
+
     def inp(node, i):
         name = node.inputs[i] if i < len(node.inputs) else ""
         return vals[name] if name else None
@@ -143,6 +171,10 @@ def run_graph(g: OnnxGraph, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarra
     for node in g.nodes:
         op = node.op_type
         if op == "Conv":
+            # fail-loud rule (same as the pools below): attributes this
+            # oracle cannot honor must raise, not silently mis-compute
+            if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", ""):
+                raise NotImplementedError("Conv auto_pad")
             y = _conv(
                 inp(node, 0), inp(node, 1), inp(node, 2),
                 pads=_attr(node, "pads", [0, 0, 0, 0]),
@@ -151,6 +183,16 @@ def run_graph(g: OnnxGraph, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarra
                 group=int(_attr(node, "group", 1)),
             )
         elif op == "ConvTranspose":
+            if _attr(node, "auto_pad", "NOTSET") not in ("NOTSET", ""):
+                raise NotImplementedError("ConvTranspose auto_pad")
+            if any(int(p) for p in _attr(node, "output_padding", [0, 0])):
+                raise NotImplementedError("ConvTranspose output_padding")
+            if _attr(node, "output_shape") is not None:
+                raise NotImplementedError("ConvTranspose output_shape")
+            if int(_attr(node, "group", 1)) != 1:
+                raise NotImplementedError("ConvTranspose group != 1")
+            if any(int(d) != 1 for d in _attr(node, "dilations", [1, 1])):
+                raise NotImplementedError("ConvTranspose dilations")
             y = _conv_transpose(
                 inp(node, 0), inp(node, 1), inp(node, 2),
                 pads=_attr(node, "pads", [0, 0, 0, 0]),
@@ -215,12 +257,30 @@ def run_graph(g: OnnxGraph, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarra
         elif op == "Resize":
             if _attr(node, "mode", "nearest") != "nearest":
                 raise NotImplementedError("Resize: only nearest mode")
+            x = inp(node, 0)
             scales = inp(node, 2)
             if scales is None or scales.size == 0:
-                x = inp(node, 0)
-                sizes = inp(node, 3)
-                scales = np.asarray(sizes, np.float64) / np.asarray(x.shape)
-            y = _resize_nearest(inp(node, 0), [float(s) for s in scales])
+                sizes = [int(s) for s in inp(node, 3)]
+                # integral iff each requested extent is a multiple (or
+                # divisor for downscale) of the input extent
+                integral = all(o % i == 0 or i % o == 0 or o == i
+                               for o, i in zip(sizes, x.shape))
+            else:
+                sizes = None
+                integral = all(float(s).is_integer() and s >= 1
+                               for s in scales)
+            # every coordinate/nearest mode coincides on integral upscales
+            # (exact sample repetition); anything else is implemented only
+            # for asymmetric+floor — the fail-loud rule applies
+            ct = _attr(node, "coordinate_transformation_mode", "half_pixel")
+            nm = _attr(node, "nearest_mode", "round_prefer_floor")
+            if not integral and (ct != "asymmetric" or nm != "floor"):
+                raise NotImplementedError(
+                    f"Resize {ct}/{nm} at non-integral scale")
+            if sizes is not None:
+                y = _resize_nearest_to(x, sizes)
+            else:
+                y = _resize_nearest(x, [float(s) for s in scales])
         elif op == "Constant":
             y = np.asarray(_attr(node, "value"))
         elif op == "Cast":
@@ -248,7 +308,18 @@ def run_graph(g: OnnxGraph, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarra
                 y = y + float(_attr(node, "beta", 1.0)) * c
         else:
             raise NotImplementedError(f"op {op} not supported by the numpy executor")
+        if len(node.outputs) > 1:
+            # every op above computes exactly one result; silently binding
+            # only outputs[0] would surface later as a bare KeyError at the
+            # consumer (or worse, the wrong tensor standing in)
+            raise NotImplementedError(
+                f"{op} with {len(node.outputs)} outputs")
         vals[node.outputs[0]] = np.asarray(y)
+        for name in node.inputs:
+            if name and name != node.outputs[0]:  # non-SSA guard
+                remaining[name] -= 1
+                if remaining[name] == 0 and name not in protected:
+                    del vals[name]
 
     return {name: vals[name] for name in g.outputs}
 

@@ -30,17 +30,71 @@ def _conv_to_hwio(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)).astype(np.float32))
 
 
-def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+class _TrackedDict(dict):
+    """State-dict wrapper that records which keys an importer consumed."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.used: set[str] = set()
+
+    def __getitem__(self, key):
+        self.used.add(key)
+        return super().__getitem__(key)
+
+
+def _require_all_consumed(sd: "_TrackedDict") -> None:
+    """Fail loudly on checkpoint keys the importer never read: the source
+    model carries parameters (e.g. biases on layers the Flax port created
+    without them) that would otherwise be silently dropped, making the
+    imported model numerically different with no warning."""
+    extra = sorted(k for k in sd if k not in sd.used
+                   and not k.endswith("num_batches_tracked"))
+    if extra:
+        shown = ", ".join(extra[:8]) + ("..." if len(extra) > 8 else "")
+        raise ValueError(
+            f"checkpoint keys not consumed by the importer ({len(extra)}): "
+            f"{shown}")
+
+
+def _gn_block_from_sd(sd: dict[str, np.ndarray], blk: str) -> dict:
+    """Conv(0)/GN(1)/act/Conv(3)/GN(4) Sequential -> our block params
+    (shared by the LightweightUNet and OptimizedUNet torch layouts)."""
+    return {
+        "conv1": _conv_to_hwio(sd[f"{blk}.0.weight"]),
+        "gn1_scale": sd[f"{blk}.1.weight"].astype(np.float32).reshape(-1),
+        "gn1_bias": sd[f"{blk}.1.bias"].astype(np.float32).reshape(-1),
+        "conv2": _conv_to_hwio(sd[f"{blk}.3.weight"]),
+        "gn2_scale": sd[f"{blk}.4.weight"].astype(np.float32).reshape(-1),
+        "gn2_bias": sd[f"{blk}.4.bias"].astype(np.float32).reshape(-1),
+    }
+
+
+def load_torch_state_dict(path: str, *,
+                          allow_pickle: bool = False) -> dict[str, np.ndarray]:
     """Load a torch checkpoint into {name: float32 ndarray}.
 
     Handles both full training checkpoints ({'model_state_dict': ...}) and
     raw state dicts, mirroring the reference's loader heuristics
     (reference: evaluate.py:62-67, scripts/extract_weights.py:28-37).
     Requires torch (CPU) to unpickle.
+
+    Loads with ``weights_only=True`` (tensors/containers only): this
+    function is reachable from the serving /reload and autodetect paths, so
+    a tampered .pth must not execute code at unpickle time. A checkpoint
+    that genuinely needs full pickling (custom classes in the wrapper dict)
+    requires an explicit ``allow_pickle=True`` opt-in.
     """
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise ValueError(
+                f"{path} is not loadable with weights_only=True (it pickles "
+                "non-tensor objects). Re-save it as a plain state dict, or "
+                "pass allow_pickle=True if you trust its origin.")
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
         sd = ckpt["model_state_dict"]
     elif isinstance(ckpt, dict) and "state_dict" in ckpt:
@@ -52,16 +106,8 @@ def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
 
 def lightweight_unet_params_from_state_dict(sd: dict[str, np.ndarray]) -> dict:
     """Torch state dict (LightweightUNet names) -> our Flax params pytree."""
-    params: dict = {}
-    for blk in _BLOCKS:
-        params[blk] = {
-            "conv1": _conv_to_hwio(sd[f"{blk}.0.weight"]),
-            "gn1_scale": sd[f"{blk}.1.weight"].astype(np.float32).reshape(-1),
-            "gn1_bias": sd[f"{blk}.1.bias"].astype(np.float32).reshape(-1),
-            "conv2": _conv_to_hwio(sd[f"{blk}.3.weight"]),
-            "gn2_scale": sd[f"{blk}.4.weight"].astype(np.float32).reshape(-1),
-            "gn2_bias": sd[f"{blk}.4.bias"].astype(np.float32).reshape(-1),
-        }
+    sd = _TrackedDict(sd)
+    params: dict = {blk: _gn_block_from_sd(sd, blk) for blk in _BLOCKS}
     for up in _UPCONVS:
         params[up] = {
             "weight": sd[f"{up}.weight"].astype(np.float32),
@@ -69,6 +115,7 @@ def lightweight_unet_params_from_state_dict(sd: dict[str, np.ndarray]) -> dict:
         }
     params["output_conv_weight"] = _conv_to_hwio(sd["output_conv.weight"])
     params["output_conv_bias"] = sd["output_conv.bias"].astype(np.float32)
+    _require_all_consumed(sd)
     return params
 
 
@@ -81,17 +128,8 @@ def optimized_unet_params_from_state_dict(sd: dict[str, np.ndarray]) -> dict:
     Upsample(0)/Conv(1)/GN(2); SE attention holds Linear(fc.0)/Linear(fc.2);
     output Conv2d carries weight+bias.
     """
-    params: dict = {}
-    for blk in ("enc1", "enc2", "enc3", "enc4", "bottleneck",
-                "dec4", "dec3", "dec2", "dec1"):
-        params[blk] = {
-            "conv1": _conv_to_hwio(sd[f"{blk}.0.weight"]),
-            "gn1_scale": sd[f"{blk}.1.weight"].astype(np.float32).reshape(-1),
-            "gn1_bias": sd[f"{blk}.1.bias"].astype(np.float32).reshape(-1),
-            "conv2": _conv_to_hwio(sd[f"{blk}.3.weight"]),
-            "gn2_scale": sd[f"{blk}.4.weight"].astype(np.float32).reshape(-1),
-            "gn2_bias": sd[f"{blk}.4.bias"].astype(np.float32).reshape(-1),
-        }
+    sd = _TrackedDict(sd)
+    params: dict = {blk: _gn_block_from_sd(sd, blk) for blk in _BLOCKS}
     for up in ("upconv4", "upconv3", "upconv2", "upconv1"):
         params[up] = {
             "conv": _conv_to_hwio(sd[f"{up}.1.weight"]),
@@ -108,6 +146,7 @@ def optimized_unet_params_from_state_dict(sd: dict[str, np.ndarray]) -> dict:
         }
     params["output_weight"] = _conv_to_hwio(sd["output.weight"])
     params["output_bias"] = sd["output.bias"].astype(np.float32)
+    _require_all_consumed(sd)
     return params
 
 
@@ -120,6 +159,7 @@ def enhanced_unet_params_from_state_dict(sd: dict[str, np.ndarray]):
     bottleneck Sequential mirrors the block; AttentionGate holds
     W_g/W_x/psi Conv+BN pairs; output Sequential is Conv(0)+Sigmoid.
     """
+    sd = _TrackedDict(sd)
     params: dict = {}
     stats: dict = {}
 
@@ -176,6 +216,7 @@ def enhanced_unet_params_from_state_dict(sd: dict[str, np.ndarray]):
         }
     params["output_weight"] = _conv_to_hwio(sd["output.0.weight"])
     params["output_bias"] = sd["output.0.bias"].astype(np.float32)
+    _require_all_consumed(sd)
     return params, stats
 
 
@@ -207,6 +248,8 @@ def detect_model_arch(path: str) -> str:
     - orbax dir: the ``model_arch`` tag save_checkpoint records, else the
       restored params' module names.
     """
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"model artifact not found: {path}")
     lower = path.lower()
     if lower.endswith(".onnx"):
         g = load_onnx(path)
@@ -244,7 +287,11 @@ def detect_model_arch(path: str) -> str:
         from ..train.checkpoint import restore_params
 
         return arch_from_param_keys(restore_params(path).keys())
-    return "lightweight"
+    # a silent "lightweight" default here would defer the real failure to a
+    # confusing shape/KeyError deep inside model build
+    raise ValueError(
+        f"cannot autodetect a model family from {path!r} — expected .onnx, "
+        ".pth/.pt, .npz, or an orbax checkpoint directory")
 
 
 def optimized_unet_params_from_onnx(path: str) -> dict:
@@ -255,6 +302,10 @@ def optimized_unet_params_from_onnx(path: str) -> dict:
     g = load_onnx(path)
     sd: dict[str, np.ndarray] = {}
     for name, arr in g.initializers.items():
+        if "." not in name:
+            # generated graph constants (resize_roi_N, gnshape_N, ...) —
+            # torch parameter names always carry a module dot
+            continue
         arr = np.asarray(arr, dtype=np.float32)
         if ".fc." in name and arr.ndim == 4:
             arr = arr.reshape(arr.shape[0], arr.shape[1])
@@ -267,7 +318,7 @@ def enhanced_unet_params_from_onnx(path: str):
     (params, batch_stats) — initializer names match the torch state dict."""
     g = load_onnx(path)
     sd = {name: np.asarray(arr, dtype=np.float32)
-          for name, arr in g.initializers.items()}
+          for name, arr in g.initializers.items() if "." in name}
     return enhanced_unet_params_from_state_dict(sd)
 
 
@@ -283,7 +334,10 @@ def lightweight_unet_params_from_onnx(path: str) -> dict:
     sd: dict[str, np.ndarray] = {}
 
     for name, arr in g.initializers.items():
-        if not name.startswith("onnx::"):
+        # skip torch's anonymous GN initializers (recovered below) and our
+        # own writer's generated graph constants (gn_ones_N, gnshape_N, ...,
+        # dot-less); torch parameter names always carry a module dot
+        if not name.startswith("onnx::") and "." in name:
             sd[name] = np.asarray(arr, dtype=np.float32)
 
     # Recover GN scale/bias: Mul/Add nodes referencing an anonymous initializer,

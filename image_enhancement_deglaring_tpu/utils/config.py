@@ -130,7 +130,9 @@ def from_args(cfg_cls, argv=None, parser: argparse.ArgumentParser | None = None)
     cfg = cfg_cls()
     parser = parser or argparse.ArgumentParser()
     add_dataclass_args(parser, cfg)
-    ns, _ = parser.parse_known_args(argv)
+    # strict parse: a misspelled --flag must error, not silently fall back
+    # to the dataclass default (which would quietly invalidate the run)
+    ns = parser.parse_args(argv)
 
     def apply(obj, prefix=""):
         for f in dataclasses.fields(obj):

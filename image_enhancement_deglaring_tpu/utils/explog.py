@@ -120,6 +120,11 @@ class ExperimentLogger:
 
 
 def _jsonable(obj):
+    if isinstance(obj, (float, np.floating)) and not np.isfinite(obj):
+        # bare NaN/Infinity tokens are not RFC-8259 JSON — strict consumers
+        # (jq, JSON.parse, pandas) would reject the whole metrics line,
+        # exactly on the diverged runs that most need inspection
+        return None
     if isinstance(obj, dict):
         return {k: _jsonable(v) for k, v in obj.items()}
     if isinstance(obj, (list, tuple)):

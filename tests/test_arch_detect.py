@@ -232,3 +232,16 @@ def test_extract_weights_cli_enhanced_orbax_roundtrip(artifacts, tmp_path):
     got = np.asarray(apply_fn({"params": params}, jnp.asarray(x)))
     want = np.asarray(apply_onnx({"params": params_onnx}, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+
+
+def test_detect_model_arch_fails_loudly_on_bad_paths(tmp_path):
+    """Unknown extensions and missing files must raise, not silently
+    default to 'lightweight' and fail later with a confusing shape error."""
+    from image_enhancement_deglaring_tpu.modelio import detect_model_arch
+
+    with pytest.raises(FileNotFoundError):
+        detect_model_arch(str(tmp_path / "nope.onnx"))
+    weird = tmp_path / "model.safetensors"
+    weird.write_bytes(b"\0" * 8)
+    with pytest.raises(ValueError, match="autodetect"):
+        detect_model_arch(str(weird))

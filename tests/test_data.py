@@ -324,3 +324,120 @@ def test_prefetcher_abandoned_iteration_stops_worker():
             break
         time.sleep(0.1)
     assert not leaked, f"prefetcher worker leaked: {leaked}"
+
+
+# ------------------------------------------- round-3 data review fixes
+
+
+def test_make_dataloaders_rejects_zero_train_batches(sd1_dir):
+    """train split smaller than batch_size + drop_last would run ZERO steps
+    per epoch and save the init-weight model as 'best' — must raise."""
+    from image_enhancement_deglaring_tpu.data.dataset import make_dataloaders
+
+    with pytest.raises(ValueError, match="zero steps"):
+        make_dataloaders(sd1_dir, batch_size=512, image_size=32)
+
+
+def test_heavy_augment_rotate90_factor_zero_is_identity():
+    """A.RandomRotate90(p=.5) samples the factor from {0,1,2,3} when it
+    fires — factor 0 (probability .25 of a fire) must leave the image
+    unrotated, making the NET rotation probability .375, not .5."""
+    from image_enhancement_deglaring_tpu.data.augment import heavy_augment
+
+    img = np.arange(64, dtype=np.float32).reshape(8, 8) / 64.0
+
+    class _R0(_FakeRng):
+        def integers(self, lo, hi):
+            assert (lo, hi) == (0, 4)  # albumentations' factor domain
+            return 0
+
+    # draws: rot90 FIRES (.1) but factor 0; everything else suppressed
+    out, tgt = heavy_augment(img.copy(), img.copy(),
+                             _R0([0.1, 0.9, 0.9, 0.9, 0.9, 0.9]))
+    np.testing.assert_array_equal(out, img)
+    np.testing.assert_array_equal(tgt, img)
+
+
+def test_decode_inference_image_float_inputs(tmp_path):
+    """Float [0,1] arrays (2D and RGB) must match the uint8 path — feeding
+    them straight into /255 (or uint8-rounding gray) would produce a
+    near-black model input."""
+    from image_enhancement_deglaring_tpu.data.pipeline import (
+        decode_inference_image,
+    )
+
+    rng = np.random.default_rng(3)
+    u8 = (rng.random((40, 40)) * 255).astype(np.uint8)
+    want = decode_inference_image(u8, image_size=32)
+    got = decode_inference_image(u8.astype(np.float32) / 255.0, image_size=32)
+    np.testing.assert_array_equal(got, want)
+    assert got.max() > 0.5  # NOT near-black
+
+    rgb8 = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+    want3 = decode_inference_image(rgb8, image_size=32)
+    got3 = decode_inference_image(rgb8.astype(np.float32) / 255.0,
+                                  image_size=32)
+    np.testing.assert_allclose(got3, want3, atol=1 / 255.0)
+
+
+def test_decode_triptych_native_with_mask_fails_loudly(sd1_dir):
+    """use_native=True + with_mask=True is unsupported by the native lib:
+    the explicit request must raise, not silently run numpy."""
+    from image_enhancement_deglaring_tpu.data.pipeline import (
+        decode_triptych,
+        list_image_paths,
+    )
+
+    path = list_image_paths(sd1_dir)[0]
+    with pytest.raises(RuntimeError, match="mask"):
+        decode_triptych(path, 32, with_mask=True, use_native=True)
+
+
+def test_validator_scans_what_the_loader_consumes(tmp_path):
+    """Nested dirs, uppercase extensions, and JPEGs are all consumed by the
+    training loader, so the validator must see them too (a JPEG can never
+    be RGBA -> flagged as invalid format, not invisible)."""
+    from PIL import Image
+
+    from image_enhancement_deglaring_tpu.data.validate import (
+        check_png_dimensions,
+    )
+
+    train = tmp_path / "train" / "batch1"
+    train.mkdir(parents=True)
+    rgba = Image.fromarray(
+        np.zeros((512, 1536, 4), np.uint8), mode="RGBA")
+    rgba.save(train / "ok.PNG")
+    Image.fromarray(np.zeros((512, 1536), np.uint8)).convert("RGB").save(
+        train / "sneaky.jpg")
+    bad_dims, bad_chan, bad_pix, total = check_png_dimensions(str(tmp_path))
+    assert total == 2  # both found despite nesting/case/format
+    assert any("sneaky" in rel for rel, _mode in bad_chan)
+    assert not bad_dims and not bad_pix
+
+
+def test_prefetcher_abandoned_iteration_prefetch_one():
+    """prefetch=1 is the tight case: the consumer's drain can be refilled by
+    a pending batch put before the worker's final sentinel put runs — the
+    sentinel put must not block forever."""
+    import gc
+    import threading
+    import time
+
+    from image_enhancement_deglaring_tpu.data.dataset import DevicePrefetcher
+
+    batches = [(np.zeros((2, 8, 8, 1), np.float32),
+                np.zeros((2, 8, 8, 1), np.float32)) for _ in range(50)]
+    before = set(threading.enumerate())
+    it = iter(DevicePrefetcher(batches, prefetch=1))
+    next(it)
+    it.close()
+    gc.collect()
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        leaked = [t for t in set(threading.enumerate()) - before
+                  if t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.1)
+    assert not leaked, f"prefetcher worker leaked: {leaked}"

@@ -249,3 +249,44 @@ def test_torch_oracle_respects_group_resolution():
     got = torch_forward_lightweight(
         jax.tree_util.tree_map(np.asarray, params), x)
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_load_torch_state_dict_refuses_arbitrary_pickles(tmp_path, rng):
+    """A .pth that pickles non-tensor objects is refused by default — this
+    loader is reachable from serving /reload and autodetect, so a tampered
+    checkpoint must not execute code at unpickle time. allow_pickle=True is
+    the explicit trust opt-in."""
+    import argparse
+
+    import torch
+
+    sd = _make_torch_state_dict(rng)
+    path = str(tmp_path / "wrapped.pth")
+    # argparse.Namespace is outside weights_only's allowlist — the shape of
+    # checkpoint real training scripts produce when they stash their args
+    torch.save({"model_state_dict": sd, "args": argparse.Namespace(lr=1e-3)},
+               path)
+    from image_enhancement_deglaring_tpu.modelio import load_torch_state_dict
+
+    with pytest.raises(ValueError, match="weights_only"):
+        load_torch_state_dict(path)
+    loaded = load_torch_state_dict(path, allow_pickle=True)
+    assert set(loaded) == {k for k in sd}
+
+
+def test_load_torch_state_dict_plain_formats_stay_safe_path(tmp_path, rng):
+    """Raw state dicts and reference-style training checkpoints (tensors +
+    scalars only, reference: optimized_train.py:63-73) load via
+    weights_only=True without the opt-in."""
+    import torch
+
+    sd = _make_torch_state_dict(rng)
+    raw = str(tmp_path / "raw.pth")
+    full = str(tmp_path / "full.pth")
+    torch.save(sd, raw)
+    torch.save({"model_state_dict": sd, "epoch": 1, "loss": 0.5,
+                "optimizer_state_dict": {}}, full)
+    from image_enhancement_deglaring_tpu.modelio import load_torch_state_dict
+
+    for path in (raw, full):
+        assert set(load_torch_state_dict(path)) == set(sd)

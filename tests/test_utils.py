@@ -5,6 +5,7 @@ import os
 import time
 
 import numpy as np
+import pytest
 
 from image_enhancement_deglaring_tpu.utils import (
     ExperimentLogger,
@@ -181,3 +182,29 @@ def test_pytree_npz_roundtrip(tmp_path):
     np.testing.assert_array_equal(loaded["a"]["b"], tree["a"]["b"])
     np.testing.assert_array_equal(loaded["d"], tree["d"])
     assert loaded["a"]["c"] == np.float32(1.5)
+
+
+def test_config_from_args_rejects_unknown_flags():
+    """A misspelled flag must error (argparse exit), not silently fall back
+    to the dataclass default and invalidate the experiment."""
+    with pytest.raises(SystemExit):
+        from_args(TrainConfig, ["--weight-decay", "1e-4"])
+
+
+def test_explog_writes_strict_json_on_nonfinite(tmp_path):
+    """Diverged runs log NaN losses; metrics.jsonl must stay RFC-8259
+    (NaN -> null), or strict consumers reject the very lines that matter."""
+    import json
+
+    from image_enhancement_deglaring_tpu.utils.explog import ExperimentLogger
+
+    logger = ExperimentLogger(str(tmp_path), run_name="nan_run")
+    logger.log({"train_loss": float("nan"), "lr": float("inf"), "ok": 1.0})
+    line = open(logger._metrics_path).readline()
+
+    def _reject(_):
+        raise ValueError("non-RFC-8259 constant")
+
+    rec = json.loads(line, parse_constant=_reject)  # strict parse
+    assert rec["train_loss"] is None and rec["lr"] is None
+    assert rec["ok"] == 1.0
