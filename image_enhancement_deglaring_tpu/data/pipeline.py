@@ -110,14 +110,19 @@ def decode_triptych(path: str, image_size: int = 512, *, with_mask: bool = False
     return glared, gt
 
 
-def decode_inference_image(path_or_array, image_size: int = 512) -> np.ndarray:
+def decode_inference_image(path_or_array, image_size: int = 512, *,
+                           use_native: bool | None = None) -> np.ndarray:
     """Single-image inference preprocessing: gray, resize, [0,1] (H, W)
     (reference: src/preprocess.py:54-90).
 
     Array inputs may be uint8 [0,255] or float [0,1]; floats are converted
     to the uint8 path up front — feeding a [0,1] float straight into the
     /255 normalization (or into the uint8-rounding gray conversion) would
-    silently produce a near-black input."""
+    silently produce a near-black input.
+
+    Like ``decode_triptych``, the per-pixel work (gray + resize + /255)
+    runs in the native C++ library when available; the numpy/cv2 fallback
+    agrees to within one uint8 quantization step."""
     if isinstance(path_or_array, (str, os.PathLike)):
         from PIL import Image
 
@@ -126,6 +131,15 @@ def decode_inference_image(path_or_array, image_size: int = 512) -> np.ndarray:
         img = np.asarray(path_or_array)
         if np.issubdtype(img.dtype, np.floating):
             img = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
+    if (use_native is None or use_native) and img.ndim in (2, 3) \
+            and img.shape[0] >= 1 and img.shape[1] >= 1:
+        from .. import native
+
+        if native.native_available():
+            return native.inference_preprocess(
+                np.ascontiguousarray(img, np.uint8), image_size)
+        if use_native:
+            raise RuntimeError("native library unavailable")
     gray = _to_gray_uint8(img) if img.ndim == 3 else img
     gray = _resize_uint8(gray, image_size)
     return gray.astype(np.float32) / 255.0

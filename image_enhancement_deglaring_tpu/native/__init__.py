@@ -22,12 +22,22 @@ _load_failed = False
 
 
 def _build() -> bool:
+    # compile to a temp path and rename into place: writing the final .so
+    # directly would leave a corrupt-but-newer-than-source file after an
+    # interrupted (or concurrent) build, permanently disabling the native
+    # path until someone deletes it by hand. rename() is atomic on POSIX.
+    tmp_path = f"{_LIB_PATH}.build.{os.getpid()}"
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-           _SRC, "-o", _LIB_PATH]
+           _SRC, "-o", tmp_path]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp_path, _LIB_PATH)
         return True
     except Exception:
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
         return False
 
 
@@ -78,6 +88,10 @@ def triptych_preprocess(img: np.ndarray, out_size: int):
         raise RuntimeError("native library unavailable")
     img = np.ascontiguousarray(img, np.uint8)
     h, w = img.shape[:2]
+    if h < 1 or w < 3:
+        # a triptych third of width 0 would make the C++ resize read out of
+        # bounds; the numpy fallback raises cleanly for the same input
+        raise ValueError(f"triptych too small to split: {h}x{w}")
     c = img.shape[2] if img.ndim == 3 else 1
     glared = np.empty((out_size, out_size), np.float32)
     gt = np.empty((out_size, out_size), np.float32)
@@ -95,9 +109,18 @@ def triptych_preprocess_batch(imgs: np.ndarray, out_size: int,
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    cpus = os.cpu_count() or 1
+    # sched_getaffinity respects container CPU pinning; os.cpu_count() is
+    # the whole host and would spawn exactly the oversubscription this cap
+    # exists to prevent
+    try:
+        cpus = len(os.sched_getaffinity(0)) or 1
+    except AttributeError:  # non-Linux
+        cpus = os.cpu_count() or 1
     n_threads = cpus if n_threads is None else min(n_threads, cpus)
     imgs = np.ascontiguousarray(imgs, np.uint8)
+    if imgs.shape[1] < 1 or imgs.shape[2] < 3:
+        raise ValueError(
+            f"triptychs too small to split: {imgs.shape[1]}x{imgs.shape[2]}")
     n, h, w = imgs.shape[:3]
     c = imgs.shape[3] if imgs.ndim == 4 else 1
     glared = np.empty((n, out_size, out_size), np.float32)

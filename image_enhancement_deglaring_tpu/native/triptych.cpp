@@ -51,6 +51,12 @@ void gray_rect(const uint8_t* img, int src_w, int channels, int x0, int h,
 
 // Half-pixel-center bilinear resize, uint8 -> float32 in [0, 1].
 void resize_norm(const uint8_t* src, int sh, int sw, float* dst, int dh, int dw) {
+  if (sh < 1 || sw < 1) {
+    // defense in depth (Python validates too): a 0-extent source would
+    // clamp sample coordinates to -1 and read out of bounds
+    std::memset(dst, 0, static_cast<size_t>(dh) * dw * sizeof(float));
+    return;
+  }
   if (sh == dh && sw == dw) {
     for (int64_t i = 0; i < static_cast<int64_t>(dh) * dw; ++i)
       dst[i] = static_cast<float>(src[i]) / 255.0f;
@@ -81,9 +87,10 @@ void resize_norm(const uint8_t* src, int sh, int sw, float* dst, int dh, int dw)
       float wx = fxs[x];
       float top = r0[x0s[x]] * (1.0f - wx) + r0[x1s[x]] * wx;
       float bot = r1[x0s[x]] * (1.0f - wx) + r1[x1s[x]] * wx;
-      // quantize through uint8 exactly like the numpy/cv2 fallback
-      // (cv2.resize on uint8 rounds each output pixel) so the native and
-      // Python paths produce bit-identical tensors
+      // quantize through uint8 like the numpy/cv2 fallback (cv2.resize on
+      // uint8 rounds each output pixel). Identity-size is bit-exact; real
+      // resizes agree with cv2 to within one uint8 step (cv2 evaluates the
+      // same taps in 11-bit fixed point) — see test_native_resize_close_to_cv2
       float v = std::nearbyintf(top * (1.0f - wy) + bot * wy);
       orow[x] = std::min(std::max(v, 0.0f), 255.0f) / 255.0f;
     }
@@ -124,12 +131,12 @@ void triptych_preprocess_batch(const uint8_t* imgs, int n, int h, int w,
     return;
   }
   std::vector<std::thread> pool;
-  std::atomic<int>* counter = new std::atomic<int>(0);
+  std::atomic<int> counter{0};  // outlives the pool: all threads join below
   int workers = std::min(n_threads, n);
   for (int t = 0; t < workers; ++t) {
-    pool.emplace_back([&, counter] {
+    pool.emplace_back([&] {
       while (true) {
-        int i = counter->fetch_add(1);
+        int i = counter.fetch_add(1);
         if (i >= n) break;
         one_triptych(imgs + i * in_stride, h, w, channels, out_size,
                      glared_out + i * out_stride, gt_out + i * out_stride);
@@ -137,7 +144,6 @@ void triptych_preprocess_batch(const uint8_t* imgs, int n, int h, int w,
     });
   }
   for (auto& th : pool) th.join();
-  delete counter;
 }
 
 // Single-image inference preprocessing: gray + resize + normalize.

@@ -56,12 +56,6 @@ def resize_bilinear(img: jax.Array, height: int, width: int) -> jax.Array:
                             antialias=False)
 
 
-def resize_nearest(img: jax.Array, height: int, width: int) -> jax.Array:
-    """Nearest-neighbour resize of (..., H, W, C)."""
-    out_shape = img.shape[:-3] + (height, width, img.shape[-1])
-    return jax.image.resize(img, out_shape, method="nearest")
-
-
 def from_uint8(img: jax.Array, dtype=jnp.float32) -> jax.Array:
     """uint8 [0,255] -> float [0,1] (reference: src/preprocess.py:44-45)."""
     return img.astype(dtype) / jnp.asarray(255.0, dtype)

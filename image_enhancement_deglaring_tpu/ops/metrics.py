@@ -72,6 +72,13 @@ def ssim(
     NP/(NP-1), and cropping the window radius off the similarity map
     before averaging.
     """
+    if pred.shape[-2] < win_size or pred.shape[-1] < win_size:
+        # skimage raises for this too; without the check a (win_size-1)-
+        # extent image yields an EMPTY valid window map whose mean is a
+        # silent NaN that poisons averaged val/eval metrics
+        raise ValueError(
+            f"ssim win_size={win_size} exceeds image extent "
+            f"{pred.shape[-2]}x{pred.shape[-1]}")
     x = pred.astype(jnp.float32)[None]
     y = target.astype(jnp.float32)[None]
 

@@ -262,7 +262,13 @@ def fused_dec1_output(x_up, x_skip, wa, wb, w2, g1_scale, g1_bias,
     matching the XLA composition within bf16 tolerance.
     """
     n, c, h, w = x_up.shape
-    assert c == num_groups, "kernel assumes per-channel GN (C == groups)"
+    if c != num_groups:
+        # hard contract, not a debug check: under python -O an assert would
+        # strip and the kernel would silently compute per-channel statistics
+        # where grouped ones were requested
+        raise ValueError(
+            f"fused_dec1_output assumes per-channel GN: C={c} must equal "
+            f"num_groups={num_groups} (use dec1_output_xla otherwise)")
     # multi-tile mode needs tile_h % 8 == 0: the halo loads/DMAs promise
     # Mosaic 8-aligned dynamic offsets via pl.multiple_of — a false promise
     # silently reads the wrong halo rows on hardware (interpret mode can't

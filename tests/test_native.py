@@ -1,11 +1,14 @@
 """Native C++ preprocessing: availability, parity with the numpy path,
 and batch/thread correctness."""
 
+import os
+
 import numpy as np
 import pytest
 
 from image_enhancement_deglaring_tpu import native
 from image_enhancement_deglaring_tpu.data.pipeline import (
+    decode_inference_image,
     _resize_uint8,
     _to_gray_uint8,
     decode_triptych,
@@ -73,3 +76,48 @@ def test_decode_triptych_uses_native(tmp_path, rng):
     glared_py, gt_py = decode_triptych(p, 64, use_native=False)
     np.testing.assert_array_equal(glared_native, glared_py)
     np.testing.assert_array_equal(gt_native, gt_py)
+
+
+# ------------------------------------------- round-3 native review fixes
+
+
+def test_triptych_too_narrow_raises_not_segfaults():
+    """A triptych narrower than 3px makes third == 0; the wrapper must
+    raise (the C++ resize would otherwise clamp sample coords to -1 and
+    read out of bounds)."""
+    img = np.zeros((4, 2, 4), np.uint8)
+    with pytest.raises(ValueError, match="too small"):
+        native.triptych_preprocess(img, 16)
+    with pytest.raises(ValueError, match="too small"):
+        native.triptych_preprocess_batch(img[None], 16)
+
+
+def test_decode_inference_image_uses_native(rng):
+    """The single-image inference path runs in the native library when
+    available (like decode_triptych); the numpy fallback agrees to within
+    one uint8 quantization step."""
+    img = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
+    got = decode_inference_image(img, image_size=32)          # native
+    want = decode_inference_image(img, image_size=32, use_native=False)
+    assert got.shape == want.shape == (32, 32)
+    np.testing.assert_allclose(got, want, atol=1.6 / 255.0)
+
+
+def test_native_rebuild_is_atomic(tmp_path, monkeypatch):
+    """An interrupted build must not leave a corrupt libtriptych.so that is
+    newer than the source (which would disable the native path forever):
+    the compiler writes to a temp file that is renamed into place."""
+    import image_enhancement_deglaring_tpu.native as nat
+
+    calls = {}
+    real_run = nat.subprocess.run
+
+    def spy(cmd, **kw):
+        calls["out"] = cmd[cmd.index("-o") + 1]
+        raise RuntimeError("interrupted build")
+
+    monkeypatch.setattr(nat.subprocess, "run", spy)
+    assert nat._build() is False
+    assert calls["out"] != nat._LIB_PATH  # compiled to a temp path
+    assert not os.path.exists(calls["out"])  # and cleaned up on failure
+    monkeypatch.setattr(nat.subprocess, "run", real_run)
