@@ -105,6 +105,26 @@ def main(argv=None):
     logger = ExperimentLogger(f"{args.output_dir}/sweep_logs", config=vars(args))
     import jax.numpy as jnp
 
+    # restrict sampled batch sizes to those the train split can actually
+    # fill: a sampled bs > split size would train ZERO steps per epoch
+    # (drop_last), which make_dataloaders now rejects — filter the space
+    # up front instead of crashing mid-sweep
+    from ..data.pipeline import list_image_paths, seeded_split
+    from ..parallel.sweep import SearchSpace
+
+    n_train = len(seeded_split(list_image_paths(args.data_dir),
+                               args.val_split, args.seed)[0])
+    space = SearchSpace()
+    usable = tuple(b for b in space.batch_sizes if b <= n_train)
+    if not usable:
+        raise SystemExit(
+            f"train split has only {n_train} images — below the smallest "
+            f"sweep batch size {min(space.batch_sizes)}")
+    if usable != space.batch_sizes:
+        print(f"Note: train split has {n_train} images; restricting sweep "
+              f"batch sizes to {usable}")
+        space = SearchSpace(batch_sizes=usable)
+
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     ctor = {"basic": LightweightUNet, "enhanced": EnhancedUNet,
             "optimized": OptimizedUNet}[args.model]
@@ -113,7 +133,7 @@ def main(argv=None):
         n_trials=args.sweep_count,
         max_epochs=args.max_epochs, min_iter=args.early_stop_min_iter,
         eta=args.eta, method=args.method, seed=args.seed, mesh=mesh,
-        output_dir=args.output_dir, logger=logger,
+        output_dir=args.output_dir, logger=logger, space=space,
         max_parallel_trials=args.parallel_trials, wandb_mirror=wandb_mirror,
         resident=args.resident_data, augment_fn=augment_fn,
         halving=args.halving,

@@ -59,7 +59,7 @@ def process_batch_slice(global_batch: int) -> tuple[int, int]:
     n_proc = jax.process_count()
     if global_batch % n_proc != 0:
         raise ValueError(
-            f"global batch {global_batch} must divide process count {n_proc}"
+            f"process count {n_proc} must divide global batch {global_batch}"
         )
     per = global_batch // n_proc
     i = jax.process_index()

@@ -159,6 +159,15 @@ class VmappedTrialGroup:
                              else None)
         self._data_sharding = None
         n = len(trials)
+        # physical trial axis pads up to a mesh multiple so trial-axis
+        # sharding ALWAYS engages (an unsharded group replicates the full
+        # stacked compute onto every device); padded slots train a copy of
+        # trial 0's config and are never read back
+        n_phys = n
+        if mesh is not None:
+            d = mesh.devices.size
+            n_phys = -(-n // d) * d
+        self._n_phys = n_phys
         # device-slot per live trial: identity until keep(mode="mask")
         # retires slots without compacting the stacked arrays
         self._slots = list(range(n))
@@ -178,7 +187,7 @@ class VmappedTrialGroup:
         # same init for every trial (reference seeds every trial identically,
         # sweep.py:103)
         stack = lambda tree: jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x[None], (n,) + x.shape), tree)
+            lambda x: jnp.broadcast_to(x[None], (n_phys,) + x.shape), tree)
         stacked = stack(base_params)
         self.model_state = stack(base_mstate)
         tx_proto = optax.chain(
@@ -187,8 +196,11 @@ class VmappedTrialGroup:
         )
         opt_state = jax.vmap(tx_proto.init)(stacked)
 
-        self.lrs = jnp.asarray([t.lr for t in trials], jnp.float32)
-        self.wds = jnp.asarray([t.wd for t in trials], jnp.float32)
+        pad = n_phys - n
+        self.lrs = jnp.asarray([t.lr for t in trials] + [trials[0].lr] * pad,
+                               jnp.float32)
+        self.wds = jnp.asarray([t.wd for t in trials] + [trials[0].wd] * pad,
+                               jnp.float32)
         self._trial_sharding = None
         self.params = stacked
         self.opt_state = opt_state
@@ -204,16 +216,18 @@ class VmappedTrialGroup:
             # data batches replicate over the mesh whether or not the
             # trial axis shards (below requires n % devices == 0)
             self._data_sharding = NamedSharding(mesh, P())
-        if mesh is not None and n % mesh.devices.size == 0:
+        if mesh is not None:  # n_phys is a mesh multiple by construction
             axis = mesh.axis_names[0]
             tsh = NamedSharding(mesh, P(axis))
             rep = NamedSharding(mesh, P())
             self._trial_sharding = tsh
-            put_t = lambda x: jax.device_put(x, tsh) if x.shape[0] == n else x
+            put_t = lambda x: (jax.device_put(x, tsh)
+                               if x.shape[0] == n_phys else x)
             self.params = jax.tree_util.tree_map(put_t, self.params)
             self.model_state = jax.tree_util.tree_map(put_t, self.model_state)
             self.opt_state = jax.tree_util.tree_map(
-                lambda x: put_t(x) if hasattr(x, "shape") and x.ndim and x.shape[0] == n
+                lambda x: put_t(x)
+                if hasattr(x, "shape") and x.ndim and x.shape[0] == n_phys
                 else jax.device_put(x, rep),
                 self.opt_state,
             )
@@ -446,7 +460,15 @@ class VmappedTrialGroup:
             self.trials = [self.trials[i] for i in indices]
             self.schedulers = [self.schedulers[i] for i in indices]
             return
-        slot_idx = jnp.asarray([self._slots[i] for i in indices])
+        survivors = [self._slots[i] for i in indices]
+        # compacted physical axis stays a mesh multiple (padding repeats the
+        # first survivor) so trial-axis sharding survives halving
+        n_new = len(survivors)
+        if self.mesh is not None:
+            d = self.mesh.devices.size
+            n_new = -(-n_new // d) * d
+        slot_idx = jnp.asarray(
+            survivors + [survivors[0]] * (n_new - len(survivors)))
         take = lambda x: jnp.take(x, slot_idx, axis=0)
         n_slots = int(self.lrs.shape[0])
         self.params = jax.tree_util.tree_map(take, self.params)
@@ -459,6 +481,15 @@ class VmappedTrialGroup:
         )
         self.lrs = take(self.lrs)
         self.wds = take(self.wds)
+        if self._trial_sharding is not None:
+            put_t = lambda x: (jax.device_put(x, self._trial_sharding)
+                               if hasattr(x, "shape") and x.ndim
+                               and x.shape[0] == n_new else x)
+            self.params = jax.tree_util.tree_map(put_t, self.params)
+            self.model_state = jax.tree_util.tree_map(put_t, self.model_state)
+            self.opt_state = jax.tree_util.tree_map(put_t, self.opt_state)
+            self.lrs = put_t(self.lrs)
+            self.wds = put_t(self.wds)
         self.trials = [self.trials[i] for i in indices]
         self.schedulers = [self.schedulers[i] for i in indices]
         self._slots = list(range(len(indices)))
@@ -527,6 +558,11 @@ class WandbSweepMirror:
 
 def hyperband_rungs(min_iter: int, max_epochs: int, eta: int = 3) -> list[int]:
     """Rung epochs: min_iter, min_iter*eta, ... capped at max_epochs."""
+    if min_iter <= 0 or eta <= 1:
+        # r would never grow: the while-loop below appends forever (OOM)
+        raise ValueError(
+            f"hyperband needs min_iter >= 1 and eta >= 2 "
+            f"(got min_iter={min_iter}, eta={eta})")
     rungs = []
     r = min_iter
     while r < max_epochs:
@@ -623,6 +659,17 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
             by_bs.setdefault(t.batch_size, []).append(t)
         for bs, bs_trials in sorted(by_bs.items()):
             train_loader, val_loader = loader_factory(bs)
+            n_val_probe = int(getattr(val_loader, "num_samples",
+                                      len(val_loader)) or 0)
+            if n_val_probe == 0:
+                # the train loop warns and falls back to the train loss; a
+                # sweep has no per-trial train-loss plumbing for ranking, so
+                # the honest behavior is to refuse — every trial would
+                # otherwise be ranked on a constant 0.0 "best"
+                raise ValueError(
+                    "run_sweep: the validation set is empty — trials would "
+                    "be ranked on a constant 0.0 val loss. Lower val_split "
+                    "or provide more data.")
             if resident:
                 rd_train, rd_val, val_batches = resident_data(
                     train_loader, val_loader, bs)

@@ -144,10 +144,16 @@ def make_train_step(apply_fn, optimizer, *, stateful: bool = False,
     return partial(jax.jit, donate_argnums=0)(body)
 
 
-def make_val_body(apply_fn, metric_subset: int = 4):
+def make_val_body(apply_fn, metric_subset: int = 4, *,
+                  with_metrics: bool = True):
     """Pure (params, model_state, x, y, mask) -> (batch L1, subset psnr
     mean, subset ssim mean, prediction) — shared by the jitted per-batch
-    ``make_val_step`` and the resident scanned validation epoch."""
+    ``make_val_step`` and the resident scanned validation epoch.
+
+    ``with_metrics=False`` builds the loss-only program (psnr/ssim return
+    0.0): the SSIM windowed convolutions are the expensive part of a val
+    step, and ``validation_metrics_every`` epochs should actually skip
+    them, not just skip printing them."""
 
     def val_step(params, model_state, x, y, mask):
         variables = {"params": params, **model_state}
@@ -156,6 +162,9 @@ def make_val_body(apply_fn, metric_subset: int = 4):
         m = mask[:, None, None, None]
         denom = jnp.maximum(jnp.sum(mask) * np.prod(x.shape[1:]), 1.0)
         loss = jnp.sum(jnp.abs(out - yf) * m) / denom
+        if not with_metrics:
+            zero = jnp.zeros((), jnp.float32)
+            return loss, zero, zero, out
         k = min(metric_subset, x.shape[0])
         # metrics on CLIPPED output (loss stays unclipped) — the reference's
         # eval semantics (reference: evaluate.py:251 vs :259-272)
@@ -172,7 +181,8 @@ def make_val_body(apply_fn, metric_subset: int = 4):
     return val_step
 
 
-def make_val_step(apply_fn, metric_subset: int = 4):
+def make_val_step(apply_fn, metric_subset: int = 4, *,
+                  with_metrics: bool = True):
     """Returns jitted (params, model_state, x, y, mask) -> (batch L1, subset
     psnr mean, subset ssim mean, prediction) — metrics on the first <=4 real
     images like the reference (reference: optimized_train.py:92-122).
@@ -181,7 +191,8 @@ def make_val_step(apply_fn, metric_subset: int = 4):
     batches are padded to one static, mesh-aligned shape so the compiled
     step never re-specializes and sharded batches divide the mesh evenly.
     """
-    return jax.jit(make_val_body(apply_fn, metric_subset))
+    return jax.jit(make_val_body(apply_fn, metric_subset,
+                                 with_metrics=with_metrics))
 
 
 class _PaddedValLoader:
@@ -240,7 +251,12 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
     """
     os.makedirs(output_dir, exist_ok=True)
 
-    sample_x, sample_y = next(iter(val_loader if len(val_loader) else train_loader))
+    try:
+        sample_x, sample_y = next(
+            iter(val_loader if len(val_loader) else train_loader))
+    except StopIteration:
+        raise ValueError(
+            "train_model: both loaders are empty — no data to train on")
     init_variables = jax.jit(model.init)(
         jax.random.PRNGKey(seed), jnp.zeros((1,) + sample_x.shape[1:])
     )
@@ -264,6 +280,7 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             rng=jax.random.PRNGKey(seed),
         )
 
+    resumed_stale_epochs = 0
     if resume_from is not None:
         from .checkpoint import restore_checkpoint
 
@@ -281,6 +298,16 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         )
         state = state.replace(params=restored_params, opt_state=restored_opt,
                               model_state=restored_ms)
+        # exact continuation, not just params: the step counter, the rng
+        # stream position (augment/dropout draws continue instead of
+        # replaying epoch 0's), and the early-stop counter (a reset would
+        # train up to `patience` extra stale epochs)
+        if meta.get("step") is not None:
+            state = state.replace(step=jnp.asarray(int(meta["step"]), jnp.int32))
+        if meta.get("rng") is not None:
+            state = state.replace(
+                rng=jnp.asarray(meta["rng"], jnp.uint32))
+        resumed_stale_epochs = int(meta.get("epochs_without_improvement", 0))
         start_epoch = max(start_epoch, int(meta.get("epoch", -1)) + 1)
         if lr_controller is None and meta.get("lr_state"):
             lr_controller = ReduceLROnPlateau(lr, factor=plateau_factor,
@@ -300,7 +327,11 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         augment_fn = device_augment_batch
     train_step = make_train_step(model.apply, optimizer, stateful=stateful,
                                  augment_fn=augment_fn)
-    val_step = make_val_step(model.apply)
+    # two compiled val programs: full (loss + PSNR/SSIM) on metric epochs,
+    # loss-only otherwise — validation_metrics_every must gate the SSIM
+    # convolutions themselves, not just the printing of their results
+    val_step_metrics = make_val_step(model.apply)
+    val_step_plain = make_val_step(model.apply, with_metrics=False)
 
     # validation shards over the same mesh as training; ragged final batches
     # pad to one static, mesh-aligned shape (masked out of the metrics)
@@ -333,10 +364,13 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         )
         n_val = int(getattr(val_loader, "num_samples", len(val_loader)) or 0)
         if n_val:
-            rd_val = cache_on_device(val_loader, sharding=sharding,
-                                     num_workers=workers)
+            # same bf16 input policy as the train cache: the model's first
+            # op is the cast, so shipping f32 would just double the bytes
+            rd_val = cache_on_device(val_loader, dtype=input_dtype,
+                                     sharding=sharding, num_workers=workers)
             val_batches = batch_val_cache(rd_val, val_static_b, sharding)
-            val_epoch_fn = make_val_epoch(model.apply)
+            val_epoch_metrics = make_val_epoch(model.apply)
+            val_epoch_plain = make_val_epoch(model.apply, with_metrics=False)
         else:
             val_batches = None
 
@@ -370,7 +404,7 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             except Exception as e:  # corrupt best: start tracking fresh
                 print(f"Resume: could not read {best_dir} ({e}); "
                       "best-model tracking restarts")
-    epochs_without_improvement = 0
+    epochs_without_improvement = resumed_stale_epochs
     warned_no_val = False
     history = {"train_loss": [], "val_loss": []}
 
@@ -450,6 +484,8 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             # whole validation set in one dispatch + one stats fetch
             vs = None
             if val_batches is not None:
+                val_epoch_fn = (val_epoch_metrics if calc_metrics
+                                else val_epoch_plain)
                 vs = np.asarray(
                     val_epoch_fn(state.params, state.model_state,
                                  *val_batches),
@@ -457,20 +493,26 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                 )
                 if log_images:
                     xb, yb, masks = val_batches
-                    _, _, _, out = val_step(state.params, state.model_state,
-                                            xb[0], yb[0], masks[0])
+                    _, _, _, out = val_step_plain(
+                        state.params, state.model_state,
+                        xb[0], yb[0], masks[0])
                     out_np = np.asarray(out, np.float32)
                     k = min(2, int(masks[0].sum()))
+                    # one fetch per batch, not one per logged image
+                    x_np = np.asarray(xb[0], np.float32)
+                    y_np = np.asarray(yb[0], np.float32)
                     imgs = {}
                     for i in range(k):
-                        imgs[f"input_{i}"] = np.asarray(xb[0], np.float32)[i, ..., 0]
+                        imgs[f"input_{i}"] = x_np[i, ..., 0]
                         imgs[f"prediction_{i}"] = np.clip(out_np[i, ..., 0], 0, 1)
-                        imgs[f"target_{i}"] = np.asarray(yb[0], np.float32)[i, ..., 0]
+                        imgs[f"target_{i}"] = y_np[i, ..., 0]
                     logger.log_images("val", imgs, step=epoch + 1)
         else:
+            val_step = val_step_metrics if calc_metrics else val_step_plain
             val_stats: list = []  # per-batch (loss, psnr, ssim, n_real) on device
             for batch_idx, (x, y, mask) in enumerate(
-                DevicePrefetcher(padded_val, sharding=sharding)
+                DevicePrefetcher(padded_val, sharding=sharding,
+                                 input_dtype=input_dtype)
             ):
                 loss, psnr, ssim, out = val_step(state.params, state.model_state,
                                                  x, y, mask)
@@ -478,11 +520,14 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                 if log_images and batch_idx == 0:
                     out_np = np.asarray(out)
                     k = min(2, out_np.shape[0])
+                    # one fetch per batch, not one per logged image
+                    x_np = np.asarray(x, np.float32)
+                    y_np = np.asarray(y, np.float32)
                     imgs = {}
                     for i in range(k):
-                        imgs[f"input_{i}"] = np.asarray(x)[i, ..., 0]
+                        imgs[f"input_{i}"] = x_np[i, ..., 0]
                         imgs[f"prediction_{i}"] = np.clip(out_np[i, ..., 0], 0, 1)
-                        imgs[f"target_{i}"] = np.asarray(y)[i, ..., 0]
+                        imgs[f"target_{i}"] = y_np[i, ..., 0]
                     logger.log_images("val", imgs, step=epoch + 1)
             # one stacked fetch for the whole epoch's metrics (per-batch
             # float() would sync the pipeline every step)
@@ -536,12 +581,21 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                 step=epoch + 1, prefix="params",
             )
 
+        def _resume_extra():
+            # everything exact resume needs beyond the pytrees: LR-controller
+            # state, the step counter, the rng stream position, and the
+            # early-stop counter
+            return {"lr_state": scheduler.state_dict(),
+                    "step": int(np.asarray(state.step)),
+                    "rng": np.asarray(state.rng).tolist(),
+                    "epochs_without_improvement": epochs_without_improvement}
+
         if (epoch + 1) % save_every == 0:
             save_checkpoint(
                 os.path.join(output_dir, f"checkpoint_epoch_{epoch + 1}"),
                 params=state.params, opt_state=state.opt_state,
                 model_state=state.model_state, epoch=epoch,
-                val_loss=val_loss, extra={"lr_state": scheduler.state_dict()},
+                val_loss=val_loss, extra=_resume_extra(),
             )
 
         if val_loss < best_val_loss:
@@ -557,7 +611,7 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                 os.path.join(output_dir, "best_model"),
                 params=state.params, opt_state=state.opt_state,
                 model_state=state.model_state, epoch=epoch,
-                val_loss=val_loss, extra={"lr_state": scheduler.state_dict()},
+                val_loss=val_loss, extra=_resume_extra(),
             )
             print(f"New best model with validation loss: {val_loss:.4f}")
             if logger is not None:

@@ -105,6 +105,16 @@ def cache_on_device(source, *, dtype=None, sharding=None,
         x = np.stack([s[0] for s in samples])
         y = np.stack([s[1] for s in samples])
     else:
+        # batch-iteration fallback (no indexable dataset attached): the same
+        # frozen-augmentation hazard applies — check the loader itself for
+        # an augment marker (loaders that hide an augmenting dataset behind
+        # plain iteration cannot be detected; see the docstring contract)
+        if getattr(ds, "augment", "none") != "none":
+            raise ValueError(
+                "cache_on_device: the loader applies host augmentations "
+                f"({ds.augment!r}); caching would freeze one random draw. "
+                "Build it with augment='none' and use device augmentation."
+            )
         xs, ys = [], []
         for bx, by in source:
             xs.append(np.asarray(bx))
@@ -231,12 +241,15 @@ def batch_val_cache(data: ResidentData, batch_size: int,
     return x, y, jnp.asarray(mask)
 
 
-def make_val_epoch(apply_fn, metric_subset: int = 4):
+def make_val_epoch(apply_fn, metric_subset: int = 4, *,
+                   with_metrics: bool = True):
     """Jitted whole-set validation: scans ``make_val_body`` over the
     batched cache, returning (VB, 4) rows of
     [masked L1, subset PSNR, subset SSIM, real-sample count] — the same
-    per-batch stats the host path stacks, fetched in one transfer."""
-    body = make_val_body(apply_fn, metric_subset)
+    per-batch stats the host path stacks, fetched in one transfer.
+    ``with_metrics=False`` builds the loss-only program (see
+    make_val_body)."""
+    body = make_val_body(apply_fn, metric_subset, with_metrics=with_metrics)
 
     @jax.jit
     def val_epoch(params, model_state, xb, yb, masks):

@@ -336,8 +336,13 @@ def test_tpe_waves_concentrate_on_synthetic_objective(tmp_path, monkeypatch):
         lambda self, loader: np.asarray(
             [abs(np.log(t.lr) - np.log(1e-3)) for t in self.trials]))
 
+    class _DummyVal(list):
+        # satisfies run_sweep's empty-validation-set guard; val_epoch is
+        # monkeypatched above so it is never actually iterated
+        num_samples = 1
+
     def loader_factory(bs):
-        return [], []
+        return [], _DummyVal()
 
     result = run_sweep(
         _tiny_model, loader_factory, n_trials=16, max_epochs=1, min_iter=1,
@@ -438,3 +443,62 @@ def test_run_sweep_mask_halving_same_result(tmp_path, toy):
     assert rc["best"]["trial_id"] == rm["best"]["trial_id"]
     np.testing.assert_allclose(rc["best"]["best_val_loss"],
                                rm["best"]["best_val_loss"], rtol=1e-5)
+
+
+def test_hyperband_rungs_rejects_degenerate_schedules():
+    """min_iter=0 or eta=1 would never grow r: the rung loop used to append
+    forever until OOM."""
+    from image_enhancement_deglaring_tpu.parallel.sweep import hyperband_rungs
+
+    with pytest.raises(ValueError, match="min_iter"):
+        hyperband_rungs(0, 50, 3)
+    with pytest.raises(ValueError, match="eta"):
+        hyperband_rungs(10, 50, 1)
+    assert hyperband_rungs(10, 50, 3) == [10, 30, 50]
+
+
+def test_sweep_rejects_empty_validation_set(tmp_path):
+    """An empty val set would rank every trial on a constant 0.0 — refuse
+    at sweep start, not after all the training."""
+
+    def loader_factory(bs):
+        return [], []
+
+    with pytest.raises(ValueError, match="validation set is empty"):
+        run_sweep(_tiny_model, loader_factory, n_trials=2, max_epochs=1,
+                  min_iter=1, eta=2, method="random",
+                  output_dir=str(tmp_path),
+                  space=SearchSpace(batch_sizes=(8,)))
+
+
+def test_trial_group_pads_to_mesh_multiple(toy):
+    """A group whose size does not divide the mesh pads its PHYSICAL trial
+    axis so trial-axis sharding always engages (an unsharded group
+    replicates the full stacked compute onto every device); padded slots
+    are invisible to results, and compact halving re-pads."""
+    from image_enhancement_deglaring_tpu.parallel.mesh import make_mesh
+    from image_enhancement_deglaring_tpu.parallel.sweep import (
+        Trial,
+        VmappedTrialGroup,
+    )
+
+    x, y = toy
+    mesh = make_mesh(8)
+    trials = [Trial(trial_id=i, batch_size=4, lr=1e-3 * (i + 1), wd=1e-5)
+              for i in range(3)]
+    group = VmappedTrialGroup(_tiny_model(), trials, mesh=mesh, seed=0)
+    assert group._trial_sharding is not None     # sharding engaged
+    assert int(group.lrs.shape[0]) == 8          # padded physical axis
+    assert len(group.trials) == 3                # logical trials unchanged
+
+    loader = ArrayLoader(x[:8], y[:8], 4)
+    losses = group.train_epoch(loader, 0)
+    assert losses.shape == (3,)
+    val = group.val_epoch(ArrayLoader(x[8:], y[8:], 4))
+    assert val.shape == (3,) and np.all(np.isfinite(val))
+
+    group.keep([0, 1], mode="compact")
+    assert int(group.lrs.shape[0]) == 8          # re-padded after halving
+    assert len(group.trials) == 2
+    losses = group.train_epoch(loader, 1)
+    assert losses.shape == (2,) and np.all(np.isfinite(losses))

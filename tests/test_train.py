@@ -484,3 +484,93 @@ def test_train_model_device_augment_runs_and_is_deterministic(tmp_path,
     for l1, l2 in zip(jax.tree_util.tree_leaves(bp1),
                       jax.tree_util.tree_leaves(bp2)):
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+# ---------------------------------------- round-3 train/parallel review
+
+
+def test_resume_restores_step_rng_and_patience(tmp_path, toy_data):
+    """Exact continuation: the checkpoint carries (and resume restores) the
+    step counter, the rng stream position, and the early-stop counter —
+    without them a resumed run replays epoch-0 augment/dropout draws and
+    can train up to `patience` extra stale epochs."""
+    import json
+
+    x, y = toy_data
+    train_loader = _ArrayLoader(x[:8], y[:8], 4)
+    val_loader = _ArrayLoader(x[8:], y[8:], 4)
+    _, _, _, state1 = train_model(
+        _MODEL, train_loader, val_loader, epochs=2, lr=1e-3,
+        output_dir=str(tmp_path / "a"), save_every=2, progress=False,
+        device_augment=True,
+    )
+    meta = json.load(open(tmp_path / "a" / "checkpoint_epoch_2" /
+                          "train_meta.json"))
+    assert meta["step"] == int(np.asarray(state1.step)) > 0
+    assert meta["rng"] == np.asarray(state1.rng).tolist()
+    assert "epochs_without_improvement" in meta
+
+    _, _, _, state2 = train_model(
+        _MODEL, train_loader, val_loader, epochs=3, lr=1e-3,
+        output_dir=str(tmp_path / "b"), save_every=100, progress=False,
+        device_augment=True,
+        resume_from=str(tmp_path / "a" / "checkpoint_epoch_2"),
+    )
+    _, _, _, state_full = train_model(
+        _MODEL, train_loader, val_loader, epochs=3, lr=1e-3,
+        output_dir=str(tmp_path / "c"), save_every=100, progress=False,
+        device_augment=True,
+    )
+    # the rng stream CONTINUED (device augmentation draws match the
+    # uninterrupted run), so params agree
+    for a, b in zip(jax.tree_util.tree_leaves(state2.params),
+                    jax.tree_util.tree_leaves(state_full.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    assert int(np.asarray(state2.step)) == int(np.asarray(state_full.step))
+
+
+def test_val_step_plain_skips_metrics_same_loss(toy_data):
+    """The loss-only val program returns the identical loss with zeroed
+    metrics (validation_metrics_every gates the SSIM convolutions
+    themselves, not just their printing)."""
+    from image_enhancement_deglaring_tpu.train.loop import make_val_step
+
+    x, y = toy_data
+    model = _MODEL
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1,) + x.shape[1:]))["params"]
+    mask = np.ones((4,), np.float32)
+    full = make_val_step(model.apply)
+    plain = make_val_step(model.apply, with_metrics=False)
+    lf, pf, sf, _ = full(params, {}, x[:4], y[:4], mask)
+    lp, pp, sp, _ = plain(params, {}, x[:4], y[:4], mask)
+    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-6)
+    assert float(pf) > 0 and float(sf) != 0
+    assert float(pp) == 0.0 and float(sp) == 0.0
+
+
+def test_train_model_rejects_empty_loaders(tmp_path):
+    with pytest.raises(ValueError, match="empty"):
+        train_model(_MODEL, _ArrayLoader(np.zeros((0, 16, 16, 1), np.float32),
+                                         np.zeros((0, 16, 16, 1), np.float32), 4),
+                    _ArrayLoader(np.zeros((0, 16, 16, 1), np.float32),
+                                 np.zeros((0, 16, 16, 1), np.float32), 4),
+                    epochs=1, output_dir=str(tmp_path), progress=False)
+
+
+def test_cache_on_device_fallback_rejects_augmenting_loader(toy_data):
+    """The batch-iteration fallback path applies the same frozen-
+    augmentation guard as the indexable-dataset path."""
+    from image_enhancement_deglaring_tpu.train.resident import cache_on_device
+
+    x, y = toy_data
+
+    class _AugLoader:
+        augment = "optimized"  # marker, no .dataset attribute
+
+        def __iter__(self):
+            yield x[:4], y[:4]
+
+    with pytest.raises(ValueError, match="augment"):
+        cache_on_device(_AugLoader())
