@@ -96,6 +96,13 @@ def evaluate(apply_fn, params, val_loader, *, save_visualizations: bool = False,
 
     for x, y in iterator:
         b = x.shape[0]
+        if static_b is not None and b > static_b:
+            # silently clamping the mask would divide the batch L1 by the
+            # wrong count (inflated metrics) or crash inside XLA with an
+            # opaque broadcast error
+            raise ValueError(
+                f"loader batch ({b}) exceeds the compiled eval batch "
+                f"({static_b}); pass batch_size >= the loader's batch size")
         if static_b is None:
             static_b = b
             if mesh is not None:
@@ -297,11 +304,17 @@ def load_model_for_eval(model_path: str, *, model_arch: str = "auto",
 
 def _infer_width(params, default: int) -> int:
     """First-block output width of an imported param tree (enc1/conv1 is
-    (3, 3, in, width) for every family)."""
+    (3, 3, in, width) for every family). Fails loudly on a tree without
+    that block — a silent default would defer the real failure to a
+    confusing flax binding error at apply time."""
     try:
         return int(np.asarray(params["enc1"]["conv1"]).shape[-1])
-    except Exception:
-        return default
+    except (KeyError, TypeError, IndexError) as e:
+        raise ValueError(
+            "cannot infer the model width: the params tree has no "
+            "enc1/conv1 kernel (every supported family carries one). "
+            "Is this a {params, batch_stats} bundle or a non-model "
+            f"artifact? ({type(e).__name__}: {e})") from e
 
 
 def write_results_file(metrics: dict, model_path: str, data_dir: str,

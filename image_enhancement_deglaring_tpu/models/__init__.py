@@ -7,6 +7,7 @@ from .enhanced_unet import EnhancedUNet
 from .model_utils import (
     calibrate_act_scales,
     count_parameters,
+    dequantize_params_int8,
     get_model_size_mb,
     prune_params,
     quantize_params_int8,
@@ -18,6 +19,7 @@ __all__ = [
     "EnhancedUNet",
     "calibrate_act_scales",
     "count_parameters",
+    "dequantize_params_int8",
     "get_model_size_mb",
     "prune_params",
     "quantize_params_int8",

@@ -21,8 +21,10 @@ def count_parameters(params) -> int:
 
 def get_model_size_mb(params) -> float:
     """Parameter bytes in MB (reference: src/model.py:377)."""
+    # metadata only — jnp.asarray here would device-transfer every host
+    # leaf just to read its itemsize
     total = sum(
-        int(np.prod(x.shape)) * jnp.asarray(x).dtype.itemsize
+        int(np.prod(x.shape)) * np.dtype(x.dtype).itemsize
         for x in jax.tree_util.tree_leaves(params)
     )
     return total / (1024 * 1024)

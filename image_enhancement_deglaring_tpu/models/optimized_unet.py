@@ -3,7 +3,9 @@ nearest-upsample decoder (capability parity with
 reference: src/optimized_model.py:6-158).
 
 Structure: blocks are [Conv3x3 -> GroupNorm -> SiLU] x2 with groups=1 for
-the stem and 4 elsewhere; AvgPool 2x2 downsampling; decoder upsampling is
+the stem, 8 in the bottleneck, and 4 elsewhere (matching the reference
+exactly: src/optimized_model.py:32 stem, :47-50 bottleneck GroupNorm(8),
+:76 block default 4); AvgPool 2x2 downsampling; decoder upsampling is
 nearest-2x + Conv3x3 + GN(4) + SiLU; squeeze-excite channel attention on
 each skip connection (reduction 16, floor 8); 1x1 output conv.
 """

@@ -221,6 +221,15 @@ class LightweightUNet(nn.Module):
         record per-site per-channel max|x| into the mutable ``act_stats``
         collection; a scales pytree (from ops.quant.scales_from_act_stats)
         = store every inter-fusion activation as int8 in HBM."""
+        if self.remat and act_scales is not None:
+            # lifted jax.checkpoint rejects the "calib" string / scales
+            # pytree call argument; the combination is also semantically
+            # pointless (remat is a training memory knob, act_scales a
+            # serving quantization knob) — fail with the reason instead of
+            # an opaque TypeError inside the transform
+            raise ValueError(
+                "remat=True cannot be combined with act_scales; rebuild "
+                "the model with remat=False for calibration/int8 serving")
         f0 = self.features_start
         f = [f0, f0 * 2, f0 * 4, f0 * 8, f0 * 16]
         g = self.num_groups

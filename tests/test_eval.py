@@ -2,6 +2,7 @@
 PSNR/SSIM), ragged-batch masking, and results-file format."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from image_enhancement_deglaring_tpu.eval import evaluate, write_results_file
@@ -157,3 +158,61 @@ def test_evaluate_padded_identical_rows_stay_finite():
     assert not np.isnan(got["psnr"])
     assert np.isfinite(got["ssim"])
     assert got["num_samples"] == 3
+
+
+# ------------------------------------------- round-3 eval/models review
+
+
+def test_evaluate_rejects_loader_batch_above_compiled(rng):
+    """A loader batch larger than the compiled eval batch must raise
+    (a clamped mask would silently divide the L1 by the wrong count)."""
+    x = rng.random((4, 32, 32, 1)).astype(np.float32)
+    params = {"bias": jnp.asarray(0.03, jnp.float32)}
+    with pytest.raises(ValueError, match="exceeds the compiled"):
+        evaluate(_identityish_apply, params, [(x, x)], batch_size=1,
+                 progress=False)
+
+
+def test_infer_width_fails_loudly_on_non_model_tree():
+    from image_enhancement_deglaring_tpu.eval.harness import _infer_width
+
+    assert _infer_width(
+        {"enc1": {"conv1": np.zeros((3, 3, 1, 8))}}, 16) == 8
+    with pytest.raises(ValueError, match="enc1/conv1"):
+        _infer_width({"params": {}, "batch_stats": {}}, 16)
+
+
+def test_remat_rejects_act_scales():
+    """remat (training memory) + act_scales (serving quantization) is a
+    clear error, not an opaque TypeError inside the lifted checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_enhancement_deglaring_tpu.models import LightweightUNet
+
+    model = LightweightUNet(remat=True)
+    with pytest.raises(ValueError, match="remat"):
+        jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 1)),
+                               act_scales="calib"))
+
+
+def test_model_size_metadata_only_and_dequant_export():
+    """get_model_size_mb reads dtype metadata without device transfers
+    (works on plain numpy trees), and dequantize_params_int8 is a public
+    re-export like its documented inverse."""
+    from image_enhancement_deglaring_tpu.models import (
+        dequantize_params_int8,
+        get_model_size_mb,
+        quantize_params_int8,
+    )
+
+    tree = {"w": np.zeros((4, 4), np.float32),
+            "b": np.zeros((4,), np.dtype("bfloat16")
+                          if hasattr(np, "bfloat16") else np.float16)}
+    mb = get_model_size_mb(tree)
+    assert mb > 0
+    q, s = quantize_params_int8({"w": np.ones((4, 4), np.float32)})
+    out = dequantize_params_int8(q, s)
+    np.testing.assert_allclose(np.asarray(out["w"]), 1.0, atol=1e-2)
