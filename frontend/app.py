@@ -12,7 +12,6 @@ Env: API_URL (reference: frontend/app.py:17), HOST, PORT.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import urllib.request
@@ -39,8 +38,11 @@ def _ensure_samples() -> list[str]:
 
             from image_enhancement_deglaring_tpu.data.synthetic import make_triptych
 
-            rng = np.random.default_rng(7)
-            for n in names:
+            # regenerate ONLY the absent files (a user-customized surviving
+            # sample must not be clobbered); seed per name so the images
+            # stay stable regardless of which subset is missing
+            for n in missing:
+                rng = np.random.default_rng(7 + names.index(n))
                 trip = make_triptych(rng, size=512)
                 third = trip.shape[1] // 3
                 glared = trip[:, third: 2 * third]

@@ -80,13 +80,18 @@ def main(argv=None):
         Image.fromarray(out, mode="L").save(out_path)
         print(f"Output saved to: {out_path}")
         if args.visualize:
-            _visualize(path, out, out_path)
+            # the comparison figure joins the collision set too: an input
+            # literally named x_comparison.png must not be clobbered by
+            # x.png's visualization (and vice versa)
+            vis_path = _visualize(path, out, out_path, written)
+            written.add(vis_path)
 
     print(f"All images processed and saved to: {args.output_dir}")
 
 
-def _visualize(input_path, output_image, output_path):
-    """Side-by-side figure (reference: main.py:40-59)."""
+def _visualize(input_path, output_image, output_path, taken=None):
+    """Side-by-side figure (reference: main.py:40-59); returns the path
+    written, uniquified against ``taken``."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -104,8 +109,14 @@ def _visualize(input_path, output_image, output_path):
     ax[1].axis("off")
     fig.tight_layout()
     base, _ext = os.path.splitext(output_path)
-    fig.savefig(base + "_comparison.png")
+    vis_path = base + "_comparison.png"
+    n = 1
+    while vis_path in (taken or set()):
+        vis_path = f"{base}_comparison_{n}.png"
+        n += 1
+    fig.savefig(vis_path)
     plt.close(fig)
+    return vis_path
 
 
 if __name__ == "__main__":

@@ -15,8 +15,12 @@ def parse_args(argv=None):
     p.add_argument("--model", type=str,
                    choices=["auto", "optimized", "lightweight", "enhanced"],
                    default="auto")
+    # like the reference (evaluate.py:338-345), the artifact extension wins
+    # when it contradicts this flag (with a printed note); the loader
+    # dispatches on extension, so an undeterminable path is an error, not a
+    # silently mislabeled run
     p.add_argument("--model_type", type=str, choices=["pth", "onnx", "ckpt"],
-                   default="ckpt")
+                   default=None)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--image_size", type=int, default=512)
@@ -43,13 +47,24 @@ def main(argv=None):
     set_seed(args.seed)
 
     # extension-based autodetect (reference: evaluate.py:338-345)
+    import os
+
     lower = args.model_path.lower()
     if lower.endswith(".onnx"):
-        model_type = "onnx"
+        detected = "onnx"
     elif lower.endswith((".pth", ".pt")):
-        model_type = "pth"
+        detected = "pth"
+    elif lower.endswith(".npz") or os.path.isdir(args.model_path):
+        detected = "ckpt"
     else:
-        model_type = args.model_type
+        raise SystemExit(
+            f"cannot determine the artifact format of {args.model_path}: "
+            "the loader dispatches on extension (.onnx / .pth / .npz / "
+            "orbax checkpoint directory) — rename the artifact accordingly")
+    if args.model_type is not None and args.model_type != detected:
+        print(f"Model path implies {detected!r}; overriding "
+              f"--model_type {args.model_type!r}")
+    model_type = detected
     print(f"Evaluating {model_type.upper()} model from {args.model_path}")
 
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32

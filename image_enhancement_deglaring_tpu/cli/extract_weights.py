@@ -21,6 +21,9 @@ def main(argv=None):
                    choices=["auto", "lightweight", "optimized", "enhanced"],
                    help="model family of the checkpoint (auto = detect "
                         "from the artifact)")
+    p.add_argument("--num_groups", type=int, default=8,
+                   help="GroupNorm budget for lightweight .onnx output "
+                        "(must match training, like cli.export_onnx)")
     args = p.parse_args(argv)
 
     if not os.path.exists(args.checkpoint_path):
@@ -92,7 +95,8 @@ def main(argv=None):
         elif arch == "optimized":
             export_optimized_unet(params, args.output_path)
         else:
-            export_lightweight_unet(params, args.output_path)
+            export_lightweight_unet(params, args.output_path,
+                                    groups=args.num_groups)
     else:
         from ..train.checkpoint import save_checkpoint
 

@@ -50,6 +50,15 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    # usage errors fail BEFORE create_server loads the model and runs the
+    # (potentially minutes-long, through a remote tunnel) TPU warmup
+    if args.workers > 1:
+        if args.mode != "resize":
+            raise SystemExit("--workers > 1 requires --mode resize")
+        if args.allow_reload:
+            # worker processes proxy frames only; /reload would 404 on them
+            raise SystemExit("--allow_reload requires --workers 1 "
+                             "(the engine process owns the weights)")
     import jax.numpy as jnp
 
     from ..serve import create_server
@@ -65,12 +74,6 @@ def main(argv=None):
         allow_reload=args.allow_reload,
     )
     if args.workers > 1:
-        if args.mode != "resize":
-            raise SystemExit("--workers > 1 requires --mode resize")
-        if args.allow_reload:
-            # worker processes proxy frames only; /reload would 404 on them
-            raise SystemExit("--allow_reload requires --workers 1 "
-                             "(the engine process owns the weights)")
         import signal
         import threading
 

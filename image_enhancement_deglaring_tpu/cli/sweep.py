@@ -70,7 +70,14 @@ def main(argv=None):
     from ..utils import ExperimentLogger, set_seed
 
     set_seed(args.seed)
-    n_dev = args.n_devices or len(jax.devices())
+    # clamp like cli.train: make_mesh truncates to the devices that exist,
+    # so a silently smaller mesh would leave the operator believing more
+    # trial parallelism is active than is
+    avail = len(jax.devices())
+    n_dev = min(args.n_devices or avail, avail)
+    if args.n_devices and args.n_devices > avail:
+        print(f"requested --n_devices {args.n_devices}, but only "
+              f"{avail} available; using {n_dev}")
     mesh = make_mesh(n_dev) if n_dev > 1 else None
 
     loaders_cache = {}

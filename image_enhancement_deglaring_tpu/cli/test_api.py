@@ -57,6 +57,16 @@ def test_observability(url: str) -> bool:
     return ok
 
 
+def _guarded(name: str, fn, *args) -> bool:
+    """An unreachable/broken server is the most common smoke-test failure —
+    it must read as FAILED with the reason, not a raw traceback."""
+    try:
+        return fn(*args)
+    except Exception as e:
+        print(f"{name} test: FAILED ({type(e).__name__}: {e})")
+        return False
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Test the de-glaring API")
     # "stats" probes /stats + /metrics + /openapi.json — endpoints beyond
@@ -70,14 +80,14 @@ def main(argv=None):
 
     ok = True
     if args.test in ("ping", "all"):
-        ok &= test_ping(args.url)
+        ok &= _guarded("Ping", test_ping, args.url)
     if args.test in ("infer", "all"):
         if not args.image:
             print("Infer test skipped: provide --image path")
         else:
-            ok &= test_infer(args.url, args.image)
+            ok &= _guarded("Infer", test_infer, args.url, args.image)
     if args.test == "stats":
-        ok &= test_observability(args.url)
+        ok &= _guarded("Observability", test_observability, args.url)
     return 0 if ok else 1
 
 

@@ -62,6 +62,11 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.model != "basic" and args.remat:
+        # only LightweightUNet implements block rematerialization; silently
+        # dropping the flag would leave the user OOMing with the memory
+        # knob they turned doing nothing. Checked before any data decode.
+        raise SystemExit("--remat is supported only for --model basic")
     from ..utils.envfile import load_dotenv
 
     load_dotenv()  # reference parity: .env at train start (optimized_train.py:18-19)

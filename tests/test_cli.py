@@ -174,3 +174,92 @@ def test_enhance_stem_collision_uniquified(tmp_path, monkeypatch):
                   "--model_path", "ignored", "--image_size", "32"])
     names = sorted(p.name for p in outdir.iterdir())
     assert names == ["scan.png", "scan_1.png"]
+
+
+# ------------------------------------------- round-3 cli/frontend review
+
+
+def test_enhance_visualize_comparison_collision(tmp_path, monkeypatch):
+    """An input literally named x_comparison.png must not be clobbered by
+    x.png's --visualize figure (and vice versa)."""
+    pytest.importorskip("matplotlib")
+    import numpy as np
+    from PIL import Image
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    img = Image.fromarray(
+        (np.random.default_rng(0).random((32, 32)) * 255).astype(np.uint8))
+    img.save(indir / "x.png")
+    img.save(indir / "x_comparison.png")
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_enhancement_deglaring_tpu.cli import enhance
+    from image_enhancement_deglaring_tpu.models import LightweightUNet
+
+    model = LightweightUNet()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 32, 32, 1)))["params"]
+    monkeypatch.setattr(
+        "image_enhancement_deglaring_tpu.eval.load_model_for_eval",
+        lambda *a, **k: (model.apply, params))
+    outdir = tmp_path / "out"
+    enhance.main(["--input", str(indir), "--output_dir", str(outdir),
+                  "--model_path", "ignored", "--image_size", "32",
+                  "--visualize"])
+    names = sorted(p.name for p in outdir.iterdir())
+    # 2 enhanced outputs + 2 distinct comparison figures, nothing clobbered
+    assert len(names) == 4, names
+    # BOTH inputs' enhanced outputs survive as 32x32 grayscale PNGs
+    # (x.png's figure claimed out/x_comparison.png first, so the second
+    # input's enhanced output was uniquified to x_comparison_1.png)
+    for enhanced in ("x.png", "x_comparison_1.png"):
+        out = Image.open(outdir / enhanced)
+        assert out.size == (32, 32) and out.mode == "L", enhanced
+
+
+def test_serve_cli_usage_errors_fail_before_model_load():
+    """--workers usage errors must fail instantly, not after the model
+    load + TPU warmup (minutes through a remote tunnel). Proven by the
+    nonexistent model path: if validation ran after create_server, the
+    error would be FileNotFoundError, not the usage SystemExit."""
+    from image_enhancement_deglaring_tpu.cli import serve
+
+    with pytest.raises(SystemExit, match="resize"):
+        serve.main(["--workers", "2", "--mode", "tile",
+                    "--model_path", "/nonexistent.onnx"])
+    with pytest.raises(SystemExit, match="allow_reload"):
+        serve.main(["--workers", "2", "--allow_reload",
+                    "--model_path", "/nonexistent.onnx"])
+
+
+def test_train_cli_rejects_remat_for_unsupported_families(tmp_path):
+    """--remat only exists on LightweightUNet; silently dropping it would
+    leave the user OOMing with the memory knob doing nothing."""
+    from image_enhancement_deglaring_tpu.cli import train as train_cli
+
+    with pytest.raises(SystemExit, match="remat"):
+        train_cli.main(["--data_dir", str(tmp_path), "--model", "enhanced",
+                        "--remat", "--output_dir", str(tmp_path / "o")])
+
+
+def test_evaluate_cli_rejects_undeterminable_artifact(tmp_path):
+    from image_enhancement_deglaring_tpu.cli import evaluate as eval_cli
+
+    weird = tmp_path / "model.bin"
+    weird.write_bytes(b"\0")
+    with pytest.raises(SystemExit, match="format"):
+        eval_cli.main(["--model_path", str(weird),
+                       "--data_dir", str(tmp_path)])
+
+
+def test_test_api_unreachable_server_reports_failed(capsys):
+    """An unreachable server is FAILED output + exit 1, not a traceback."""
+    pytest.importorskip("requests")
+    from image_enhancement_deglaring_tpu.cli.test_api import main
+
+    rc = main(["--test", "ping", "--url", "http://127.0.0.1:1"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "FAILED" in out
