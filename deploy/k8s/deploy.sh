@@ -30,7 +30,10 @@ kubectl apply -f deploy/k8s/frontend-deployment.yaml
 kubectl apply -f deploy/k8s/frontend-service.yaml
 
 echo "Waiting for rollout..."
-kubectl -n deglaring rollout status deployment/deglaring-api --timeout=300s
+# timeout must cover the api startupProbe's cold-compile window
+# (60 x 10s = 600s in api-deployment.yaml) or a first deploy with an
+# empty JAX compile cache aborts spuriously
+kubectl -n deglaring rollout status deployment/deglaring-api --timeout=660s
 kubectl -n deglaring rollout status deployment/deglaring-frontend --timeout=120s
 
 echo "Done. Port-forward with:"

@@ -3,11 +3,18 @@
 The reference ships a Streamlit app (reference: frontend/app.py:128-209:
 API status indicator, sample-image buttons, before/after columns, download
 button). Streamlit is not in this environment, so the same UX is a
-zero-dependency stdlib HTTP server + a static page whose JS calls the
-API's /infer directly (the API sends CORS headers). ``/health`` mirrors
+zero-dependency stdlib HTTP server + a static page. ``/health`` mirrors
 Streamlit's ``/_stcore/health`` role for the k8s probes.
 
-Env: API_URL (reference: frontend/app.py:17), HOST, PORT.
+The page's enhance requests go through this server's ``POST /infer``
+PROXY by default: API_URL names a SERVER-side address (a cluster-internal
+Service in k8s, a compose service name) that the user's browser cannot
+resolve — exactly like the reference, whose Streamlit server makes the
+request itself (reference: frontend/app.py:43,88). Deployments where the
+browser CAN reach the API directly may set BROWSER_API_URL to skip the
+proxy hop (the API sends CORS headers).
+
+Env: API_URL (reference: frontend/app.py:17), BROWSER_API_URL, HOST, PORT.
 """
 
 from __future__ import annotations
@@ -18,8 +25,13 @@ import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 API_URL = os.environ.get("API_URL", "http://localhost:4000")
+# what the BROWSER should call for /infer: "" = same-origin (this server
+# proxies to API_URL); set to a reachable API address to go direct
+BROWSER_API_URL = os.environ.get("BROWSER_API_URL", "")
 HOST = os.environ.get("HOST", "0.0.0.0")
 PORT = int(os.environ.get("PORT", "8501"))
+#: proxy deadline: covers the API's own bounded engine wait (300 s)
+PROXY_TIMEOUT_S = 330
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SAMPLES_DIR = os.path.join(_HERE, "samples")
@@ -74,10 +86,45 @@ class FrontendHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def do_POST(self):
+        if self.path.split("?")[0] == "/infer":
+            self._proxy_infer()
+        else:
+            self._send(404, b"not found", "text/plain")
+
+    def _proxy_infer(self):
+        """Forward the browser's multipart /infer to the API: the browser
+        cannot resolve cluster-internal API addresses (k8s Service names,
+        compose hostnames) — the reference's Streamlit server makes the
+        request server-side for the same reason."""
+        import urllib.error
+
+        try:
+            length = int(self.headers.get("Content-Length", "0") or 0)
+        except ValueError:
+            self._send(400, b'{"detail":"Bad Content-Length"}',
+                       "application/json")
+            return
+        body = self.rfile.read(length) if length else b""
+        req = urllib.request.Request(
+            f"{API_URL}{self.path}", data=body, method="POST",
+            headers={"Content-Type": self.headers.get("Content-Type", "")})
+        try:
+            with urllib.request.urlopen(req, timeout=PROXY_TIMEOUT_S) as r:
+                self._send(r.status, r.read(),
+                           r.headers.get("Content-Type", "application/json"))
+        except urllib.error.HTTPError as e:  # pass API errors through
+            self._send(e.code, e.read(),
+                       e.headers.get("Content-Type", "application/json"))
+        except Exception as e:
+            self._send(502, json.dumps(
+                {"detail": f"API unreachable: {e}"}).encode(),
+                "application/json")
+
     def _serve_index(self):
         with open(os.path.join(_HERE, "index.html"), "rb") as f:
             page = f.read()
-        cfg = {"apiUrl": API_URL, "samples": self.samples}
+        cfg = {"apiUrl": BROWSER_API_URL, "samples": self.samples}
         page = page.replace(b"__CONFIG__", json.dumps(cfg).encode())
         self._send(200, page, "text/html; charset=utf-8")
 

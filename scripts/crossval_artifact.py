@@ -23,7 +23,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--candidate", required=True,
                    help=".onnx / .pth / .npz / orbax dir")
-    p.add_argument("--incumbent", default="deploy/models/best_model.onnx")
+    p.add_argument(
+        "--incumbent",
+        # repo-rooted: the script is runnable from any CWD (the sys.path
+        # bootstrap above already assumes so)
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "deploy", "models", "best_model.onnx"))
     p.add_argument("--n", type=int, default=128,
                    help="held-out triptychs to generate")
     p.add_argument("--seed", type=int, default=123,
@@ -37,7 +43,7 @@ def main():
 
     from image_enhancement_deglaring_tpu.data import (
         generate_synthetic_sd1,
-        make_dataloaders,
+        make_eval_loader,
     )
     from image_enhancement_deglaring_tpu.eval import evaluate
     from image_enhancement_deglaring_tpu.eval.harness import load_model_for_eval
@@ -45,11 +51,9 @@ def main():
     with tempfile.TemporaryDirectory(prefix="crossval_") as d:
         generate_synthetic_sd1(d, n_train=args.n, n_val=0, size=args.size,
                                seed=args.seed)
-        # val_split=1.0: every generated triptych lands in the eval loader
-        _, loader = make_dataloaders(
+        loader = make_eval_loader(
             os.path.join(d, "train"), batch_size=args.batch_size,
-            val_split=1.0, seed=42, image_size=args.size,
-            cache_images=True, augment="none")
+            seed=42, image_size=args.size, cache_images=True)
 
         results = {}
         for name, path in (("candidate", args.candidate),

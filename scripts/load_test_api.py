@@ -10,6 +10,7 @@ connections and reports throughput + latency percentiles. Usage:
 import argparse
 import io
 import json
+import os
 import sys
 import threading
 import time
@@ -55,9 +56,6 @@ class _PassthroughEngine:
 
 
 def _start_selftest_server(port: int):
-    import threading
-
-    import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from image_enhancement_deglaring_tpu.serve.http_server import DeglareServer
 
@@ -141,7 +139,10 @@ def main():
         w.request("POST", "/infer", body=body, headers=headers)
         w.getresponse().read()
         w.close()
-    except OSError as e:
+    except (OSError, http.client.HTTPException) as e:
+        # HTTPException (BadStatusLine from a non-HTTP listener, truncated
+        # responses) is NOT an OSError — without it the guard's promised
+        # errors-counted summary is skipped for a raw traceback
         print(f"warm request failed ({e}); proceeding cold")
 
     threads = [threading.Thread(target=worker) for _ in range(args.concurrency)]

@@ -9,6 +9,7 @@ training, on-device eval — runs exactly as it would on the real data.
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -41,6 +42,7 @@ def main():
     from image_enhancement_deglaring_tpu.data import (
         generate_synthetic_sd1,
         make_dataloaders,
+        make_eval_loader,
     )
     from image_enhancement_deglaring_tpu.eval import evaluate
     from image_enhancement_deglaring_tpu.models import LightweightUNet
@@ -48,12 +50,19 @@ def main():
     from image_enhancement_deglaring_tpu.train.loop import train_model
 
     train_dir = os.path.join(args.data_dir, "train")
+    # staleness check via a manifest of EVERY generation parameter — a
+    # count-only check silently reused e.g. 128px triptychs for a --size
+    # 512 run (the loader upscales, measuring the wrong experiment)
+    manifest_path = os.path.join(args.data_dir, "dataset_manifest.json")
+    wanted = {"n_train": args.n_train, "n_val": args.n_val,
+              "size": args.size}
+    have = None
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            have = json.load(f)
     n_existing = (len([f for f in os.listdir(train_dir) if f.endswith(".png")])
                   if os.path.isdir(train_dir) else 0)
-    if n_existing != args.n_train:
-        # regenerate on ANY count mismatch — silently reusing a stale
-        # dataset would measure the wrong experiment (the generator is
-        # deterministic, so a matching count is the same data)
+    if have != wanted or n_existing != args.n_train:
         if n_existing:
             import shutil
 
@@ -65,6 +74,8 @@ def main():
         print(f"Generating synthetic SD1 ({args.n_train}+{args.n_val} triptychs)...")
         generate_synthetic_sd1(args.data_dir, n_train=args.n_train,
                                n_val=args.n_val, size=args.size, seed=0)
+        with open(manifest_path, "w") as f:
+            json.dump(wanted, f)
 
     train_loader, val_loader = make_dataloaders(
         train_dir, batch_size=args.batch_size,
@@ -92,9 +103,9 @@ def main():
     # one (those images are otherwise never read), else the 80/20 split
     val_dir = os.path.join(args.data_dir, "val")
     if args.n_val > 0 and os.path.isdir(val_dir):
-        _, heldout = make_dataloaders(
-            val_dir, batch_size=args.batch_size, val_split=1.0, seed=42,
-            image_size=args.size, cache_images=True, augment="none")
+        heldout = make_eval_loader(
+            val_dir, batch_size=args.batch_size, seed=42,
+            image_size=args.size, cache_images=True)
         eval_loader, which = heldout, f"held-out val/ ({heldout.num_samples})"
     else:
         eval_loader, which = val_loader, "train-split val"

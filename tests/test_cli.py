@@ -263,3 +263,27 @@ def test_test_api_unreachable_server_reports_failed(capsys):
     rc = main(["--test", "ping", "--url", "http://127.0.0.1:1"])
     out = capsys.readouterr().out
     assert rc == 1 and "FAILED" in out
+
+
+def test_crossval_artifact_script_runs(tmp_path):
+    """The promotion gate must actually run end to end (it used the
+    val_split=1.0 idiom the zero-train-batch guard rejects)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "scripts", "crossval_artifact.py")
+    incumbent = os.path.join(repo, "deploy", "models", "best_model.onnx")
+    # fresh interpreter: pin it to CPU — the container's device-plugin
+    # sitecustomize would otherwise grab the (possibly down) TPU tunnel
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env.update(PYTHONPATH=repo, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, script, "--candidate", incumbent,
+         "--n", "4", "--size", "64", "--batch_size", "2"],
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path),
+        env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    verdict = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert "candidate" in verdict and "incumbent" in verdict

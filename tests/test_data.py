@@ -441,3 +441,17 @@ def test_prefetcher_abandoned_iteration_prefetch_one():
             break
         time.sleep(0.1)
     assert not leaked, f"prefetcher worker leaked: {leaked}"
+
+
+def test_make_eval_loader_covers_every_image(sd1_dir):
+    """No split, no shuffle, ragged final batch kept — the replacement for
+    the make_dataloaders(val_split=1.0) idiom the zero-train-batch guard
+    now rejects."""
+    from image_enhancement_deglaring_tpu.data import make_eval_loader
+    from image_enhancement_deglaring_tpu.data.pipeline import list_image_paths
+
+    n_all = len(list_image_paths(sd1_dir))
+    loader = make_eval_loader(sd1_dir, batch_size=max(2, n_all - 1),
+                              image_size=32)
+    seen = sum(x.shape[0] for x, _y in loader)
+    assert seen == loader.num_samples == n_all

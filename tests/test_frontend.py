@@ -133,3 +133,85 @@ def test_samples_served(frontend):
     status, body = _get(*frontend, "/samples/test_input1.png")
     assert status == 200
     assert body.startswith(b"\x89PNG")
+
+
+def test_infer_proxy_forwards_to_api(frontend):
+    """POST /infer on the frontend proxies to the API server-side: the
+    browser cannot resolve cluster-internal API addresses (k8s Service
+    names, compose hostnames) — the reference's Streamlit server makes the
+    request itself for the same reason."""
+    import http.client
+    import sys
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    seen = {}
+
+    class MockApi(BaseHTTPRequestHandler):
+        def do_POST(self):
+            seen["path"] = self.path
+            seen["ctype"] = self.headers.get("Content-Type")
+            seen["body"] = self.rfile.read(
+                int(self.headers.get("Content-Length", "0")))
+            body = b'{"image":"ZmFrZQ=="}'
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):
+            pass
+
+    mock = ThreadingHTTPServer(("127.0.0.1", 0), MockApi)
+    t = threading.Thread(target=mock.serve_forever, daemon=True)
+    t.start()
+    app = sys.modules["app"]
+    old = app.API_URL
+    app.API_URL = f"http://127.0.0.1:{mock.server_address[1]}"
+    try:
+        host, port = frontend
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        payload = b"--b\r\nContent-Disposition: form-data; " \
+                  b"name=\"image\"\r\n\r\nxx\r\n--b--\r\n"
+        conn.request("POST", "/infer?mode=tile", body=payload,
+                     headers={"Content-Type":
+                              "multipart/form-data; boundary=b"})
+        resp = conn.getresponse()
+        data = resp.read()
+        conn.close()
+    finally:
+        app.API_URL = old
+        mock.shutdown()
+    assert resp.status == 200 and json.loads(data)["image"] == "ZmFrZQ=="
+    # body, content type, AND the query string pass through unchanged
+    assert seen == {"path": "/infer?mode=tile",
+                    "ctype": "multipart/form-data; boundary=b",
+                    "body": payload}
+
+
+def test_infer_proxy_unreachable_api_502(frontend):
+    import http.client
+    import sys
+
+    app = sys.modules["app"]
+    old = app.API_URL
+    app.API_URL = "http://127.0.0.1:1"
+    try:
+        host, port = frontend
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.request("POST", "/infer", body=b"x",
+                     headers={"Content-Type": "text/plain"})
+        resp = conn.getresponse()
+        data = resp.read()
+        conn.close()
+    finally:
+        app.API_URL = old
+    assert resp.status == 502 and b"unreachable" in data
+
+
+def test_index_defaults_to_same_origin_api(frontend):
+    """CONFIG.apiUrl defaults to '' (same-origin proxy) so the deployed
+    page works without the browser reaching the API directly."""
+    status, body = _get(*frontend, "/")
+    assert status == 200
+    assert b'"apiUrl": ""' in body or b'"apiUrl":""' in body
