@@ -502,3 +502,33 @@ def test_trial_group_pads_to_mesh_multiple(toy):
     assert len(group.trials) == 2
     losses = group.train_epoch(loader, 1)
     assert losses.shape == (2,) and np.all(np.isfinite(losses))
+
+
+def test_trial_group_mask_halving_with_mesh_padding(toy):
+    """mask-mode halving on a padded (non-mesh-divisible) group: physical
+    arrays stay static (zero recompiles) and retired/padded slots stay
+    invisible to results."""
+    from image_enhancement_deglaring_tpu.parallel.mesh import make_mesh
+    from image_enhancement_deglaring_tpu.parallel.sweep import (
+        Trial,
+        VmappedTrialGroup,
+    )
+
+    x, y = toy
+    mesh = make_mesh(8)
+    trials = [Trial(trial_id=i, batch_size=4, lr=1e-3 * (i + 1), wd=1e-5)
+              for i in range(5)]
+    group = VmappedTrialGroup(_tiny_model(), trials, mesh=mesh, seed=0)
+    assert int(group.lrs.shape[0]) == 8
+
+    loader = ArrayLoader(x[:8], y[:8], 4)
+    losses = group.train_epoch(loader, 0)
+    assert losses.shape == (5,)
+    group.keep([0, 2], mode="mask")
+    assert int(group.lrs.shape[0]) == 8  # physical axis untouched
+    assert [t.trial_id for t in group.trials] == [0, 2]
+    losses = group.train_epoch(loader, 1)
+    val = group.val_epoch(ArrayLoader(x[8:], y[8:], 4))
+    assert losses.shape == (2,) and val.shape == (2,)
+    assert np.all(np.isfinite(val))
+    group.step_schedulers(val)  # scatter path handles padded physical axis
