@@ -118,7 +118,8 @@ def decode_inference_image(path_or_array, image_size: int = 512, *,
     Array inputs may be uint8 [0,255] or float [0,1]; floats are converted
     to the uint8 path up front — feeding a [0,1] float straight into the
     /255 normalization (or into the uint8-rounding gray conversion) would
-    silently produce a near-black input.
+    silently produce a near-black input. A float array holding [0,255]
+    values raises rather than saturating every pixel to white.
 
     Like ``decode_triptych``, the per-pixel work (gray + resize + /255)
     runs in the native C++ library when available; the numpy/cv2 fallback
@@ -130,6 +131,11 @@ def decode_inference_image(path_or_array, image_size: int = 512, *,
     else:
         img = np.asarray(path_or_array)
         if np.issubdtype(img.dtype, np.floating):
+            mx = float(img.max(initial=0.0))
+            if mx > 1.0 + 1e-6:
+                raise ValueError(
+                    "float image values must be normalized to [0,1] "
+                    f"(max={mx:g}); divide by 255 first or pass uint8")
             img = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
     if (use_native is None or use_native) and img.ndim in (2, 3) \
             and img.shape[0] >= 1 and img.shape[1] >= 1:

@@ -261,10 +261,12 @@ def run_graph(g: OnnxGraph, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarra
             scales = inp(node, 2)
             if scales is None or scales.size == 0:
                 sizes = [int(s) for s in inp(node, 3)]
-                # integral iff each requested extent is a multiple (or
-                # divisor for downscale) of the input extent
-                integral = all(o % i == 0 or i % o == 0 or o == i
-                               for o, i in zip(sizes, x.shape))
+                # integral iff each requested extent is a multiple of the
+                # input extent: coordinate/nearest modes coincide only on
+                # integral UPSCALES (exact sample repetition) — an integral
+                # downscale samples different pixels per mode, so it must
+                # fall through to the fail-loud guard below
+                integral = all(o % i == 0 for o, i in zip(sizes, x.shape))
             else:
                 sizes = None
                 integral = all(float(s).is_integer() and s >= 1

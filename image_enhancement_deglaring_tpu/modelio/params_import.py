@@ -84,16 +84,21 @@ def load_torch_state_dict(path: str, *,
     that genuinely needs full pickling (custom classes in the wrapper dict)
     requires an explicit ``allow_pickle=True`` opt-in.
     """
+    import pickle
+
     import torch
 
     try:
         ckpt = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except pickle.UnpicklingError as e:
+        # ONLY the weights_only rejection gets the allow_pickle treatment;
+        # a missing file / truncated zip must surface as itself, not as
+        # advice to disable the unpickling safety default
         if not allow_pickle:
             raise ValueError(
                 f"{path} is not loadable with weights_only=True (it pickles "
                 "non-tensor objects). Re-save it as a plain state dict, or "
-                "pass allow_pickle=True if you trust its origin.")
+                "pass allow_pickle=True if you trust its origin.") from e
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
         sd = ckpt["model_state_dict"]

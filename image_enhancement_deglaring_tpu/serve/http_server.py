@@ -608,9 +608,11 @@ class DeglareServer:
                         extra_headers = {"Allow": allow}
                     else:
                         status, payload = 404, {"detail": "Not Found"}
-                except RuntimeError:
+                except (TimeoutError, FuturesTimeoutError, RuntimeError):
                     # the executor shut down between the drain check and the
-                    # dispatch (drain race) — still answer, don't drop
+                    # dispatch (drain race) — still answer, don't drop; the
+                    # timeout variants cover the /stats + /metrics IPC
+                    # round-trip timing out against a draining worker
                     if not self._draining:
                         raise
                     status, payload, keep_alive = (

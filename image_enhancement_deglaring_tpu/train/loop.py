@@ -590,14 +590,6 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                     "rng": np.asarray(state.rng).tolist(),
                     "epochs_without_improvement": epochs_without_improvement}
 
-        if (epoch + 1) % save_every == 0:
-            save_checkpoint(
-                os.path.join(output_dir, f"checkpoint_epoch_{epoch + 1}"),
-                params=state.params, opt_state=state.opt_state,
-                model_state=state.model_state, epoch=epoch,
-                val_loss=val_loss, extra=_resume_extra(),
-            )
-
         if val_loss < best_val_loss:
             epochs_without_improvement = 0
             best_val_loss = val_loss
@@ -627,6 +619,16 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             if logger is not None:
                 logger.log({"epochs_without_improvement": epochs_without_improvement},
                            step=epoch + 1)
+
+        # AFTER the improvement bookkeeping: the checkpoint's resume extras
+        # must carry THIS epoch's early-stop counter, not last epoch's
+        if (epoch + 1) % save_every == 0:
+            save_checkpoint(
+                os.path.join(output_dir, f"checkpoint_epoch_{epoch + 1}"),
+                params=state.params, opt_state=state.opt_state,
+                model_state=state.model_state, epoch=epoch,
+                val_loss=val_loss, extra=_resume_extra(),
+            )
 
         if epochs_without_improvement >= patience:
             print(f"Early stopping triggered after {patience} epochs "

@@ -379,6 +379,10 @@ def test_decode_inference_image_float_inputs(tmp_path):
                                   image_size=32)
     np.testing.assert_allclose(got3, want3, atol=1 / 255.0)
 
+    # a float array in [0,255] must raise, not saturate to all-white
+    with pytest.raises(ValueError, match=r"\[0,1\]"):
+        decode_inference_image(u8.astype(np.float32), image_size=32)
+
 
 def test_decode_triptych_native_with_mask_fails_loudly(sd1_dir):
     """use_native=True + with_mask=True is unsupported by the native lib:

@@ -73,6 +73,19 @@ def test_index_has_batch_ui(frontend):
         assert needle in body
 
 
+def test_index_pngname_helper_is_top_level(frontend):
+    """pngName is used by BOTH the per-item download link and the
+    download-all handler; declared inside select() it is a ReferenceError
+    for download-all, silently breaking the button."""
+    status, body = _get(*frontend, "/")
+    assert status == 200
+    text = body.decode()
+    decl = text.index("const pngName")
+    assert decl < text.index("function select("), \
+        "pngName must be declared before (outside) select()"
+    assert "pngName(" in text[text.index("downloadall').onclick"):]
+
+
 def test_api_status_reports_offline(frontend):
     status, body = _get(*frontend, "/api_status")
     assert status == 200

@@ -232,6 +232,33 @@ def test_resize_foreign_modes_fail_on_non_integral_scale(tmp_path):
                 (1, 1, 8, 8)
 
 
+def test_resize_integral_downscale_is_not_integral(tmp_path):
+    """An INTEGRAL DOWNSCALE via sizes (15->5) samples different pixels per
+    coordinate mode (half_pixel picks 3x+1, asymmetric/floor picks 3x) — it
+    must hit the fail-loud guard under foreign modes, and compute floor
+    semantics under asymmetric/floor."""
+    for ct, nm, should_raise in (
+            ("half_pixel", "round_prefer_floor", True),
+            ("asymmetric", "floor", False)):
+        g = _tiny_graph()
+        roi = g.init_tensor("roi", np.zeros(0, np.float32))
+        scales = g.init_tensor("scales", np.zeros(0, np.float32))
+        sizes = g.init_tensor("sizes", np.asarray([1, 1, 5, 5], np.int64))
+        g.add_named("Resize", ["input", roi, scales, sizes], ["output"],
+                    mode="nearest", coordinate_transformation_mode=ct,
+                    nearest_mode=nm)
+        path = tmp_path / f"rzd_{ct}.onnx"
+        path.write_bytes(g.model_bytes())
+        x = np.arange(15 * 15, dtype=np.float32).reshape(1, 1, 15, 15)
+        if should_raise:
+            with pytest.raises(NotImplementedError):
+                run_onnx(str(path), {"input": x})
+        else:
+            out = run_onnx(str(path), {"input": x})["output"]
+            idx = np.arange(5) * 3
+            np.testing.assert_array_equal(out[0, 0], x[0, 0][np.ix_(idx, idx)])
+
+
 def test_multi_output_node_fails_loudly(tmp_path):
     """Only outputs[0] is computed; a second declared output (e.g. MaxPool
     indices) must raise at the node, not KeyError at its consumer."""

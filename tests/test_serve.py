@@ -1485,6 +1485,40 @@ def test_draining_connection_gets_503_not_dropped(tmp_path):
         server._draining = False
 
 
+def test_draining_stats_timeout_gets_503_not_dropped(tmp_path):
+    """A /stats (or /metrics) whose engine round-trip TIMES OUT during the
+    drain window must land in the drain-race 503 like a RuntimeError would —
+    FuturesTimeoutError is not a RuntimeError subclass, so a narrow catch
+    drops the connection instead."""
+    from concurrent.futures import TimeoutError as FuturesTimeoutError
+
+    class _TimeoutStatsEngine(_EchoEngine):
+        def stats(self):
+            raise FuturesTimeoutError("worker IPC timed out")
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = DeglareServer(_TimeoutStatsEngine(), host="127.0.0.1",
+                           port=port, image_size=SIZE, log_dir=str(tmp_path),
+                           log_filename="drainstats.log")
+    t = threading.Thread(target=server.run, daemon=True)
+    t.start()
+    try:
+        _wait_ready("127.0.0.1", port, timeout=30)
+        server._draining = True  # executor still live: the IPC itself hangs
+        for route in ("/stats", "/metrics"):
+            st, data = _request("127.0.0.1", port, "GET", route)
+            assert st == 503, (route, st, data)
+            assert json.loads(data)["detail"] == "Server is shutting down"
+        server._draining = False
+        # outside the drain window the same timeout is a 500, not a drop
+        st, data = _request("127.0.0.1", port, "GET", "/stats")
+        assert st == 500 and "timed out" in json.loads(data)["detail"]
+    finally:
+        server._draining = False
+
+
 # ------------------------------------------------- engine lifecycle hygiene
 
 

@@ -274,6 +274,26 @@ def test_load_torch_state_dict_refuses_arbitrary_pickles(tmp_path, rng):
     assert set(loaded) == {k for k in sd}
 
 
+def test_load_torch_state_dict_real_errors_not_misdiagnosed(tmp_path):
+    """A missing or truncated file must surface as itself — not as a
+    'pickles non-tensor objects' ValueError steering the user toward the
+    allow_pickle=True security opt-out."""
+    from image_enhancement_deglaring_tpu.modelio import load_torch_state_dict
+
+    with pytest.raises(FileNotFoundError):
+        load_torch_state_dict(str(tmp_path / "nope.pth"))
+    corrupt = tmp_path / "corrupt.pth"
+    corrupt.write_bytes(b"PK\x03\x04 definitely not a checkpoint")
+    try:
+        load_torch_state_dict(str(corrupt))
+    except ValueError as e:
+        assert "allow_pickle" not in str(e)
+    except Exception:
+        pass  # any non-misdiagnosing error type is fine
+    else:
+        pytest.fail("corrupt checkpoint loaded")
+
+
 def test_load_torch_state_dict_plain_formats_stay_safe_path(tmp_path, rng):
     """Raw state dicts and reference-style training checkpoints (tensors +
     scalars only, reference: optimized_train.py:63-73) load via

@@ -530,6 +530,39 @@ def test_resume_restores_step_rng_and_patience(tmp_path, toy_data):
     assert int(np.asarray(state2.step)) == int(np.asarray(state_full.step))
 
 
+def test_periodic_checkpoint_counter_is_post_bookkeeping(tmp_path, toy_data):
+    """checkpoint_epoch_N's early-stop counter reflects epoch N's OWN
+    improvement bookkeeping — saving the pre-update counter makes a resumed
+    run early-stop up to save_every epochs off the uninterrupted schedule."""
+    import json
+
+    from image_enhancement_deglaring_tpu.utils.explog import ExperimentLogger
+
+    x, y = toy_data
+    train_loader = _ArrayLoader(x[:8], y[:8], 4)
+    val_loader = _ArrayLoader(x[8:], y[8:], 4)
+    logger = ExperimentLogger(str(tmp_path / "log"))
+    epochs = 4
+    train_model(_MODEL, train_loader, val_loader, epochs=epochs, lr=1e-3,
+                output_dir=str(tmp_path / "a"), save_every=1,
+                progress=False, logger=logger)
+    vals = {}
+    with open(tmp_path / "log" / "metrics.jsonl") as f:
+        for line in f:
+            rec = json.loads(line)
+            if "val_loss" in rec:
+                vals[rec["_step"]] = rec["val_loss"]
+    best, stale = float("inf"), 0
+    for e in range(1, epochs + 1):
+        if vals[e] < best:
+            best, stale = vals[e], 0
+        else:
+            stale += 1
+        meta = json.load(open(tmp_path / "a" / f"checkpoint_epoch_{e}" /
+                              "train_meta.json"))
+        assert meta["epochs_without_improvement"] == stale, f"epoch {e}"
+
+
 def test_val_step_plain_skips_metrics_same_loss(toy_data):
     """The loss-only val program returns the identical loss with zeroed
     metrics (validation_metrics_every gates the SSIM convolutions
