@@ -45,6 +45,18 @@ def parse_args(argv=None):
                    choices=["bfloat16", "float32"])
     p.add_argument("--n_devices", type=int, default=0,
                    help="data-parallel devices (0 = all local)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: run jax.distributed.initialize before "
+                        "backend init and train data-parallel over the "
+                        "GLOBAL mesh (every chip of every host); launch "
+                        "the same command on each host of the slice — "
+                        "each feeds its slice of every batch, host 0 "
+                        "writes checkpoints/logs")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (TPU VMs auto-detect; "
+                        "required off-pod, e.g. CPU multi-process)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint directory to resume from")
     p.add_argument("--remat", action="store_true",
@@ -70,6 +82,13 @@ def main(argv=None):
     from ..utils.envfile import load_dotenv
 
     load_dotenv()  # reference parity: .env at train start (optimized_train.py:18-19)
+    if args.distributed:
+        # must run before the first backend touch (jax.devices etc.)
+        from ..parallel import distributed
+
+        distributed.initialize(coordinator_address=args.coordinator_address,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
     import jax.numpy as jnp
 
     from ..data import make_dataloaders
@@ -113,22 +132,42 @@ def main(argv=None):
 
     import jax
 
-    # make_mesh truncates to the devices that actually exist, so clamp the
-    # request before validating against it — checking the raw --n_devices
-    # would reject batch sizes the real mesh shards fine (and vice versa)
-    n_dev = min(args.n_devices or len(jax.devices()), len(jax.devices()))
-    mesh = make_mesh(n_dev) if n_dev > 1 else None
-    if args.n_devices and args.n_devices > len(jax.devices()):
-        print(f"requested --n_devices {args.n_devices}, but only "
-              f"{len(jax.devices())} available; using {n_dev}")
-    if mesh is not None and args.batch_size % n_dev != 0:
-        raise SystemExit(f"--batch_size {args.batch_size} must divide by "
-                         f"{n_dev} devices")
+    if args.distributed and jax.process_count() > 1:
+        if args.n_devices:
+            raise SystemExit("--distributed spans the global mesh; "
+                             "--n_devices applies to single-host runs only")
+        if args.resident_data:
+            raise SystemExit("--resident_data is single-process only")
+        n_dev = len(jax.devices())
+        mesh = make_mesh()  # every chip of every host
+        if args.batch_size % n_dev != 0:
+            raise SystemExit(f"--batch_size {args.batch_size} (global) must "
+                             f"divide by {n_dev} global devices")
+        # each host feeds its slice of every (identically-seeded) batch
+        from ..parallel.distributed import LocalSliceLoader
 
+        train_loader = LocalSliceLoader(train_loader)
+        val_loader = LocalSliceLoader(val_loader)
+    else:
+        # make_mesh truncates to the devices that actually exist, so clamp
+        # the request before validating against it — checking the raw
+        # --n_devices would reject batch sizes the real mesh shards fine
+        # (and vice versa)
+        n_dev = min(args.n_devices or len(jax.devices()), len(jax.devices()))
+        mesh = make_mesh(n_dev) if n_dev > 1 else None
+        if args.n_devices and args.n_devices > len(jax.devices()):
+            print(f"requested --n_devices {args.n_devices}, but only "
+                  f"{len(jax.devices())} available; using {n_dev}")
+        if mesh is not None and args.batch_size % n_dev != 0:
+            raise SystemExit(f"--batch_size {args.batch_size} must divide by "
+                             f"{n_dev} devices")
+
+    # host 0 owns the metrics stream (same rationale as checkpoint writes:
+    # N hosts appending to one shared logs/ would interleave duplicates)
     logger = ExperimentLogger(
         os.path.join(args.output_dir, "logs"), use_wandb=args.use_wandb,
         project=args.wandb_project, config=vars(args),
-    )
+    ) if jax.process_index() == 0 else None
 
     best_params, best_model_state, best_val, _state = train_model(
         model, train_loader, val_loader, epochs=args.epochs, lr=args.lr,
@@ -145,26 +184,31 @@ def main(argv=None):
     from ..train import save_checkpoint
 
     # best_model_state carries the matching mutable collections (BatchNorm
-    # batch_stats for EnhancedUNet) — final_model must stay loadable
+    # batch_stats for EnhancedUNet) — final_model must stay loadable.
+    # save_checkpoint is collective on multi-host (all processes call it;
+    # orbax writes from the primary only)
     save_checkpoint(os.path.join(args.output_dir, "final_model"),
                     params=best_params, model_state=best_model_state or None,
                     val_loss=best_val)
-    import numpy as np
+    if jax.process_index() == 0:
+        import numpy as np
 
-    from ..utils.pytree import flatten_tree
+        from ..utils.pytree import flatten_tree
 
-    weights_tree = ({"params": best_params, "batch_stats": best_model_state["batch_stats"]}
-                    if best_model_state and "batch_stats" in best_model_state
-                    else best_params)
-    np.savez(os.path.join(args.output_dir, "model_weights.npz"),
-             **flatten_tree(weights_tree))
+        weights_tree = ({"params": best_params,
+                         "batch_stats": best_model_state["batch_stats"]}
+                        if best_model_state and "batch_stats" in best_model_state
+                        else best_params)
+        np.savez(os.path.join(args.output_dir, "model_weights.npz"),
+                 **flatten_tree(weights_tree))
     from ..models import get_model_size_mb
 
     size_mb = get_model_size_mb(best_params)
     print(f"Training completed. Best validation loss: {best_val:.4f}")
     print(f"Final model size: {size_mb:.2f} MB "
           f"({count_parameters(best_params):,} parameters)")
-    logger.finish()
+    if logger is not None:
+        logger.finish()
 
 
 if __name__ == "__main__":

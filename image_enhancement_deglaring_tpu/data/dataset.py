@@ -39,7 +39,8 @@ class GlareRemovalDataset:
         self.normalize = normalize
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         if cache_images:
-            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            # num_workers=0 (synchronous loading) still warms the cache
+            with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
                 for i, pair in enumerate(
                     pool.map(lambda p: decode_triptych(p, image_size), self.image_paths)
                 ):
@@ -101,13 +102,21 @@ class _Loader:
         limit = (n // self.batch_size) * self.batch_size if self.drop_last else n
         order = order[:limit]
 
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            for start in range(0, len(order), self.batch_size):
-                idx = order[start : start + self.batch_size]
-                samples = list(pool.map(self.dataset.__getitem__, idx))
-                x = np.stack([s[0] for s in samples])
-                y = np.stack([s[1] for s in samples])
-                yield x, y
+        # num_workers=0: decode synchronously in-process (reference
+        # DataLoader semantics, reference: optimized_train.py num_workers)
+        if self.num_workers > 0:
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                yield from self._iter_batches(order, pool.map)
+        else:
+            yield from self._iter_batches(order, map)
+
+    def _iter_batches(self, order, mapper):
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            samples = list(mapper(self.dataset.__getitem__, idx))
+            x = np.stack([s[0] for s in samples])
+            y = np.stack([s[1] for s in samples])
+            yield x, y
 
 
 class DevicePrefetcher:
@@ -146,7 +155,11 @@ class DevicePrefetcher:
                         batch = (np.asarray(batch[0]).astype(self.input_dtype),
                                  *batch[1:])
                     if self.sharding is not None:
-                        batch = jax.device_put(batch, self.sharding)
+                        # multi-host aware: assembles the global array from
+                        # this process's slice when jax.process_count() > 1
+                        from ..parallel.mesh import put_global_batch
+
+                        batch = put_global_batch(batch, self.sharding)
                     else:
                         batch = jax.device_put(batch)
                     # bounded put with a stop check: if the consumer

@@ -64,3 +64,58 @@ def process_batch_slice(global_batch: int) -> tuple[int, int]:
     per = global_batch // n_proc
     i = jax.process_index()
     return i * per, (i + 1) * per
+
+
+class LocalSliceLoader:
+    """Wraps a deterministic GLOBAL-batch loader; yields this host's slice
+    of every batch (the standard JAX multi-host input convention —
+    ``parallel.mesh.put_global_batch`` reassembles the global array).
+
+    Every host must construct an identical underlying loader (same data
+    directory, seed, batch size, split): the seeded pipeline then produces
+    the same global batch order everywhere, so the per-host slices are
+    disjoint and cover each batch. A ragged final batch is truncated to a
+    multiple of the process count (up to ``process_count - 1`` samples);
+    training batches are already uniform via drop_last, so this only
+    shaves the tail of a ragged validation batch.
+
+    Decode cost note: each host decodes the full global batch and keeps
+    1/n of it — fine at this model's data rates; a pod-scale pipeline
+    would shard the file list instead.
+    """
+
+    def __init__(self, loader):
+        self.loader = loader
+        self._n = jax.process_count()
+        self._i = jax.process_index()
+
+    def __len__(self):
+        return len(self.loader)
+
+    @property
+    def batch_size(self):
+        g = int(getattr(self.loader, "batch_size", 0) or 0)
+        return g // self._n if g else 0
+
+    @property
+    def num_samples(self):
+        g = int(getattr(self.loader, "num_samples", 0) or 0)
+        return g // self._n
+
+    @property
+    def num_workers(self):
+        return getattr(self.loader, "num_workers", 0)
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.loader, "set_epoch"):
+            self.loader.set_epoch(epoch)
+
+    def __iter__(self):
+        for batch in self.loader:
+            b = batch[0].shape[0]
+            usable = (b // self._n) * self._n
+            if usable == 0:
+                continue
+            per = usable // self._n
+            s = self._i * per
+            yield tuple(x[s:s + per] for x in batch)

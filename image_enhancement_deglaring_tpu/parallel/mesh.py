@@ -40,20 +40,63 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 
+def put_global_batch(batch, sharding: NamedSharding):
+    """Ship a host batch to the mesh with the leading axis sharded.
+
+    Single-process: a plain ``device_put``. Multi-process (after
+    ``jax.distributed.initialize``): ``batch`` is this PROCESS's slice of
+    the global batch — the standard JAX multi-host input convention — and
+    the global array is assembled from the per-host shards with
+    ``jax.make_array_from_process_local_data`` (``device_put`` cannot
+    place host data on another process's devices). Every host must feed
+    the same local batch size; the 1-D mesh orders devices by process, so
+    host ``i``'s rows land at ``parallel.distributed.process_batch_slice``
+    positions of the global batch."""
+    n_proc = jax.process_count()
+
+    def put(x):
+        if n_proc > 1:
+            gshape = (x.shape[0] * n_proc,) + tuple(x.shape[1:])
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x), gshape)
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def local_rows(a) -> np.ndarray:
+    """Process-local rows of a batch-sharded array, as numpy.
+
+    Multi-host, a batch-sharded global ``jax.Array`` cannot be fetched
+    wholesale (it spans non-addressable devices). Host-side consumers that
+    only need SOME real samples (e.g. logging a couple of validation
+    images) get the rows this process owns, ordered by global position —
+    host 0's rows are global rows ``[0, per_host)``."""
+    if jax.process_count() == 1:
+        return np.asarray(a)
+    shards = sorted(a.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     """Place a (tuple of) NHWC array(s) with the batch dim sharded.
 
-    Batch size must divide the mesh size; the training loop guarantees this
-    via drop_last + a batch-size check.
+    The GLOBAL batch size must divide the mesh size; the training loop
+    guarantees this via drop_last + a batch-size check. Multi-process,
+    ``batch`` is this host's slice of the global batch (see
+    ``put_global_batch``).
     """
     s = batch_sharding(mesh, axis_name)
+    n = mesh.devices.size
+    n_proc = jax.process_count()
 
-    def put(x):
-        n = mesh.devices.size
-        if x.shape[0] % n != 0:
+    def check(x):
+        if (x.shape[0] * n_proc) % n != 0:
             raise ValueError(
-                f"batch size {x.shape[0]} not divisible by mesh size {n}"
+                f"global batch size {x.shape[0] * n_proc} not divisible "
+                f"by mesh size {n}"
             )
-        return jax.device_put(x, s)
+        return x
 
-    return jax.tree_util.tree_map(put, batch)
+    return put_global_batch(jax.tree_util.tree_map(check, batch), s)

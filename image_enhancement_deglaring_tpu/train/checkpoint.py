@@ -34,16 +34,20 @@ def save_checkpoint(path: str, *, params, opt_state=None, model_state=None,
         item["opt_state"] = _to_numpy_tree(opt_state)
     if model_state:
         item["model_state"] = _to_numpy_tree(model_state)
+    # COLLECTIVE on multi-host: orbax barriers every process and writes
+    # from the primary only — callers must invoke this from ALL hosts
     ckptr.save(path, item, force=True)
-    # record the model family so eval/serving 'auto' detection works on
-    # orbax dirs (the params pytree's own module names identify it)
-    from ..modelio.params_import import arch_from_param_keys
+    if jax.process_index() == 0:
+        # record the model family so eval/serving 'auto' detection works on
+        # orbax dirs (the params pytree's own module names identify it);
+        # plain file write → single writer
+        from ..modelio.params_import import arch_from_param_keys
 
-    meta = {"epoch": epoch, "val_loss": val_loss,
-            "model_arch": arch_from_param_keys(item["params"].keys()),
-            **(extra or {})}
-    with open(os.path.join(path, "train_meta.json"), "w") as f:
-        json.dump(meta, f)
+        meta = {"epoch": epoch, "val_loss": val_loss,
+                "model_arch": arch_from_param_keys(item["params"].keys()),
+                **(extra or {})}
+        with open(os.path.join(path, "train_meta.json"), "w") as f:
+            json.dump(meta, f)
     return path
 
 

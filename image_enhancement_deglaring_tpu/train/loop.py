@@ -33,7 +33,7 @@ import optax
 
 from ..data.dataset import DevicePrefetcher
 from ..ops.metrics import l1_loss, psnr as psnr_fn, ssim as ssim_fn
-from ..parallel.mesh import batch_sharding, replicate
+from ..parallel.mesh import batch_sharding, local_rows, replicate
 from .checkpoint import save_checkpoint
 from .lr_control import ReduceLROnPlateau
 
@@ -319,6 +319,15 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
     if mesh is not None:
         state = replicate(state, mesh)
         sharding = batch_sharding(mesh)
+    # multi-host (jax.distributed.initialize has run): each process feeds
+    # its local slice of every batch; loss/val/early-stop are computed on
+    # the GLOBAL sharded arrays so every host takes identical decisions
+    # with zero extra coordination. Side-effect writes happen on host 0.
+    is_host0 = jax.process_index() == 0
+    if jax.process_count() > 1 and resident:
+        raise ValueError(
+            "resident_data mode caches via device_put and is single-process "
+            "only; use the streaming path for multi-host training")
 
     augment_fn = None
     if device_augment:
@@ -518,11 +527,13 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                                                  x, y, mask)
                 val_stats.append(jnp.stack([loss, psnr, ssim, jnp.sum(mask)]))
                 if log_images and batch_idx == 0:
-                    out_np = np.asarray(out)
+                    # one fetch per batch, not one per logged image;
+                    # local_rows: multi-host the global batch is not
+                    # fetchable — log from this host's own rows
+                    out_np = local_rows(out)
                     k = min(2, out_np.shape[0])
-                    # one fetch per batch, not one per logged image
-                    x_np = np.asarray(x, np.float32)
-                    y_np = np.asarray(y, np.float32)
+                    x_np = local_rows(x).astype(np.float32)
+                    y_np = local_rows(y).astype(np.float32)
                     imgs = {}
                     for i in range(k):
                         imgs[f"input_{i}"] = x_np[i, ..., 0]
@@ -599,6 +610,9 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             # silently different model
             best_model_state = jax.tree_util.tree_map(np.asarray,
                                                       state.model_state)
+            # multi-host: save_checkpoint is COLLECTIVE (orbax barriers all
+            # processes and writes from the primary only) — every host must
+            # call it; gating on host 0 here would deadlock the barrier
             save_checkpoint(
                 os.path.join(output_dir, "best_model"),
                 params=state.params, opt_state=state.opt_state,
@@ -622,6 +636,7 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
 
         # AFTER the improvement bookkeeping: the checkpoint's resume extras
         # must carry THIS epoch's early-stop counter, not last epoch's
+        # (collective on multi-host — see the best_model save above)
         if (epoch + 1) % save_every == 0:
             save_checkpoint(
                 os.path.join(output_dir, f"checkpoint_epoch_{epoch + 1}"),
@@ -638,7 +653,8 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                                    early_stopping_epoch=epoch + 1)
             break
 
-    _plot_losses(history, output_dir)
+    if is_host0:
+        _plot_losses(history, output_dir)
     if best_params is None:
         best_params = jax.tree_util.tree_map(np.asarray, state.params)
     if best_model_state is None:

@@ -1,0 +1,62 @@
+"""Subprocess body for the 2-process multi-host test (test_distributed.py).
+
+Each process is one "host" of a 2-host slice: 4 virtual CPU devices each,
+8 global. Runs a real `train_model` data-parallel over the GLOBAL mesh
+with this host feeding its slice of every batch, then dumps the outcome
+as JSON for the parent test to compare against a single-process run.
+
+Launched as:  python distributed_worker.py <rank> <port> <out.json> <ckpt_dir>
+with env JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=4
+(and WITHOUT the axon sitecustomize on PYTHONPATH, so the env vars hold).
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def main() -> None:
+    rank, port, out_path, ckpt_dir = (int(sys.argv[1]), sys.argv[2],
+                                      sys.argv[3], sys.argv[4])
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from image_enhancement_deglaring_tpu.models import LightweightUNet
+    from image_enhancement_deglaring_tpu.parallel import distributed
+    from image_enhancement_deglaring_tpu.train.loop import train_model
+    from tests.loaders import ArrayLoader
+
+    distributed.initialize(f"localhost:{port}", 2, rank)
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+    mesh = distributed.global_mesh()
+
+    # identical data/loaders on every host (seeded) — the multi-host input
+    # contract; each host then slices its half of every global batch
+    rng = np.random.default_rng(0)
+    y = rng.random((16, 32, 32, 1)).astype(np.float32)
+    x = np.clip(y + rng.normal(0, 0.15, y.shape), 0, 1).astype(np.float32)
+    train = distributed.LocalSliceLoader(ArrayLoader(x[:8], y[:8], 8))
+    val = distributed.LocalSliceLoader(ArrayLoader(x[8:], y[8:], 8))
+
+    best_params, _, best_val, state = train_model(
+        LightweightUNet(), train, val, epochs=2, lr=1e-3,
+        output_dir=ckpt_dir, save_every=100, progress=False, mesh=mesh,
+    )
+    leaves = jax.tree_util.tree_leaves(best_params)
+    out = {
+        "rank": rank,
+        "best_val": float(best_val),
+        "param_abs_sum": float(sum(np.abs(np.asarray(l)).sum()
+                                   for l in leaves)),
+        "n_leaves": len(leaves),
+        "step": int(np.asarray(state.step)),
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -105,6 +105,23 @@ def test_loaders_shapes_and_epoch_shuffling(sd1_dir):
     np.testing.assert_array_equal(first, again)  # same epoch -> same batches
 
 
+def test_num_workers_zero_loads_synchronously(sd1_dir):
+    """num_workers=0 = in-process decoding (reference DataLoader
+    semantics); batches must match the threaded path exactly."""
+    threaded, _ = make_dataloaders(
+        sd1_dir + "/train", batch_size=4, val_split=0.25, seed=42,
+        image_size=64, num_workers=2,
+    )
+    sync, sync_val = make_dataloaders(
+        sd1_dir + "/train", batch_size=4, val_split=0.25, seed=42,
+        image_size=64, num_workers=0, cache_images=True,
+    )
+    for (xt, yt), (xs, ys) in zip(threaded, sync, strict=True):
+        np.testing.assert_array_equal(xt, xs)
+        np.testing.assert_array_equal(yt, ys)
+    assert len(list(sync_val)) == len(sync_val)
+
+
 def test_cache_images_equivalent(sd1_dir):
     paths = list_image_paths(sd1_dir)[:3]
     ds_nc = GlareRemovalDataset(paths, image_size=64, augment="none", cache_images=False)
