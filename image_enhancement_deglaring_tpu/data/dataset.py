@@ -79,6 +79,7 @@ class _Loader:
         self.seed = seed
         self.num_workers = num_workers
         self._epoch = 0
+        self._batch_slice: tuple[int, int] | None = None
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -90,6 +91,19 @@ class _Loader:
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
+
+    def set_batch_slice(self, rank: int, world: int) -> None:
+        """Decode only rows ``[rank*per, (rank+1)*per)`` of every batch —
+        the multi-host pre-decode fast path used by
+        ``parallel.distributed.LocalSliceLoader``. Yields samples identical
+        to slicing the decoded global batch: the index order is already
+        seeded and augmentation seeds are per-INDEX, so skipping the other
+        hosts' rows changes nothing but the decode work (1/world of it per
+        host instead of all of it). A ragged final batch truncates to a
+        multiple of ``world`` first, matching the post-decode slicer."""
+        if not (0 <= rank < world):
+            raise ValueError(f"rank {rank} outside world {world}")
+        self._batch_slice = (rank, world)
 
     def __iter__(self):
         n = len(self.dataset)
@@ -113,6 +127,12 @@ class _Loader:
     def _iter_batches(self, order, mapper):
         for start in range(0, len(order), self.batch_size):
             idx = order[start : start + self.batch_size]
+            if self._batch_slice is not None:
+                rank, world = self._batch_slice
+                per = len(idx) // world
+                if per == 0:
+                    continue
+                idx = idx[rank * per : (rank + 1) * per]
             samples = list(mapper(self.dataset.__getitem__, idx))
             x = np.stack([s[0] for s in samples])
             y = np.stack([s[1] for s in samples])

@@ -79,15 +79,21 @@ class LocalSliceLoader:
     training batches are already uniform via drop_last, so this only
     shaves the tail of a ragged validation batch.
 
-    Decode cost note: each host decodes the full global batch and keeps
-    1/n of it — fine at this model's data rates; a pod-scale pipeline
-    would shard the file list instead.
+    Decode cost: when the underlying loader supports
+    ``set_batch_slice(rank, world)`` (the package's ``_Loader`` does),
+    slicing happens BEFORE decode — each host decodes only its own rows
+    (1/n of the work), yielding bit-identical batches because the index
+    order is globally seeded and augmentation seeds are per-index.
+    Loaders without that hook fall back to decode-then-slice.
     """
 
     def __init__(self, loader):
         self.loader = loader
         self._n = jax.process_count()
         self._i = jax.process_index()
+        self._pre_sliced = hasattr(loader, "set_batch_slice")
+        if self._pre_sliced:
+            loader.set_batch_slice(self._i, self._n)
 
     def __len__(self):
         return len(self.loader)
@@ -111,6 +117,10 @@ class LocalSliceLoader:
             self.loader.set_epoch(epoch)
 
     def __iter__(self):
+        if self._pre_sliced:
+            # underlying loader already yields only this host's rows
+            yield from self.loader
+            return
         for batch in self.loader:
             b = batch[0].shape[0]
             usable = (b // self._n) * self._n

@@ -128,6 +128,81 @@ def test_host0_owns_the_checkpoint(two_host_run):
     assert "New best model" in logs[0]
 
 
+def test_pre_decode_slice_matches_post_decode(tmp_path):
+    """set_batch_slice (decode 1/world of each batch) must yield exactly
+    the rows the post-decode slicer would keep — per-index augmentation
+    seeds make the two paths bit-identical, including the seeded shuffle,
+    ragged tails (truncate to a world multiple), and skipped sub-world
+    tails."""
+    from image_enhancement_deglaring_tpu.data import generate_synthetic_sd1
+    from image_enhancement_deglaring_tpu.data.dataset import (
+        GlareRemovalDataset,
+        _Loader,
+    )
+    from image_enhancement_deglaring_tpu.data.pipeline import list_image_paths
+
+    generate_synthetic_sd1(str(tmp_path), n_train=10, n_val=0, size=32,
+                           seed=3)
+    paths = list_image_paths(str(tmp_path) + "/train")
+
+    def fresh_loader():
+        ds = GlareRemovalDataset(paths, image_size=32, seed=7,
+                                 augment="optimized")
+        ld = _Loader(ds, 4, shuffle=True, drop_last=False, seed=11,
+                     num_workers=0)
+        ld.set_epoch(1)
+        return ld
+
+    full = [b for b in fresh_loader()]        # 10 rows -> batches of 4,4,2
+    for world in (2, 4):
+        got_per_rank = []
+        for rank in range(world):
+            ld = fresh_loader()
+            ld.set_batch_slice(rank, world)
+            got_per_rank.append(list(ld))
+        # world=4 skips the ragged 2-row tail (per==0) on every rank
+        want_batches = [b for b in full if b[0].shape[0] // world > 0]
+        for rank_batches in got_per_rank:
+            assert len(rank_batches) == len(want_batches)
+        for bi, (fx, fy) in enumerate(want_batches):
+            per = fx.shape[0] // world
+            for rank in range(world):
+                gx, gy = got_per_rank[rank][bi]
+                np.testing.assert_array_equal(
+                    gx, fx[rank * per:(rank + 1) * per])
+                np.testing.assert_array_equal(
+                    gy, fy[rank * per:(rank + 1) * per])
+
+
+def test_local_slice_loader_engages_pre_decode(tmp_path):
+    """LocalSliceLoader must detect set_batch_slice support and route
+    through the pre-decode path (world==1 here, so output == full)."""
+    from image_enhancement_deglaring_tpu.data import generate_synthetic_sd1
+    from image_enhancement_deglaring_tpu.data.dataset import (
+        GlareRemovalDataset,
+        _Loader,
+    )
+    from image_enhancement_deglaring_tpu.data.pipeline import list_image_paths
+    from image_enhancement_deglaring_tpu.parallel.distributed import (
+        LocalSliceLoader,
+    )
+
+    generate_synthetic_sd1(str(tmp_path), n_train=4, n_val=0, size=32,
+                           seed=5)
+    paths = list_image_paths(str(tmp_path) + "/train")
+    ds = GlareRemovalDataset(paths, image_size=32, seed=7)
+    ld = _Loader(ds, 2, shuffle=False, drop_last=False, seed=0,
+                 num_workers=0)
+    sliced = LocalSliceLoader(ld)
+    assert sliced._pre_sliced
+    got = [b[0] for b in sliced]
+    want = [b[0] for b in _Loader(ds, 2, shuffle=False, drop_last=False,
+                                  seed=0, num_workers=0)]
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
 def test_local_slice_loader_covers_batch_disjointly():
     """Single-process sanity for the slice arithmetic (the 2-process run
     covers the real thing): rank slices are disjoint, cover the batch, and
