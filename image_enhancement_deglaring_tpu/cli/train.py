@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 
 def parse_args(argv=None):
@@ -132,6 +133,19 @@ def main(argv=None):
 
     import jax
 
+    if args.distributed:
+        # surface what the runtime actually resolved to — a failed
+        # auto-detect initialize leaves process_count()==1 on EVERY host
+        # of a pod, and N independent "distributed" trainings silently
+        # stomping one shared output_dir is far worse than a loud warning
+        print(f"Distributed runtime: {jax.process_count()} process(es), "
+              f"{len(jax.devices())} global device(s)")
+        if jax.process_count() == 1:
+            print("WARNING: --distributed resolved to a SINGLE process. "
+                  "If this is one host of a pod, the coordinator was not "
+                  "detected — pass --coordinator_address/--num_processes/"
+                  "--process_id explicitly (explicit arguments fail loudly "
+                  "instead of degrading).", file=sys.stderr)
     if args.distributed and jax.process_count() > 1:
         if args.n_devices:
             raise SystemExit("--distributed spans the global mesh; "

@@ -83,7 +83,18 @@ class _Loader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        nb_full, tail = divmod(n, self.batch_size)
+        if self._batch_slice is not None:
+            # mirror _iter_batches exactly: batches with fewer rows than
+            # `world` are skipped (per == 0), so they must not be counted —
+            # a len>0/iterate-empty mismatch would crash consumers that
+            # peek conditionally (train_model's init peek)
+            _, world = self._batch_slice
+            count = nb_full if self.batch_size >= world else 0
+            if not self.drop_last and tail >= world:
+                count += 1
+            return count
+        return nb_full if self.drop_last else nb_full + (1 if tail else 0)
 
     @property
     def num_samples(self) -> int:
@@ -260,8 +271,13 @@ def make_dataloaders(data_dir: str, *, batch_size: int = 32, val_split: float = 
             "epoch. Lower --batch_size or provide more data.")
     train_loader = _Loader(train_ds, batch_size, shuffle=True, drop_last=True,
                            seed=seed, num_workers=num_workers)
+    # num_workers=0 means SYNCHRONOUS decode (reference DataLoader
+    # semantics) — that contract must hold for both loaders, so only a
+    # threaded train loader gets a (smaller) threaded val loader
     val_loader = _Loader(val_ds, batch_size, shuffle=False, drop_last=False,
-                         seed=seed, num_workers=max(2, num_workers // 2))
+                         seed=seed,
+                         num_workers=max(2, num_workers // 2)
+                         if num_workers > 0 else 0)
     return train_loader, val_loader
 
 

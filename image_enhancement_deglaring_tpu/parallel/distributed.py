@@ -47,6 +47,17 @@ def initialize(coordinator_address: str | None = None,
             raise
         # auto-detect mode: already initialized, or single-process env
         pass
+    if jax.process_count() > 1:
+        # Create the cross-host collective context NOW, while every rank
+        # is in lockstep (all just left initialize's coordination
+        # barrier). The first collective context handshake runs under a
+        # short backend deadline (~30 s for Gloo key exchange); if it is
+        # instead triggered lazily by the first device_put/psum, ranks
+        # can be minutes apart (compilation skew) and the handshake
+        # times out spuriously.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("distributed_init_warmup")
 
 
 def global_mesh(axis_name: str = "data"):
@@ -96,7 +107,22 @@ class LocalSliceLoader:
             loader.set_batch_slice(self._i, self._n)
 
     def __len__(self):
-        return len(self.loader)
+        if self._pre_sliced or self._n == 1:
+            # pre-sliced: the underlying _Loader's len already excludes
+            # skipped sub-world batches
+            return len(self.loader)
+        # fallback path: batches with fewer rows than process_count are
+        # skipped in __iter__, so exclude the ragged tail from the count
+        # when the loader exposes enough to see it
+        g = int(getattr(self.loader, "batch_size", 0) or 0)
+        ns = int(getattr(self.loader, "num_samples", 0) or 0)
+        if not (g and ns):
+            return len(self.loader)
+        nb_full, tail = divmod(ns, g)
+        count = nb_full if g >= self._n else 0
+        if len(self.loader) > nb_full and tail >= self._n:
+            count += 1
+        return count
 
     @property
     def batch_size(self):
@@ -105,6 +131,9 @@ class LocalSliceLoader:
 
     @property
     def num_samples(self):
+        """Per-host usable sample count (global // world). Slightly lossy
+        on ragged tails — rows beyond a world multiple are dropped by the
+        slicer, so this is the floor, not the global count."""
         g = int(getattr(self.loader, "num_samples", 0) or 0)
         return g // self._n
 

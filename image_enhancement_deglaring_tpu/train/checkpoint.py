@@ -52,12 +52,23 @@ def save_checkpoint(path: str, *, params, opt_state=None, model_state=None,
 
 
 def restore_checkpoint(path: str):
-    """Returns (item_dict, meta_dict)."""
+    """Returns (item_dict, meta_dict).
+
+    NON-collective by construction: a restore is a pure local read, but
+    ``Checkpointer.restore`` wraps it in a ``sync_global_processes``
+    barrier — which deadlocks any host-local read (e.g. host 0 seeding
+    the best-val bar in ``train.loop`` while other hosts' disks lack the
+    checkpoint). Multi-process, the barrier-free handler is used
+    directly; single-process the two paths are identical."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    ckptr = ocp.PyTreeCheckpointer()
-    item = ckptr.restore(path)
+    if jax.process_count() > 1:
+        from etils import epath
+
+        item = ocp.PyTreeCheckpointHandler().restore(epath.Path(path))
+    else:
+        item = ocp.PyTreeCheckpointer().restore(path)
     meta_path = os.path.join(path, "train_meta.json")
     meta = {}
     if os.path.exists(meta_path):

@@ -219,6 +219,19 @@ class _PaddedValLoader:
             yield x, y, mask
 
 
+def _val_pad_target(local_batch: int, mesh) -> int:
+    """Static padded size for this host's LOCAL validation batches.
+
+    Alignment target is the PER-HOST device count: each host contributes
+    ``local`` rows and ``make_array_from_process_local_data`` lays them
+    out over this host's ``mesh_size / process_count`` devices. Rounding
+    to the GLOBAL device count would inflate the assembled global batch
+    (and every validation step's FLOPs) up to process_count-fold."""
+    n_dev = mesh.devices.size if mesh is not None else 1
+    n_local = max(1, n_dev // jax.process_count())
+    return -(-local_batch // n_local) * n_local
+
+
 def train_model(model, train_loader, val_loader, *, epochs: int,
                 lr: float = 0.002362532125818593,
                 weight_decay: float = 6.753784966611083e-05,
@@ -344,9 +357,8 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
 
     # validation shards over the same mesh as training; ragged final batches
     # pad to one static, mesh-aligned shape (masked out of the metrics)
-    n_dev = mesh.devices.size if mesh is not None else 1
-    val_static_b = int(getattr(val_loader, "batch_size", sample_x.shape[0]) or 1)
-    val_static_b = -(-val_static_b // n_dev) * n_dev
+    val_static_b = _val_pad_target(
+        int(getattr(val_loader, "batch_size", sample_x.shape[0]) or 1), mesh)
     padded_val = _PaddedValLoader(val_loader, val_static_b)
 
     # ship inputs in the model's compute dtype (bf16 halves PCIe/tunnel
@@ -396,23 +408,60 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         # without this, the first post-resume epoch always "improves" on
         # inf and OVERWRITES a genuinely better pre-resume checkpoint
         best_dir = os.path.join(output_dir, "best_model")
-        if os.path.isdir(best_dir):
+        prev = None
+        # multi-host: ONLY host 0 reads (output_dir may be host-local
+        # disk, and a read that succeeds on some hosts but not others
+        # would desynchronize best_val_loss and the early-stop counter —
+        # every input to the "identical decisions on every host"
+        # invariant must be host-uniform). The result is broadcast below.
+        if is_host0 and os.path.isdir(best_dir):
             from .checkpoint import restore_checkpoint
 
             try:
                 prev_item, prev_meta = restore_checkpoint(best_dir)
                 prev_val = prev_meta.get("val_loss")
                 if prev_val is not None and np.isfinite(prev_val):
-                    best_val_loss = float(prev_val)
-                    best_params = jax.tree_util.tree_map(
-                        np.asarray, prev_item["params"])
-                    best_model_state = jax.tree_util.tree_map(
-                        np.asarray, prev_item.get("model_state", {}))
+                    prev = (float(prev_val), prev_item["params"],
+                            prev_item.get("model_state", {}))
                     print(f"Resume: keeping existing best_model "
-                          f"(val loss {best_val_loss:.4f}) as the bar")
+                          f"(val loss {prev[0]:.4f}) as the bar")
             except Exception as e:  # corrupt best: start tracking fresh
                 print(f"Resume: could not read {best_dir} ({e}); "
                       "best-model tracking restarts")
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            flag_val = multihost_utils.broadcast_one_to_all(
+                np.asarray([1.0 if prev else 0.0,
+                            prev[0] if prev else np.inf]))
+            if float(flag_val[0]) > 0.5:
+                # leaves ride the KNOWN init structures so hosts whose
+                # local disk has no best_model unflatten the same trees
+                # in the same order as host 0
+                p_flat, p_def = jax.tree_util.tree_flatten(
+                    jax.tree_util.tree_map(np.asarray, init_params))
+                src = ([np.asarray(x) for x in
+                        jax.tree_util.tree_leaves(prev[1])] if prev
+                       else [np.zeros_like(x) for x in p_flat])
+                best_params = jax.tree_util.tree_unflatten(
+                    p_def,
+                    list(multihost_utils.broadcast_one_to_all(tuple(src))))
+                s_flat, s_def = jax.tree_util.tree_flatten(
+                    jax.tree_util.tree_map(np.asarray, model_state))
+                if s_flat:
+                    src_s = ([np.asarray(x) for x in
+                              jax.tree_util.tree_leaves(prev[2])] if prev
+                             else [np.zeros_like(x) for x in s_flat])
+                    best_model_state = jax.tree_util.tree_unflatten(
+                        s_def, list(multihost_utils.broadcast_one_to_all(
+                            tuple(src_s))))
+                else:
+                    best_model_state = {}
+                best_val_loss = float(flag_val[1])
+        elif prev is not None:
+            best_val_loss = prev[0]
+            best_params = jax.tree_util.tree_map(np.asarray, prev[1])
+            best_model_state = jax.tree_util.tree_map(np.asarray, prev[2])
     epochs_without_improvement = resumed_stale_epochs
     warned_no_val = False
     history = {"train_loss": [], "val_loss": []}

@@ -54,6 +54,24 @@ def main() -> None:
         "n_leaves": len(leaves),
         "step": int(np.asarray(state.step)),
     }
+
+    # --- phase 2: resume with HOST-DIVERGENT output dirs. Rank 0's
+    # output_dir holds the phase-1 best_model; rank 1's is empty (the
+    # "output_dir is host-local disk" scenario). The best-val bar must be
+    # read by host 0 only and broadcast, so both hosts seed the SAME bar
+    # and params — a per-host read would desynchronize early stopping.
+    # epochs == the resumed epoch count, so the loop body never runs and
+    # the returned values ARE the seeded bar.
+    resume_out = ckpt_dir if rank == 0 else ckpt_dir + "_rank1_localdisk"
+    r_params, _, r_best_val, _ = train_model(
+        LightweightUNet(), train, val, epochs=2, lr=1e-3,
+        output_dir=resume_out, save_every=100, progress=False, mesh=mesh,
+        resume_from=ckpt_dir + "/best_model",
+    )
+    out["resume_best_val"] = float(r_best_val)
+    out["resume_param_abs_sum"] = float(
+        sum(np.abs(np.asarray(l)).sum()
+            for l in jax.tree_util.tree_leaves(r_params)))
     with open(out_path, "w") as f:
         json.dump(out, f)
 

@@ -235,6 +235,31 @@ def test_serve_cli_usage_errors_fail_before_model_load():
                     "--model_path", "/nonexistent.onnx"])
 
 
+def test_train_cli_distributed_single_process_warns(sd1, tmp_path,
+                                                    monkeypatch, capsys):
+    """--distributed resolving to ONE process must be loud: a failed
+    auto-detect initialize on a pod would otherwise silently run N
+    independent trainings into one shared output_dir. The run itself
+    must still complete single-host (legitimate on a 1-host slice)."""
+    from image_enhancement_deglaring_tpu.cli import train as train_cli
+    from image_enhancement_deglaring_tpu.parallel import distributed
+
+    # initialize() auto-detect in-process would try to start a real
+    # coordinator; the warning under test only depends on process_count()
+    monkeypatch.setattr(distributed, "initialize",
+                        lambda **kw: None)
+    train_cli.main([
+        "--data_dir", f"{sd1}/train", "--output_dir", str(tmp_path),
+        "--batch_size", "4", "--epochs", "1", "--image_size", "64",
+        "--num_workers", "0", "--compute_dtype", "float32",
+        "--distributed", "--n_devices", "1",
+    ])
+    captured = capsys.readouterr()
+    assert "Distributed runtime: 1 process(es)" in captured.out
+    assert "resolved to a SINGLE process" in captured.err
+    assert os.path.isdir(os.path.join(str(tmp_path), "best_model"))
+
+
 def test_train_cli_rejects_remat_for_unsupported_families(tmp_path):
     """--remat only exists on LightweightUNet; silently dropping it would
     leave the user OOMing with the memory knob doing nothing."""

@@ -346,6 +346,24 @@ def test_prefetcher_abandoned_iteration_stops_worker():
 # ------------------------------------------- round-3 data review fixes
 
 
+def test_num_workers_zero_applies_to_val_loader_too(sd1_dir):
+    """num_workers=0 promises synchronous in-process decode (reference
+    DataLoader semantics) — the VAL loader must honor it as well, not
+    silently keep a thread pool."""
+    train_loader, val_loader = make_dataloaders(
+        sd1_dir + "/train", batch_size=4, val_split=0.25, seed=42,
+        image_size=64, num_workers=0,
+    )
+    assert train_loader.num_workers == 0
+    assert val_loader.num_workers == 0
+    # threaded case unchanged: val gets a smaller pool
+    _, val_threaded = make_dataloaders(
+        sd1_dir + "/train", batch_size=4, val_split=0.25, seed=42,
+        image_size=64, num_workers=8,
+    )
+    assert val_threaded.num_workers == 4
+
+
 def test_make_dataloaders_rejects_zero_train_batches(sd1_dir):
     """train split smaller than batch_size + drop_last would run ZERO steps
     per epoch and save the init-weight model as 'best' — must raise."""

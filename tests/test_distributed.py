@@ -128,6 +128,18 @@ def test_host0_owns_the_checkpoint(two_host_run):
     assert "New best model" in logs[0]
 
 
+def test_resume_best_bar_is_host_uniform(two_host_run):
+    """Resume phase with HOST-DIVERGENT output dirs (only rank 0's holds
+    the best_model): host 0 reads the bar and broadcasts, so both hosts
+    seed the same best-val and params — a per-host read would let
+    early-stop counters diverge and hang the pod's collectives."""
+    _, (r0, r1), _ = two_host_run
+    assert r0["resume_best_val"] == r1["resume_best_val"]
+    assert r0["resume_best_val"] == pytest.approx(r0["best_val"])
+    assert r0["resume_param_abs_sum"] == r1["resume_param_abs_sum"]
+    assert r0["resume_param_abs_sum"] == pytest.approx(r0["param_abs_sum"])
+
+
 def test_pre_decode_slice_matches_post_decode(tmp_path):
     """set_batch_slice (decode 1/world of each batch) must yield exactly
     the rows the post-decode slicer would keep — per-index augmentation
@@ -164,6 +176,12 @@ def test_pre_decode_slice_matches_post_decode(tmp_path):
         want_batches = [b for b in full if b[0].shape[0] // world > 0]
         for rank_batches in got_per_rank:
             assert len(rank_batches) == len(want_batches)
+        # __len__ must mirror iteration (skipped sub-world batches
+        # excluded): a len>0/iterate-empty loader would crash
+        # train_model's conditional init peek
+        ld = fresh_loader()
+        ld.set_batch_slice(0, world)
+        assert len(ld) == len(want_batches)
         for bi, (fx, fy) in enumerate(want_batches):
             per = fx.shape[0] // world
             for rank in range(world):
@@ -222,3 +240,49 @@ def test_local_slice_loader_covers_batch_disjointly():
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
     assert sliced.num_samples == 10 and sliced.batch_size == 4
+
+
+def test_fallback_len_excludes_skipped_tail():
+    """Post-decode fallback path: __iter__ skips batches with fewer rows
+    than the process count, and __len__ must agree (simulated world=4 by
+    overriding the instance's rank/world — process_count() is 1 here)."""
+    from image_enhancement_deglaring_tpu.parallel.distributed import (
+        LocalSliceLoader,
+    )
+    from tests.loaders import ArrayLoader
+
+    x = np.arange(20, dtype=np.float32).reshape(10, 2)
+    sliced = LocalSliceLoader(ArrayLoader(x, x, 4, ragged_tail=True))
+    sliced._pre_sliced = False
+    sliced._n, sliced._i = 4, 0
+    got = list(sliced)
+    assert len(got) == 2            # the 2-row tail is skipped (2 < 4)
+    assert len(sliced) == 2         # len mirrors iteration
+    for b in got:
+        assert b[0].shape[0] == 1   # 4 rows // world 4
+
+    # world larger than the batch size: every batch skips, len is 0
+    tiny = LocalSliceLoader(ArrayLoader(x, x, 4, ragged_tail=True))
+    tiny._pre_sliced = False
+    tiny._n, tiny._i = 8, 0
+    assert list(tiny) == [] and len(tiny) == 0
+
+
+def test_val_pad_target_uses_local_device_count(monkeypatch):
+    """Multi-host validation padding aligns to the PER-HOST device count:
+    rounding the local batch to the GLOBAL count would inflate the
+    assembled global batch (and every val step's FLOPs) process_count-
+    fold."""
+    import jax
+
+    from image_enhancement_deglaring_tpu.parallel import make_mesh
+    from image_enhancement_deglaring_tpu.train.loop import _val_pad_target
+
+    mesh = make_mesh()  # 8 virtual devices
+    assert _val_pad_target(4, None) == 4          # no mesh: untouched
+    assert _val_pad_target(4, mesh) == 8          # 1 process: global count
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    assert _val_pad_target(4, mesh) == 4          # 2 hosts x 4 devices
+    assert _val_pad_target(5, mesh) == 8
+    monkeypatch.setattr(jax, "process_count", lambda: 8)
+    assert _val_pad_target(4, mesh) == 4          # 8 hosts x 1 device
