@@ -90,6 +90,15 @@ def main(argv=None):
         distributed.initialize(coordinator_address=args.coordinator_address,
                                num_processes=args.num_processes,
                                process_id=args.process_id)
+    elif any(a is not None for a in (args.coordinator_address,
+                                     args.num_processes, args.process_id)):
+        # without this, N pod hosts launched with explicit coordinator
+        # flags but a forgotten --distributed would run N INDEPENDENT
+        # trainings silently stomping one shared output_dir
+        raise SystemExit(
+            "--coordinator_address/--num_processes/--process_id require "
+            "--distributed (refusing to fall back to an independent "
+            "single-host run)")
     import jax.numpy as jnp
 
     from ..data import make_dataloaders

@@ -66,6 +66,24 @@ class GlareRemovalDataset:
         return glared[..., None], gt[..., None]
 
 
+def sliced_batch_count(num_samples: int, batch_size: int, world: int,
+                       drop_last: bool) -> int:
+    """Number of batches a ``world``-way sliced iteration yields.
+
+    THE single source of truth for the multi-host skip rule: a batch with
+    fewer rows than ``world`` is skipped entirely (each host's share would
+    be empty), and a ragged tail only survives if it still has >= ``world``
+    rows. Both ``_Loader.__len__`` and
+    ``parallel.distributed.LocalSliceLoader.__len__`` must delegate here —
+    a drifted copy produces a len>0/iterate-empty loader that crashes
+    ``train_model``'s conditional init peek."""
+    nb_full, tail = divmod(num_samples, batch_size)
+    count = nb_full if batch_size >= world else 0
+    if not drop_last and tail >= world:
+        count += 1
+    return count
+
+
 class _Loader:
     """Epoch iterator yielding fixed-shape NHWC numpy batches."""
 
@@ -83,17 +101,12 @@ class _Loader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        nb_full, tail = divmod(n, self.batch_size)
         if self._batch_slice is not None:
-            # mirror _iter_batches exactly: batches with fewer rows than
-            # `world` are skipped (per == 0), so they must not be counted —
-            # a len>0/iterate-empty mismatch would crash consumers that
-            # peek conditionally (train_model's init peek)
+            # mirror _iter_batches exactly (see sliced_batch_count)
             _, world = self._batch_slice
-            count = nb_full if self.batch_size >= world else 0
-            if not self.drop_last and tail >= world:
-                count += 1
-            return count
+            return sliced_batch_count(n, self.batch_size, world,
+                                      self.drop_last)
+        nb_full, tail = divmod(n, self.batch_size)
         return nb_full if self.drop_last else nb_full + (1 if tail else 0)
 
     @property

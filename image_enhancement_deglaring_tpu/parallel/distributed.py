@@ -112,17 +112,19 @@ class LocalSliceLoader:
             # skipped sub-world batches
             return len(self.loader)
         # fallback path: batches with fewer rows than process_count are
-        # skipped in __iter__, so exclude the ragged tail from the count
-        # when the loader exposes enough to see it
+        # skipped in __iter__; the skip rule lives in ONE place
+        # (data.dataset.sliced_batch_count) so this count cannot drift
+        # from _Loader's
         g = int(getattr(self.loader, "batch_size", 0) or 0)
         ns = int(getattr(self.loader, "num_samples", 0) or 0)
         if not (g and ns):
             return len(self.loader)
-        nb_full, tail = divmod(ns, g)
-        count = nb_full if g >= self._n else 0
-        if len(self.loader) > nb_full and tail >= self._n:
-            count += 1
-        return count
+        from ..data.dataset import sliced_batch_count
+
+        # drop_last is inferred: a loader already excluding the ragged
+        # tail reports len == num_samples // batch_size
+        return sliced_batch_count(ns, g, self._n,
+                                  drop_last=len(self.loader) <= ns // g)
 
     @property
     def batch_size(self):

@@ -77,6 +77,93 @@ def restore_checkpoint(path: str):
     return item, meta
 
 
+def restore_checkpoint_all_hosts(path: str, *, params_template,
+                                 opt_state_template=None,
+                                 model_state_template=None):
+    """``(item, meta)`` with HOST-0 AUTHORITY for multi-host resume.
+
+    Host 0 performs the local read; leaves and meta are broadcast so every
+    host starts from bitwise-identical state even when ``path`` is
+    host-local disk or a lagging mirror. A host-0 read failure (or a
+    checkpoint whose structure does not match the current model/optimizer)
+    raises the SAME error on EVERY rank — per-host barrier-free reads
+    crash some ranks and leave the rest hanging in the next collective.
+    Single-process this is exactly ``restore_checkpoint``.
+
+    Templates define the broadcast leaf structure (each host contributes
+    its own canonical zeros, host 0 contributes the restored leaves), so
+    hosts whose disks lack the checkpoint entirely still unflatten the
+    same trees in the same order as host 0.
+    """
+    if jax.process_count() <= 1:
+        return restore_checkpoint(path)
+    from jax.experimental import multihost_utils
+
+    is0 = jax.process_index() == 0
+    templates = {"params": params_template}
+    if opt_state_template is not None:
+        templates["opt_state"] = opt_state_template
+    if model_state_template:
+        templates["model_state"] = model_state_template
+
+    item, meta, err = None, None, ""
+    present: list[str] = []
+    if is0:
+        try:
+            item, meta = restore_checkpoint(path)
+            for key, tmpl in templates.items():
+                if key not in item:
+                    if key == "model_state":
+                        continue  # legal: loop falls back to init stats
+                    raise KeyError(f"checkpoint has no '{key}' tree")
+                got = [np.asarray(x)
+                       for x in jax.tree_util.tree_leaves(item[key])]
+                want = jax.tree_util.tree_leaves(tmpl)
+                if len(got) != len(want) or any(
+                        g.shape != np.shape(w)
+                        for g, w in zip(got, want)):
+                    raise ValueError(
+                        f"checkpoint '{key}' does not match the current "
+                        f"model/optimizer structure ({len(got)} leaves vs "
+                        f"{len(want)} expected — resumed with a different "
+                        "--model?)")
+                present.append(key)
+        except Exception as e:  # broadcast the failure; raise on ALL ranks
+            err = f"{type(e).__name__}: {e}"
+            item, meta = None, None
+    # phase 1: status + JSON meta ride a length-prefixed byte broadcast
+    # (scalar first so the payload shape is host-uniform)
+    payload = (json.dumps({"err": err} if err
+                          else {"meta": meta, "present": present})
+               .encode() if is0 else b"")
+    n = int(multihost_utils.broadcast_one_to_all(
+        np.asarray(len(payload), np.int64)))
+    buf = np.zeros(n, np.uint8)
+    if is0:
+        buf[:] = np.frombuffer(payload, np.uint8)
+    decoded = json.loads(
+        bytes(np.asarray(multihost_utils.broadcast_one_to_all(buf)))
+        .decode())
+    if "err" in decoded:
+        raise RuntimeError(
+            f"multi-host resume: host 0 could not restore {path}: "
+            f"{decoded['err']}")
+    meta = decoded["meta"]
+    # phase 2: tree leaves, cast to the template dtypes so every rank
+    # contributes identically-typed buffers to the collective
+    out = {}
+    for key in decoded["present"]:
+        flat, treedef = jax.tree_util.tree_flatten(templates[key])
+        tmpl_np = [np.asarray(w) for w in flat]
+        src = ([np.asarray(x).astype(w.dtype) for x, w in
+                zip(jax.tree_util.tree_leaves(item[key]), tmpl_np)]
+               if is0 else [np.zeros_like(w) for w in tmpl_np])
+        out[key] = jax.tree_util.tree_unflatten(
+            treedef,
+            list(multihost_utils.broadcast_one_to_all(tuple(src))))
+    return out, meta
+
+
 def restore_params(path: str):
     """Params-only restore (for eval / serving)."""
     item, _ = restore_checkpoint(path)

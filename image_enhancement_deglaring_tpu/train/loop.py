@@ -295,9 +295,19 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
 
     resumed_stale_epochs = 0
     if resume_from is not None:
-        from .checkpoint import restore_checkpoint
+        from .checkpoint import restore_checkpoint, restore_checkpoint_all_hosts
 
-        item, meta = restore_checkpoint(resume_from)
+        if jax.process_count() > 1:
+            # host 0 reads, everyone receives: a per-host read of a
+            # host-local/lagging checkpoint dir crashes some ranks and
+            # hangs the rest, and a host missing train_meta.json would
+            # silently start at a different epoch (divergent collectives)
+            item, meta = restore_checkpoint_all_hosts(
+                resume_from, params_template=init_params,
+                opt_state_template=state.opt_state,
+                model_state_template=model_state)
+        else:
+            item, meta = restore_checkpoint(resume_from)
         restored_params = jax.tree_util.tree_map(jnp.asarray, item["params"])
         # restore opt_state into the canonical optax structure (orbax
         # round-trips NamedTuples as plain dicts)
@@ -417,12 +427,28 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         if is_host0 and os.path.isdir(best_dir):
             from .checkpoint import restore_checkpoint
 
+            def _leaves_match(tree, template):
+                a = jax.tree_util.tree_leaves(tree)
+                b = jax.tree_util.tree_leaves(template)
+                return len(a) == len(b) and all(
+                    np.shape(x) == np.shape(y) for x, y in zip(a, b))
+
             try:
                 prev_item, prev_meta = restore_checkpoint(best_dir)
                 prev_val = prev_meta.get("val_loss")
-                if prev_val is not None and np.isfinite(prev_val):
-                    prev = (float(prev_val), prev_item["params"],
-                            prev_item.get("model_state", {}))
+                prev_ms = prev_item.get("model_state", {})
+                # structure gate BEFORE any use (and before the multi-host
+                # flag broadcast): an output_dir reused across --model
+                # families would otherwise feed mismatched leaves into
+                # broadcast_one_to_all (cross-host hang) or save a
+                # wrong-family best_model
+                if not (_leaves_match(prev_item["params"], init_params)
+                        and _leaves_match(prev_ms, model_state)):
+                    print(f"Resume: existing best_model in {best_dir} has "
+                          "a different parameter structure (different "
+                          "--model?); best-model tracking restarts")
+                elif prev_val is not None and np.isfinite(prev_val):
+                    prev = (float(prev_val), prev_item["params"], prev_ms)
                     print(f"Resume: keeping existing best_model "
                           f"(val loss {prev[0]:.4f}) as the bar")
             except Exception as e:  # corrupt best: start tracking fresh

@@ -55,23 +55,41 @@ def main() -> None:
         "step": int(np.asarray(state.step)),
     }
 
-    # --- phase 2: resume with HOST-DIVERGENT output dirs. Rank 0's
-    # output_dir holds the phase-1 best_model; rank 1's is empty (the
-    # "output_dir is host-local disk" scenario). The best-val bar must be
-    # read by host 0 only and broadcast, so both hosts seed the SAME bar
-    # and params — a per-host read would desynchronize early stopping.
-    # epochs == the resumed epoch count, so the loop body never runs and
-    # the returned values ARE the seeded bar.
+    # --- phase 2: resume with HOST-DIVERGENT paths. Rank 0's output_dir
+    # holds the phase-1 best_model; rank 1's is empty AND rank 1's
+    # resume_from points at a dir that does not exist (the "checkpoints
+    # live on host-local disk" scenario). Host 0 is the only reader for
+    # BOTH the checkpoint restore and the best-val bar; everything else
+    # arrives by broadcast — a per-host read would crash rank 1 here and
+    # desynchronize early stopping in general. epochs == the resumed
+    # epoch count, so the loop body never runs and the returned values
+    # ARE the seeded bar.
     resume_out = ckpt_dir if rank == 0 else ckpt_dir + "_rank1_localdisk"
+    resume_src = (ckpt_dir if rank == 0
+                  else ckpt_dir + "_missing_on_rank1") + "/best_model"
     r_params, _, r_best_val, _ = train_model(
         LightweightUNet(), train, val, epochs=2, lr=1e-3,
         output_dir=resume_out, save_every=100, progress=False, mesh=mesh,
-        resume_from=ckpt_dir + "/best_model",
+        resume_from=resume_src,
     )
     out["resume_best_val"] = float(r_best_val)
     out["resume_param_abs_sum"] = float(
         sum(np.abs(np.asarray(l)).sum()
             for l in jax.tree_util.tree_leaves(r_params)))
+
+    # --- phase 3: resume from a checkpoint that exists NOWHERE. Every
+    # rank must raise the SAME loud error (host 0 broadcasts its failure)
+    # instead of rank-local crashes that leave the others hanging in the
+    # next collective.
+    try:
+        train_model(
+            LightweightUNet(), train, val, epochs=2, lr=1e-3,
+            output_dir=resume_out, save_every=100, progress=False,
+            mesh=mesh, resume_from=ckpt_dir + "_nowhere/best_model",
+        )
+        out["resume_missing_err"] = ""
+    except RuntimeError as e:
+        out["resume_missing_err"] = str(e)
     with open(out_path, "w") as f:
         json.dump(out, f)
 

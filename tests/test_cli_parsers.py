@@ -16,6 +16,20 @@ def test_train_parser_defaults():
     assert args.patience == 10 and args.clip_grad_norm == 1.0
 
 
+def test_train_coordinator_flags_require_distributed():
+    """Explicit pod-launch flags without --distributed must refuse to run:
+    silently ignoring them would start N INDEPENDENT trainings stomping
+    one shared output_dir (the guard fires before any data/jax work, so
+    the bogus data_dir is never touched)."""
+    from image_enhancement_deglaring_tpu.cli.train import main
+
+    for flags in (["--num_processes", "2"],
+                  ["--coordinator_address", "host0:1234"],
+                  ["--process_id", "0"]):
+        with pytest.raises(SystemExit, match="--distributed"):
+            main(["--data_dir", "/nonexistent"] + flags)
+
+
 def test_evaluate_parser_defaults():
     from image_enhancement_deglaring_tpu.cli.evaluate import parse_args
 

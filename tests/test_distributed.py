@@ -130,14 +130,46 @@ def test_host0_owns_the_checkpoint(two_host_run):
 
 def test_resume_best_bar_is_host_uniform(two_host_run):
     """Resume phase with HOST-DIVERGENT output dirs (only rank 0's holds
-    the best_model): host 0 reads the bar and broadcasts, so both hosts
-    seed the same best-val and params — a per-host read would let
-    early-stop counters diverge and hang the pod's collectives."""
+    the best_model) AND a host-divergent resume_from (rank 1's path does
+    not exist): host 0 is the only reader for both the checkpoint restore
+    and the best bar, everything broadcast — a per-host read would crash
+    rank 1 outright and let early-stop counters diverge in general."""
     _, (r0, r1), _ = two_host_run
     assert r0["resume_best_val"] == r1["resume_best_val"]
     assert r0["resume_best_val"] == pytest.approx(r0["best_val"])
     assert r0["resume_param_abs_sum"] == r1["resume_param_abs_sum"]
     assert r0["resume_param_abs_sum"] == pytest.approx(r0["param_abs_sum"])
+
+
+def test_resume_missing_everywhere_fails_uniformly(two_host_run):
+    """Resume from a checkpoint no host has: EVERY rank raises the same
+    loud RuntimeError (host 0 broadcasts its read failure) instead of a
+    rank-local crash that hangs the survivors in the next collective."""
+    _, (r0, r1), _ = two_host_run
+    for r in (r0, r1):
+        assert "host 0 could not restore" in r["resume_missing_err"]
+    assert r0["resume_missing_err"] == r1["resume_missing_err"]
+
+
+def test_sliced_batch_count_matches_iteration_rule():
+    """The shared skip-rule helper must agree with a brute-force replay of
+    _iter_batches' arithmetic for every small configuration — _Loader and
+    LocalSliceLoader both delegate to it, so this pins the single source
+    of truth they share."""
+    from image_enhancement_deglaring_tpu.data.dataset import (
+        sliced_batch_count,
+    )
+
+    for ns in range(1, 13):
+        for bs in (1, 2, 3, 4, 5, 8):
+            for world in (1, 2, 3, 4, 8):
+                for drop_last in (False, True):
+                    limit = (ns // bs) * bs if drop_last else ns
+                    want = sum(
+                        1 for start in range(0, limit, bs)
+                        if min(bs, limit - start) >= world)
+                    got = sliced_batch_count(ns, bs, world, drop_last)
+                    assert got == want, (ns, bs, world, drop_last)
 
 
 def test_pre_decode_slice_matches_post_decode(tmp_path):

@@ -290,6 +290,44 @@ def test_resume_preserves_better_preexisting_best(tmp_path, toy_data):
         assert np.all(np.asarray(leaf) == 0.125)  # not overwritten
 
 
+def test_resume_mismatched_best_structure_restarts_tracking(
+        tmp_path, toy_data, capsys):
+    """An output_dir reused across --model families: the planted best_model
+    has a DIFFERENT parameter structure than the resumed model. The bar
+    seeding must detect the mismatch and restart tracking (multi-host it
+    would otherwise feed mismatched leaves into broadcast_one_to_all and
+    hang the pod), then overwrite with a real same-family best."""
+    from image_enhancement_deglaring_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    x, y = toy_data
+    train_loader = _ArrayLoader(x[:8], y[:8], 4)
+    val_loader = _ArrayLoader(x[8:], y[8:], 4)
+    out = tmp_path / "run"
+    train_model(_MODEL, train_loader, val_loader, epochs=1, lr=1e-3,
+                output_dir=str(out), save_every=1, progress=False)
+    good = restore_checkpoint(str(out / "checkpoint_epoch_1"))[0]["params"]
+    # every leaf gets an extra trailing axis: wrong-family stand-in with an
+    # unbeatable val loss — taking it as the bar would keep it forever
+    alien = jax.tree_util.tree_map(
+        lambda a: np.asarray(a)[..., None], good)
+    save_checkpoint(str(out / "best_model"), params=alien, epoch=0,
+                    val_loss=1e-9)
+    _, _, best_val, _ = train_model(
+        _MODEL, train_loader, val_loader, epochs=2, lr=1e-3,
+        output_dir=str(out), save_every=100, progress=False,
+        resume_from=str(out / "checkpoint_epoch_1"),
+    )
+    assert "different parameter structure" in capsys.readouterr().out
+    assert best_val > 1e-6  # bar restarted fresh, not the planted 1e-9
+    kept = restore_checkpoint(str(out / "best_model"))[0]["params"]
+    for a, b in zip(jax.tree_util.tree_leaves(kept),
+                    jax.tree_util.tree_leaves(good)):
+        assert np.asarray(a).shape == np.asarray(b).shape  # real overwrite
+
+
 def _RaggedLoader(x, y, batch_size):
     """ArrayLoader that also yields the final partial batch."""
     return _ArrayLoader(x, y, batch_size, ragged_tail=True)
