@@ -13,6 +13,10 @@ def parse_args(argv=None):
                    help="Path to input image or directory")
     p.add_argument("--output_dir", type=str, default="./results")
     p.add_argument("--model_path", type=str, default="./models/best_model")
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="images per device batch in resize mode "
+                        "(reference: main.py:19); tile mode batches each "
+                        "image's tiles internally and ignores this")
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--mode", type=str, default="resize", choices=["resize", "tile"])
@@ -36,15 +40,17 @@ def main(argv=None):
 
     print(f"Model loaded successfully - Size: {get_model_size_mb(params):.2f} MB")
 
+    batch_size = max(1, args.batch_size)
     if args.mode == "tile":
         tiler = TiledInference(apply_fn, params, tile=args.image_size,
                                compute_dtype=jnp.float32)
-        run = lambda u8: tiler(u8)
+        if args.batch_size > 1:
+            print("Note: tile mode batches each image's tiles internally; "
+                  "--batch_size is ignored")
     else:
         engine = InferenceEngine(apply_fn, params, image_size=args.image_size,
-                                 max_batch_size=1, compute_dtype=jnp.float32,
-                                 warmup=False)
-        run = engine.infer_one
+                                 max_batch_size=batch_size,
+                                 compute_dtype=jnp.float32, warmup=False)
 
     if os.path.isfile(args.input):
         files = [args.input]
@@ -57,15 +63,25 @@ def main(argv=None):
     else:
         raise SystemExit(f"Input path not found: {args.input}")
 
-    written: set[str] = set()
-    for path in files:
-        print(f"Processing image: {path}")
+    def results():
         if args.mode == "tile":
-            img = np.asarray(Image.open(path).convert("L"))
-            out = run(img.astype(np.uint8))
-        else:
-            x = decode_inference_image(path, args.image_size)  # float [0,1]
-            out = run((x * 255).astype(np.uint8))
+            for path in files:
+                print(f"Processing image: {path}")
+                img = np.asarray(Image.open(path).convert("L"))
+                yield path, tiler(img.astype(np.uint8))
+            return
+        for c0 in range(0, len(files), batch_size):
+            chunk = files[c0 : c0 + batch_size]
+            for path in chunk:
+                print(f"Processing image: {path}")
+            xs = np.stack([
+                (decode_inference_image(p, args.image_size) * 255)
+                .astype(np.uint8) for p in chunk])  # float [0,1] -> uint8
+            for path, out in zip(chunk, engine.infer_batch(xs)):
+                yield path, out
+
+    written: set[str] = set()
+    for path, out in results():
         # always write PNG (documented contract; reference: main.py:98) —
         # keeping a .jpg name would save lossy AND collide with the
         # visualization path below; uniquify if two inputs share a stem

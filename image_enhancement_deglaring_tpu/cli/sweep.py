@@ -14,6 +14,10 @@ def parse_args(argv=None):
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max_epochs", type=int, default=50)
+    p.add_argument("--early_stop_patience", type=int, default=10,
+                   help="retire a trial after this many epochs without val "
+                        "improvement (reference sweep.py:35 passes the same "
+                        "patience into every trial's train_model); 0 = off")
     p.add_argument("--early_stop_min_iter", type=int, default=10,
                    help="Hyperband min_iter (reference sweep.py:51)")
     p.add_argument("--eta", type=int, default=3,
@@ -56,7 +60,20 @@ def parse_args(argv=None):
     # mirroring is opt-in here and degrades to local JSONL without network
     p.add_argument("--use_wandb", action="store_true",
                    help="mirror each finished trial to W&B as its own run")
-    p.add_argument("--wandb_project", type=str, default="glare-removal-sweep")
+    # --sweep_project/--sweep_entity are the reference's flag names
+    # (reference: sweep.py:28-29); --wandb_* match our train CLI
+    p.add_argument("--wandb_project", "--sweep_project", type=str,
+                   default="glare-removal-sweep")
+    p.add_argument("--wandb_entity", "--sweep_entity", type=str, default=None,
+                   help="W&B entity (team) for mirrored trial runs")
+    # loader-compatibility flags (reference: sweep.py:36-37): prefetch maps
+    # to the DevicePrefetcher depth; the threaded loader keeps its workers
+    # alive between epochs regardless, so persistent_workers is a no-op
+    p.add_argument("--prefetch_factor", type=int, default=2,
+                   help="device-prefetch depth per trial group")
+    p.add_argument("--persistent_workers", action="store_true",
+                   help="accepted for reference-command compatibility (the "
+                        "threaded loader is always persistent)")
     return p.parse_args(argv)
 
 
@@ -105,7 +122,8 @@ def main(argv=None):
         try:
             from ..parallel.sweep import WandbSweepMirror
 
-            wandb_mirror = WandbSweepMirror(project=args.wandb_project)
+            wandb_mirror = WandbSweepMirror(project=args.wandb_project,
+                                            entity=args.wandb_entity)
         except Exception as e:  # wandb missing/unconfigured: JSONL only
             print(f"wandb unavailable ({e}); sweep telemetry stays local")
 
@@ -143,7 +161,8 @@ def main(argv=None):
         output_dir=args.output_dir, logger=logger, space=space,
         max_parallel_trials=args.parallel_trials, wandb_mirror=wandb_mirror,
         resident=args.resident_data, augment_fn=augment_fn,
-        halving=args.halving,
+        halving=args.halving, early_stop_patience=args.early_stop_patience,
+        prefetch=args.prefetch_factor,
     )
     best = result["best"]
     if best is None:

@@ -22,6 +22,21 @@ def parse_args(argv=None):
                    choices=["basic", "enhanced", "optimized"])
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--wandb_project", type=str, default="image-deglaring")
+    p.add_argument("--wandb_entity", type=str, default=None,
+                   help="W&B entity (team) name (reference: "
+                        "optimized_train.py:50)")
+    # reference-command compatibility (reference: optimized_train.py:51,
+    # :58-59): AMP's TPU equivalent is bf16 compute, which is already the
+    # default; prefetch_factor maps to the device-prefetch depth; the
+    # threaded loader keeps workers alive between epochs regardless
+    p.add_argument("--use_amp", action="store_true",
+                   help="mixed precision = bf16 compute on TPU (the "
+                        "default); conflicts with --compute_dtype float32")
+    p.add_argument("--prefetch_factor", type=int, default=2,
+                   help="batches decoded + transferred ahead of the step")
+    p.add_argument("--persistent_workers", action="store_true",
+                   help="accepted for reference-command compatibility (the "
+                        "threaded loader is always persistent)")
     p.add_argument("--weight_decay", type=float, default=0.00006753784966611083)
     p.add_argument("--clip_grad_norm", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=42)
@@ -75,6 +90,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.use_amp and args.compute_dtype == "float32":
+        raise SystemExit("--use_amp requests mixed precision (bf16 on TPU) "
+                         "but --compute_dtype float32 forbids it — drop one")
     if args.model != "basic" and args.remat:
         # only LightweightUNet implements block rematerialization; silently
         # dropping the flag would leave the user OOMing with the memory
@@ -189,7 +207,8 @@ def main(argv=None):
     # N hosts appending to one shared logs/ would interleave duplicates)
     logger = ExperimentLogger(
         os.path.join(args.output_dir, "logs"), use_wandb=args.use_wandb,
-        project=args.wandb_project, config=vars(args),
+        project=args.wandb_project, entity=args.wandb_entity,
+        config=vars(args),
     ) if jax.process_index() == 0 else None
 
     best_params, best_model_state, best_val, _state = train_model(
@@ -202,6 +221,7 @@ def main(argv=None):
         logger=logger, resume_from=args.resume, watch_every=args.watch_every,
         profile_dir=args.profile_dir, profile_steps=args.profile_steps,
         device_augment=device_augment, resident=args.resident_data,
+        prefetch=args.prefetch_factor,
     )
 
     from ..train import save_checkpoint

@@ -142,9 +142,11 @@ class VmappedTrialGroup:
 
     def __init__(self, model, trials: list[Trial], *, clip_grad_norm: float = 1.0,
                  mesh=None, seed: int = 42, plateau_patience: int = 5,
-                 plateau_factor: float = 0.5, augment_fn=None):
+                 plateau_factor: float = 0.5, augment_fn=None,
+                 prefetch: int = 2):
         self.model = model
         self.trials = trials
+        self._prefetch = prefetch
         self.mesh = mesh
         self.batch_size = trials[0].batch_size
         assert all(t.batch_size == self.batch_size for t in trials), \
@@ -374,6 +376,7 @@ class VmappedTrialGroup:
         per_batch = []
         for i, (x, y) in enumerate(
                 DevicePrefetcher(train_loader, sharding=self._data_sharding,
+                                 prefetch=self._prefetch,
                                  input_dtype=self._input_dtype)):
             (self.params, self.model_state, self.opt_state,
              losses) = self._train_step(
@@ -392,6 +395,7 @@ class VmappedTrialGroup:
         weights = []
         for x, y in DevicePrefetcher(val_loader,
                                      sharding=self._data_sharding,
+                                     prefetch=self._prefetch,
                                      input_dtype=self._input_dtype):
             per_batch.append(
                 self._val_step(self.params, self.model_state, x, y))
@@ -527,20 +531,26 @@ class WandbSweepMirror:
     Mirroring is best-effort: a wandb/network failure never kills the
     sweep (local JSONL + sweep_results.json stay the source of truth)."""
 
-    def __init__(self, project: str | None = None, group: str | None = None):
+    def __init__(self, project: str | None = None, group: str | None = None,
+                 entity: str | None = None):
         import time
 
         import wandb  # caller gates on importability
 
         self._wandb = wandb
         self.project = project
+        self.entity = entity
         self.group = group or f"sweep-{int(time.time())}"
         self.mirrored: list[int] = []
+        # set once by run_sweep from the first trial group's param shapes;
+        # the reference logs the trained model's size into every trial run
+        # (reference: sweep.py:209-210)
+        self.model_size_mb: float | None = None
 
     def mirror_trial(self, trial: "Trial") -> None:
         try:
             run = self._wandb.init(
-                project=self.project, group=self.group,
+                project=self.project, entity=self.entity, group=self.group,
                 name=f"trial_{trial.trial_id}", reinit=True,
                 config={"batch_size": trial.batch_size, "lr": trial.lr,
                         "weight_decay": trial.wd},
@@ -548,6 +558,8 @@ class WandbSweepMirror:
             for epoch, v in enumerate(trial.val_losses):
                 run.log({"val_loss": v}, step=epoch)
             run.summary["best_val_loss"] = trial.best_val_loss
+            if self.model_size_mb is not None:
+                run.summary["final_model_size_mb"] = self.model_size_mb
             if trial.stopped_at is not None:
                 run.summary["stopped_at_epoch"] = trial.stopped_at
             run.finish()
@@ -579,7 +591,8 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
               logger=None, max_parallel_trials: int = 0,
               wandb_mirror: WandbSweepMirror | None = None,
               resident: bool = False, augment_fn=None,
-              halving: str = "compact") -> dict:
+              halving: str = "compact", early_stop_patience: int = 0,
+              prefetch: int = 2) -> dict:
     """Run a sweep; returns {'best': Trial-dict, 'trials': [...]}.
 
     Args:
@@ -605,6 +618,16 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
             (recompiles the group step at the new size); "mask" retires
             slots with static shapes — zero rung recompiles, dead slots
             keep computing (VmappedTrialGroup.keep).
+        early_stop_patience: per-trial early stopping — a trial whose val
+            loss has not improved for this many consecutive epochs is
+            retired (0 = off). The reference applies the same patience
+            inside each trial's train_model (reference: sweep.py:35,
+            :179-196 -> optimized_train.py:351-356). Retirement always
+            uses mask mode (no recompile); retired trials stay eligible
+            for best-trial selection — unlike halving drops, a plateaued
+            trial can still be the best.
+        prefetch: DevicePrefetcher depth for the group's train/val loaders
+            (the reference's DataLoader prefetch_factor analogue).
     """
     space = space or SearchSpace()
     rng = np.random.default_rng(seed)
@@ -679,12 +702,28 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
                 group_trials = bs_trials[g0 : g0 + chunk]
                 group = VmappedTrialGroup(model_factory(), group_trials,
                                           mesh=mesh, seed=seed,
-                                          augment_fn=augment_fn)
+                                          augment_fn=augment_fn,
+                                          prefetch=prefetch)
+                if (wandb_mirror is not None
+                        and wandb_mirror.model_size_mb is None):
+                    # per-trial f32 param bytes from metadata (axis 0 is the
+                    # stacked trial axis) — no device fetch
+                    wandb_mirror.model_size_mb = sum(
+                        int(np.prod(x.shape[1:])) * np.dtype(x.dtype).itemsize
+                        for x in jax.tree_util.tree_leaves(group.params)
+                    ) / (1024 * 1024)
                 epoch = 0
                 # host snapshot of each trial's params at its BEST epoch —
                 # end-of-training weights can be worse than the best loss
                 # the results file reports
                 best_snap: dict[int, dict] = {}
+                # per-trial early stopping (reference: each trial's
+                # train_model stops after `patience` stale epochs,
+                # optimized_train.py:351-356): finite-aware best + stale
+                # counters, persisted across rungs
+                stale: dict[int, int] = {}
+                fin_best: dict[int, float] = {}
+                retired: list[Trial] = []
                 for rung_idx, rung in enumerate(rungs):
                     while epoch < rung and group.trials:
                         if resident:
@@ -711,6 +750,33 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
                                      f"trial_{t.trial_id}/lr": group.schedulers[i].lr},
                                     step=epoch)
                         epoch += 1
+                        if early_stop_patience > 0:
+                            keep_idx = []
+                            for i, t in enumerate(group.trials):
+                                v = t.val_losses[-1]
+                                b = fin_best.get(t.trial_id, float("inf"))
+                                if np.isfinite(v) and v < b:
+                                    fin_best[t.trial_id] = v
+                                    stale[t.trial_id] = 0
+                                else:
+                                    stale[t.trial_id] = stale.get(t.trial_id, 0) + 1
+                                if stale[t.trial_id] < early_stop_patience:
+                                    keep_idx.append(i)
+                            if len(keep_idx) < len(group.trials):
+                                kept = set(keep_idx)
+                                for i, t in enumerate(group.trials):
+                                    if i in kept:
+                                        continue
+                                    t.stopped_at = epoch
+                                    retired.append(t)
+                                    all_trials.append(t)
+                                    if wandb_mirror is not None:
+                                        wandb_mirror.mirror_trial(t)
+                                # always mask mode: per-epoch compaction
+                                # would recompile the group step each time
+                                # a single trial plateaus; mask keeps
+                                # shapes static (keep([]) is also safe)
+                                group.keep(keep_idx, mode="mask")
                     if rung_idx < len(rungs) - 1 and len(group.trials) > 1:
                         order = np.argsort([t.best_val_loss for t in group.trials])
                         n_keep = max(1, len(group.trials) // eta)
@@ -726,7 +792,10 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
                 if wandb_mirror is not None:
                     for t in group.trials:
                         wandb_mirror.mirror_trial(t)
-                for t in group.trials:
+                # patience-retired trials compete for best too: unlike
+                # halving drops (provably worse than a survivor when
+                # dropped), a plateaued trial can hold the group's best loss
+                for t in retired + group.trials:
                     snap = best_snap.get(t.trial_id)
                     if snap is None:
                         # every val loss was non-finite (diverged trial:
@@ -779,6 +848,7 @@ def run_sweep_from_config(model_factory, loader_factory, cfg, *, mesh=None,
         output_dir=output_dir, space=space, logger=logger,
         max_parallel_trials=cfg.parallel_trials, wandb_mirror=wandb_mirror,
         resident=resident, augment_fn=augment_fn, halving=halving,
+        early_stop_patience=cfg.early_stop_patience,
     )
 
 

@@ -246,7 +246,7 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                 lr_controller: ReduceLROnPlateau | None = None,
                 watch_every: int = 0, profile_dir: str | None = None,
                 profile_steps: int = 0, device_augment: bool = False,
-                resident: bool = False):
+                resident: bool = False, prefetch: int = 2):
     """Train ``model`` (a Flax module); returns (best_params,
     best_model_state, best_val_loss, final_state) — best_model_state is the
     mutable-collection snapshot (e.g. BatchNorm batch_stats) taken at the
@@ -518,6 +518,7 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
             train_iter = DevicePrefetcher(train_loader, sharding=sharding,
+                                          prefetch=prefetch,
                                           input_dtype=input_dtype)
             it = train_iter
             if progress:
@@ -596,6 +597,7 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             val_stats: list = []  # per-batch (loss, psnr, ssim, n_real) on device
             for batch_idx, (x, y, mask) in enumerate(
                 DevicePrefetcher(padded_val, sharding=sharding,
+                                 prefetch=prefetch,
                                  input_dtype=input_dtype)
             ):
                 loss, psnr, ssim, out = val_step(state.params, state.model_state,
@@ -701,6 +703,8 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                     summary["best_val_psnr"] = val_psnr
                     summary["best_val_ssim"] = val_ssim
                 logger.set_summary(**summary)
+                # artifact mirroring (reference: optimized_train.py:340)
+                logger.save(os.path.join(output_dir, "best_model"))
         else:
             epochs_without_improvement += 1
             print(f"No improvement for {epochs_without_improvement} epochs "
@@ -713,12 +717,16 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         # must carry THIS epoch's early-stop counter, not last epoch's
         # (collective on multi-host — see the best_model save above)
         if (epoch + 1) % save_every == 0:
+            ckpt_dir = os.path.join(output_dir,
+                                    f"checkpoint_epoch_{epoch + 1}")
             save_checkpoint(
-                os.path.join(output_dir, f"checkpoint_epoch_{epoch + 1}"),
+                ckpt_dir,
                 params=state.params, opt_state=state.opt_state,
                 model_state=state.model_state, epoch=epoch,
                 val_loss=val_loss, extra=_resume_extra(),
             )
+            if logger is not None:  # reference: optimized_train.py:317
+                logger.save(ckpt_dir)
 
         if epochs_without_improvement >= patience:
             print(f"Early stopping triggered after {patience} epochs "

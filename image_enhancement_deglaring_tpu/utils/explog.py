@@ -21,7 +21,7 @@ import numpy as np
 class ExperimentLogger:
     def __init__(self, run_dir: str, *, run_name: str | None = None,
                  config: dict | None = None, use_wandb: bool = False,
-                 project: str | None = None):
+                 project: str | None = None, entity: str | None = None):
         self.run_dir = run_dir
         os.makedirs(run_dir, exist_ok=True)
         self.run_name = run_name or f"run-{int(time.time())}"
@@ -35,7 +35,8 @@ class ExperimentLogger:
                 import wandb  # noqa: F811
 
                 self._wandb = wandb
-                wandb.init(project=project, name=self.run_name, config=config or {})
+                wandb.init(project=project, entity=entity,
+                           name=self.run_name, config=config or {})
             except Exception:
                 self._wandb = None
 
@@ -101,6 +102,27 @@ class ExperimentLogger:
         if self._wandb is not None and wandb_rec:
             self._wandb.log(wandb_rec, step=step)
         self.log({f"_histograms_{prefix}": rec}, step=step)
+
+    def save(self, path: str) -> None:
+        """Mirror a training artifact (checkpoint file or orbax directory)
+        to the live wandb run — the reference uploads every periodic and
+        best checkpoint (reference: optimized_train.py:317,340). The
+        artifact already lives on local disk either way; offline runs keep
+        the same audit trail in artifacts.jsonl."""
+        rec = {"_time": time.time(), "path": os.path.abspath(path)}
+        with open(os.path.join(self.run_dir, "artifacts.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self._wandb is not None:
+            try:
+                if os.path.isdir(path):
+                    # orbax checkpoints are directories; wandb.save takes
+                    # a glob, rooted so the run keeps the directory name
+                    self._wandb.save(os.path.join(path, "*"),
+                                     base_path=os.path.dirname(path))
+                else:
+                    self._wandb.save(path)
+            except Exception:  # pragma: no cover - SaaS failure path
+                pass  # artifact mirroring is best-effort, like the sweep's
 
     def set_summary(self, **kwargs) -> None:
         self._summary.update(_jsonable(kwargs))

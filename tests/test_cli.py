@@ -312,3 +312,44 @@ def test_crossval_artifact_script_runs(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     verdict = _json.loads(proc.stdout.strip().splitlines()[-1])
     assert "candidate" in verdict and "incumbent" in verdict
+
+
+def test_enhance_batch_size_matches_single(tmp_path, monkeypatch):
+    """--batch_size N (reference: main.py:19) ships directory images to the
+    device in batches; outputs must be identical to one-at-a-time runs —
+    including a final short batch (3 images, batch 2)."""
+    import numpy as np
+    from PIL import Image
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray((rng.random((32, 32)) * 255).astype(np.uint8)).save(
+            indir / f"img{i}.png")
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_enhancement_deglaring_tpu.cli import enhance
+    from image_enhancement_deglaring_tpu.models import LightweightUNet
+
+    model = LightweightUNet()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 32, 32, 1)))["params"]
+    monkeypatch.setattr(
+        "image_enhancement_deglaring_tpu.eval.load_model_for_eval",
+        lambda *a, **k: (model.apply, params))
+
+    out1 = tmp_path / "out1"
+    outn = tmp_path / "outn"
+    common = ["--input", str(indir), "--model_path", "ignored",
+              "--image_size", "32"]
+    enhance.main(common + ["--output_dir", str(out1)])
+    enhance.main(common + ["--output_dir", str(outn), "--batch_size", "2"])
+    names = sorted(p.name for p in out1.iterdir())
+    assert names == sorted(p.name for p in outn.iterdir())
+    for name in names:
+        a = np.asarray(Image.open(out1 / name))
+        b = np.asarray(Image.open(outn / name))
+        np.testing.assert_array_equal(a, b)

@@ -85,3 +85,46 @@ def test_enhance_parser_requires_input():
 
 def test_test_api_parser():
     from image_enhancement_deglaring_tpu.cli.test_api import main  # noqa: F401
+
+
+def test_reference_flag_compat():
+    """Every flag a reference command line can carry parses here too
+    (reference: optimized_train.py:35-59, sweep.py:23-38, main.py:13-21) —
+    a migrating user's exact command must not die in argparse."""
+    from image_enhancement_deglaring_tpu.cli.enhance import (
+        parse_args as enhance_args,
+    )
+    from image_enhancement_deglaring_tpu.cli.sweep import (
+        parse_args as sweep_args,
+    )
+    from image_enhancement_deglaring_tpu.cli.train import (
+        parse_args as train_args,
+    )
+
+    t = train_args(["--data_dir", "d", "--use_amp", "--wandb_entity", "team",
+                    "--prefetch_factor", "4", "--persistent_workers"])
+    assert t.use_amp and t.wandb_entity == "team"
+    assert t.prefetch_factor == 4 and t.persistent_workers
+
+    s = sweep_args(["--data_dir", "d", "--sweep_project", "proj",
+                    "--sweep_entity", "team", "--early_stop_patience", "7",
+                    "--prefetch_factor", "3", "--persistent_workers"])
+    assert s.wandb_project == "proj" and s.wandb_entity == "team"
+    assert s.early_stop_patience == 7 and s.prefetch_factor == 3
+    # our train-CLI-style spellings hit the same destinations
+    s2 = sweep_args(["--data_dir", "d", "--wandb_project", "p2",
+                     "--wandb_entity", "e2"])
+    assert s2.wandb_project == "p2" and s2.wandb_entity == "e2"
+
+    e = enhance_args(["--input", "x.png", "--batch_size", "4"])
+    assert e.batch_size == 4
+
+
+def test_train_use_amp_conflicts_with_float32():
+    """--use_amp (reference mixed precision) + --compute_dtype float32 is a
+    contradiction; refusing beats silently picking one."""
+    from image_enhancement_deglaring_tpu.cli.train import main
+
+    with pytest.raises(SystemExit, match="use_amp"):
+        main(["--data_dir", "/nonexistent", "--use_amp",
+              "--compute_dtype", "float32"])

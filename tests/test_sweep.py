@@ -295,7 +295,7 @@ def test_wandb_sweep_mirror_one_run_per_trial(tmp_path, toy, monkeypatch):
     def loader_factory(bs):
         return _ArrayLoader(x, y, bs), _ArrayLoader(x[:8], y[:8], bs)
 
-    mirror = WandbSweepMirror(project="proj-x")
+    mirror = WandbSweepMirror(project="proj-x", entity="team-x")
     result = run_sweep(
         _tiny_model, loader_factory, n_trials=4, max_epochs=3, min_iter=1,
         eta=2, method="random", seed=0, output_dir=str(tmp_path),
@@ -306,6 +306,7 @@ def test_wandb_sweep_mirror_one_run_per_trial(tmp_path, toy, monkeypatch):
     for t in result["trials"]:
         run = by_name[f"trial_{t['trial_id']}"]
         assert run.kwargs["project"] == "proj-x"
+        assert run.kwargs["entity"] == "team-x"  # reference: sweep.py:29
         assert run.kwargs["config"] == {
             "batch_size": t["batch_size"], "lr": t["lr"],
             "weight_decay": t["wd"]}
@@ -313,11 +314,85 @@ def test_wandb_sweep_mirror_one_run_per_trial(tmp_path, toy, monkeypatch):
         assert run.logged[0][1].keys() == {"val_loss"}
         assert run.summary["best_val_loss"] == pytest.approx(
             t["best_val_loss"])
+        # model size gauge mirrors into every trial run (reference:
+        # sweep.py:209-210); f32 per-trial params, metadata-derived
+        assert run.summary["final_model_size_mb"] > 0
         if t["stopped_at"] is not None:
             assert run.summary["stopped_at_epoch"] == t["stopped_at"]
         assert run.finished
     # all runs share one sweep group
     assert len({r.kwargs["group"] for r in runs}) == 1
+
+
+def test_early_stop_patience_retires_plateaued_trial(tmp_path, toy,
+                                                     monkeypatch):
+    """Per-trial early stopping (reference: sweep.py:35 feeds patience into
+    every trial's train_model): a trial whose val loss stops improving is
+    retired after `patience` stale epochs while the others keep training —
+    and, unlike a halving drop, it still competes for (and here wins)
+    best-trial selection."""
+    from image_enhancement_deglaring_tpu.parallel import sweep as sweep_mod
+
+    x, y = toy
+
+    def loader_factory(bs):
+        return _ArrayLoader(x, y, bs), _ArrayLoader(x[:8], y[:8], bs)
+
+    monkeypatch.setattr(
+        sweep_mod.VmappedTrialGroup, "train_epoch",
+        lambda self, loader, epoch: np.zeros(len(self.trials)))
+
+    def fake_val(self, loader):
+        out = np.empty(len(self.trials))
+        for i, t in enumerate(self.trials):
+            e = len(t.val_losses)  # this trial's current epoch index
+            # trial 0 plateaus at the overall-best loss; trial 1 keeps
+            # improving but never catches up
+            out[i] = 0.1 if t.trial_id == 0 else 0.5 - 0.02 * e
+        return out
+
+    monkeypatch.setattr(sweep_mod.VmappedTrialGroup, "val_epoch", fake_val)
+    result = run_sweep(
+        _tiny_model, loader_factory, n_trials=2, max_epochs=6, min_iter=6,
+        eta=2, method="random", seed=0, output_dir=str(tmp_path),
+        space=SearchSpace(batch_sizes=(8,)), early_stop_patience=2,
+    )
+    by_id = {t["trial_id"]: t for t in result["trials"]}
+    # plateaued: improved at epoch 0, stale at 1 and 2 -> retired there
+    assert by_id[0]["stopped_at"] == 3 and by_id[0]["epochs_run"] == 3
+    # the improving trial trains to max_epochs
+    assert by_id[1]["stopped_at"] is None and by_id[1]["epochs_run"] == 6
+    # the RETIRED trial holds the best loss and wins selection
+    assert result["best"]["trial_id"] == 0
+    assert result["best"]["best_val_loss"] == pytest.approx(0.1)
+    assert (tmp_path / "best_trial_params.npz").exists()
+
+
+def test_early_stop_patience_all_trials_plateau(tmp_path, toy, monkeypatch):
+    """Every trial plateauing retires the whole group early (keep([]) path)
+    without crashing, and the sweep still reports a best."""
+    from image_enhancement_deglaring_tpu.parallel import sweep as sweep_mod
+
+    x, y = toy
+
+    def loader_factory(bs):
+        return _ArrayLoader(x, y, bs), _ArrayLoader(x[:8], y[:8], bs)
+
+    monkeypatch.setattr(
+        sweep_mod.VmappedTrialGroup, "train_epoch",
+        lambda self, loader, epoch: np.zeros(len(self.trials)))
+    monkeypatch.setattr(
+        sweep_mod.VmappedTrialGroup, "val_epoch",
+        lambda self, loader: np.full(len(self.trials), 0.3))
+    result = run_sweep(
+        _tiny_model, loader_factory, n_trials=2, max_epochs=8, min_iter=8,
+        eta=2, method="random", seed=0, output_dir=str(tmp_path),
+        space=SearchSpace(batch_sizes=(8,)), early_stop_patience=2,
+    )
+    for t in result["trials"]:
+        assert t["stopped_at"] == 3 and t["epochs_run"] == 3
+    assert result["best"] is not None
+    assert result["best"]["best_val_loss"] == pytest.approx(0.3)
 
 
 def test_tpe_waves_concentrate_on_synthetic_objective(tmp_path, monkeypatch):

@@ -110,6 +110,7 @@ class _FakeWandb:
         self.finished = False
 
     def init(self, **kwargs):
+        self.init_kwargs = kwargs
         return self.run
 
     def log(self, metrics, step=None):
@@ -126,6 +127,10 @@ class _FakeWandb:
     def finish(self):
         self.finished = True
 
+    def save(self, glob_str, base_path=None):
+        self.saved = getattr(self, "saved", [])
+        self.saved.append((glob_str, base_path))
+
 
 def test_wandb_mirroring_images_and_histograms(tmp_path, monkeypatch):
     """With use_wandb=True, scalars, images AND histograms all mirror to
@@ -134,8 +139,12 @@ def test_wandb_mirroring_images_and_histograms(tmp_path, monkeypatch):
 
     fake = _FakeWandb()
     monkeypatch.setitem(sys.modules, "wandb", fake)
-    logger = ExperimentLogger(str(tmp_path), use_wandb=True, project="p")
+    logger = ExperimentLogger(str(tmp_path), use_wandb=True, project="p",
+                              entity="team")
     assert logger._wandb is fake
+    # --wandb_entity threads through (reference: optimized_train.py:50)
+    assert fake.init_kwargs["project"] == "p"
+    assert fake.init_kwargs["entity"] == "team"
 
     logger.log({"loss": 0.5}, step=1)
     logger.log_images("val", {"pred": np.zeros((8, 8), np.float32),
@@ -156,6 +165,39 @@ def test_wandb_mirroring_images_and_histograms(tmp_path, monkeypatch):
     assert hist_logs and fake.histograms == [10]
     assert fake.run.summary["best_val_loss"] == 0.4
     assert fake.finished
+
+
+def test_logger_save_mirrors_artifacts(tmp_path, monkeypatch):
+    """logger.save uploads checkpoint artifacts to wandb like the
+    reference's wandb.save (optimized_train.py:317,340) — directories
+    (orbax) as globs, files directly — and always records the path in
+    artifacts.jsonl for offline runs."""
+    import json as _json
+    import sys
+
+    fake = _FakeWandb()
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    logger = ExperimentLogger(str(tmp_path / "logs"), use_wandb=True)
+
+    ckpt_dir = tmp_path / "best_model"
+    ckpt_dir.mkdir()
+    (ckpt_dir / "data").write_text("x")
+    ckpt_file = tmp_path / "weights.npz"
+    ckpt_file.write_text("y")
+
+    logger.save(str(ckpt_dir))
+    logger.save(str(ckpt_file))
+    assert fake.saved[0] == (str(ckpt_dir / "*"), str(tmp_path))
+    assert fake.saved[1] == (str(ckpt_file), None)
+
+    lines = [_json.loads(line) for line in
+             (tmp_path / "logs" / "artifacts.jsonl").read_text().splitlines()]
+    assert [r["path"] for r in lines] == [str(ckpt_dir), str(ckpt_file)]
+
+    # offline (no wandb): still records locally, never raises
+    offline = ExperimentLogger(str(tmp_path / "logs2"))
+    offline.save(str(ckpt_file))
+    assert (tmp_path / "logs2" / "artifacts.jsonl").exists()
 
 
 def test_pytree_npz_roundtrip(tmp_path):
