@@ -28,9 +28,9 @@ SIZE = 512
 WARMUP_ITERS = 2
 BENCH_ITERS = 10
 # the 1-CPU cgroup makes single-forward times jittery (vs_baseline moved
-# ~15% between rounds on an identical path); median over enough forwards
-# stabilizes the denominator to a few percent
-BASELINE_IMAGES = 16
+# ~15% between rounds on an identical path; still ~8% at 16 samples);
+# median over enough forwards stabilizes the denominator to a few percent
+BASELINE_IMAGES = 48
 
 
 def _tpu_throughput(params, quantize: str | None = None) -> float:
@@ -80,6 +80,10 @@ def _cpu_baseline_throughput(params) -> float | None:
     except Exception:
         return None
     try:
+        # let the TPU tunnel relay (same 1-CPU cgroup) go quiet before
+        # timing CPU forwards — it keeps burning CPU briefly after the
+        # device phase and skews the denominator run-to-run
+        time.sleep(3.0)
         rng = np.random.default_rng(0)
         x = rng.random((1, SIZE, SIZE, 1)).astype(np.float32)
         torch_forward_lightweight(params, x)  # warmup
@@ -150,7 +154,7 @@ def main() -> int:
     metric = ("infer_throughput_512x512_int8w" if args.mode == "int8"
               else "infer_throughput_512x512_bf16")
     signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(480)
+    signal.alarm(420)
     try:
         tpu_ips = _tpu_throughput(params, quantize=quantize)
         signal.alarm(60)
@@ -160,8 +164,17 @@ def main() -> int:
             cpu_ips = None
         signal.alarm(0)
     except _Timeout:
-        _emit(None, None, note="device benchmark timed out (tunnel stall)",
-              metric=metric)
+        # A wedged tunnel session usually clears with a fresh process (the
+        # stall is session state, not the chip): re-exec ourselves ONCE —
+        # execv releases the chip and nothing has been printed yet, so the
+        # retry still emits exactly one JSON line.
+        if os.environ.get("BENCH_RETRY") != "1":
+            os.environ["BENCH_RETRY"] = "1"
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        _emit(None, None, note="device benchmark timed out (tunnel stall, "
+              "after one fresh-process retry)", metric=metric)
         return 1
     _emit(tpu_ips, (tpu_ips / cpu_ips) if cpu_ips else None, metric=metric,
           cpu_img_s=cpu_ips,
