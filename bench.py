@@ -154,7 +154,10 @@ def main() -> int:
     metric = ("infer_throughput_512x512_int8w" if args.mode == "int8"
               else "infer_throughput_512x512_bf16")
     signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(420)
+    # the retry attempt gets a tighter budget (the server-side compile
+    # cache is warm by then) so worst-case wall stays near the old
+    # single-attempt bound instead of doubling
+    signal.alarm(300 if os.environ.get("BENCH_RETRY") == "1" else 420)
     try:
         tpu_ips = _tpu_throughput(params, quantize=quantize)
         signal.alarm(60)

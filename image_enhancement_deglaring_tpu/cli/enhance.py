@@ -70,15 +70,33 @@ def main(argv=None):
                 img = np.asarray(Image.open(path).convert("L"))
                 yield path, tiler(img.astype(np.uint8))
             return
-        for c0 in range(0, len(files), batch_size):
-            chunk = files[c0 : c0 + batch_size]
-            for path in chunk:
-                print(f"Processing image: {path}")
-            xs = np.stack([
-                (decode_inference_image(p, args.image_size) * 255)
-                .astype(np.uint8) for p in chunk])  # float [0,1] -> uint8
-            for path, out in zip(chunk, engine.infer_batch(xs)):
-                yield path, out
+        # decode one image at a time and flush the accumulated prefix on a
+        # decode failure, so a corrupt file never discards the outputs of
+        # earlier images in the same chunk (single-image behavior parity)
+        pending_paths: list[str] = []
+        pending_xs: list[np.ndarray] = []
+
+        def flush():
+            if not pending_paths:
+                return
+            outs = engine.infer_batch(np.stack(pending_xs))
+            for p, out in zip(list(pending_paths), outs):
+                yield p, out
+            pending_paths.clear()
+            pending_xs.clear()
+
+        for path in files:
+            print(f"Processing image: {path}")
+            try:
+                x = decode_inference_image(path, args.image_size)
+            except Exception:
+                yield from flush()
+                raise
+            pending_paths.append(path)
+            pending_xs.append((x * 255).astype(np.uint8))  # [0,1] -> uint8
+            if len(pending_paths) == batch_size:
+                yield from flush()
+        yield from flush()
 
     written: set[str] = set()
     for path, out in results():

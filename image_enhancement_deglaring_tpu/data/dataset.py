@@ -178,7 +178,10 @@ class DevicePrefetcher:
                  input_dtype=None):
         self.loader = loader
         self.sharding = sharding
-        self.prefetch = prefetch
+        # clamp: queue.Queue(maxsize<=0) is UNBOUNDED — a user passing
+        # --prefetch_factor 0 ("disable prefetch") would have the worker
+        # eagerly ship the whole epoch to HBM
+        self.prefetch = max(1, prefetch)
         self.input_dtype = input_dtype
 
     def __len__(self):

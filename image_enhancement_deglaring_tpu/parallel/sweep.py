@@ -55,7 +55,11 @@ class Trial:
     lr: float
     wd: float
     val_losses: list = field(default_factory=list)
-    stopped_at: int | None = None  # rung epoch where halving dropped it
+    stopped_at: int | None = None  # epoch where it stopped early (if ever)
+    # why it stopped: "halving" (dropped at a rung — provably worse than a
+    # survivor) vs "patience" (plateaued — may still be the best trial);
+    # None while running / ran to max_epochs
+    stop_reason: str | None = None
 
     @property
     def best_val_loss(self) -> float:
@@ -562,6 +566,7 @@ class WandbSweepMirror:
                 run.summary["final_model_size_mb"] = self.model_size_mb
             if trial.stopped_at is not None:
                 run.summary["stopped_at_epoch"] = trial.stopped_at
+                run.summary["stop_reason"] = trial.stop_reason
             run.finish()
             self.mirrored.append(trial.trial_id)
         except Exception:  # pragma: no cover - network/SaaS failure path
@@ -706,12 +711,15 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
                                           prefetch=prefetch)
                 if (wandb_mirror is not None
                         and wandb_mirror.model_size_mb is None):
-                    # per-trial f32 param bytes from metadata (axis 0 is the
+                    # per-trial param bytes from metadata (axis 0 is the
                     # stacked trial axis) — no device fetch
-                    wandb_mirror.model_size_mb = sum(
-                        int(np.prod(x.shape[1:])) * np.dtype(x.dtype).itemsize
-                        for x in jax.tree_util.tree_leaves(group.params)
-                    ) / (1024 * 1024)
+                    from ..models.model_utils import get_model_size_mb
+
+                    wandb_mirror.model_size_mb = get_model_size_mb(
+                        jax.tree_util.tree_map(
+                            lambda x: jax.ShapeDtypeStruct(x.shape[1:],
+                                                           x.dtype),
+                            group.params))
                 epoch = 0
                 # host snapshot of each trial's params at its BEST epoch —
                 # end-of-training weights can be worse than the best loss
@@ -768,6 +776,7 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
                                     if i in kept:
                                         continue
                                     t.stopped_at = epoch
+                                    t.stop_reason = "patience"
                                     retired.append(t)
                                     all_trials.append(t)
                                     if wandb_mirror is not None:
@@ -783,6 +792,7 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
                         dropped = [group.trials[i] for i in order[n_keep:]]
                         for t in dropped:
                             t.stopped_at = epoch
+                            t.stop_reason = "halving"
                             all_trials.append(t)
                             if wandb_mirror is not None:
                                 wandb_mirror.mirror_trial(t)
@@ -863,4 +873,5 @@ def _trial_dict(t: Trial | None) -> dict | None:
         "best_val_loss": t.best_val_loss,
         "epochs_run": len(t.val_losses),
         "stopped_at": t.stopped_at,
+        "stop_reason": t.stop_reason,
     }

@@ -115,10 +115,16 @@ class ExperimentLogger:
         if self._wandb is not None:
             try:
                 if os.path.isdir(path):
-                    # orbax checkpoints are directories; wandb.save takes
-                    # a glob, rooted so the run keeps the directory name
-                    self._wandb.save(os.path.join(path, "*"),
-                                     base_path=os.path.dirname(path))
+                    # orbax checkpoints are directories with NESTED data
+                    # payloads (d/<hash>, ocdbt.process_0/d/<hash>); a
+                    # single-level glob would upload only the top-level
+                    # metadata files, so walk and save every file, rooted
+                    # so the run keeps the directory structure
+                    base = os.path.dirname(os.path.abspath(path))
+                    for dirpath, _dirs, files in os.walk(path):
+                        for fname in files:
+                            self._wandb.save(os.path.join(dirpath, fname),
+                                             base_path=base)
                 else:
                     self._wandb.save(path)
             except Exception:  # pragma: no cover - SaaS failure path

@@ -353,3 +353,42 @@ def test_enhance_batch_size_matches_single(tmp_path, monkeypatch):
         a = np.asarray(Image.open(out1 / name))
         b = np.asarray(Image.open(outn / name))
         np.testing.assert_array_equal(a, b)
+
+
+def test_enhance_batch_corrupt_file_keeps_earlier_outputs(tmp_path,
+                                                          monkeypatch):
+    """A corrupt file mid-chunk must not discard the outputs of earlier
+    images in the same chunk (single-image failure-isolation parity):
+    everything decoded before the bad file is inferred and written, then
+    the error surfaces."""
+    import numpy as np
+    from PIL import Image
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rng = np.random.default_rng(0)
+    Image.fromarray((rng.random((32, 32)) * 255).astype(np.uint8)).save(
+        indir / "a.png")
+    (indir / "b.png").write_bytes(b"not a png")
+    Image.fromarray((rng.random((32, 32)) * 255).astype(np.uint8)).save(
+        indir / "c.png")
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_enhancement_deglaring_tpu.cli import enhance
+    from image_enhancement_deglaring_tpu.models import LightweightUNet
+
+    model = LightweightUNet()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 32, 32, 1)))["params"]
+    monkeypatch.setattr(
+        "image_enhancement_deglaring_tpu.eval.load_model_for_eval",
+        lambda *a, **k: (model.apply, params))
+
+    out = tmp_path / "out"
+    with pytest.raises(Exception):
+        enhance.main(["--input", str(indir), "--model_path", "ignored",
+                      "--image_size", "32", "--output_dir", str(out),
+                      "--batch_size", "3"])
+    assert (out / "a.png").exists()  # decoded before b.png -> written

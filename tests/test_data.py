@@ -318,6 +318,21 @@ def test_heavy_augment_geometry_applies_to_both_image_and_mask():
     np.testing.assert_array_equal(out_t, np.rot90(tgt, 1)[:, ::-1])
 
 
+def test_prefetcher_depth_clamped_to_bounded_queue():
+    """--prefetch_factor 0 (a torch user's 'disable prefetch') must not
+    become queue.Queue(maxsize=0) == UNBOUNDED, which would eagerly ship
+    the whole epoch to HBM; depth clamps to 1 and iteration still works."""
+    from image_enhancement_deglaring_tpu.data.dataset import DevicePrefetcher
+
+    batches = [(np.full((2, 8, 8, 1), i, np.float32),
+                np.zeros((2, 8, 8, 1), np.float32)) for i in range(4)]
+    for depth in (0, -3):
+        pf = DevicePrefetcher(batches, prefetch=depth)
+        assert pf.prefetch == 1
+        xs = [np.asarray(x)[0, 0, 0, 0] for x, _ in pf]
+        assert xs == [0.0, 1.0, 2.0, 3.0]
+
+
 def test_prefetcher_abandoned_iteration_stops_worker():
     """Breaking out of iteration early (train-step exception, early stop)
     must not leave the producer thread blocked on a full queue forever."""

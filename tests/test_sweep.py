@@ -128,9 +128,10 @@ def test_run_sweep_end_to_end(tmp_path, toy):
     )
     assert result["best"] is not None
     assert len(result["trials"]) == 4
-    # halving must have stopped some trials early
+    # halving must have stopped some trials early, tagged with the reason
     stopped = [t for t in result["trials"] if t["stopped_at"] is not None]
     assert len(stopped) >= 1
+    assert all(t["stop_reason"] == "halving" for t in stopped)
     saved = json.load(open(tmp_path / "sweep_results.json"))
     assert saved["best"]["trial_id"] == result["best"]["trial_id"]
     assert (tmp_path / "best_trial_params.npz").exists()
@@ -360,8 +361,12 @@ def test_early_stop_patience_retires_plateaued_trial(tmp_path, toy,
     by_id = {t["trial_id"]: t for t in result["trials"]}
     # plateaued: improved at epoch 0, stale at 1 and 2 -> retired there
     assert by_id[0]["stopped_at"] == 3 and by_id[0]["epochs_run"] == 3
+    # the results file distinguishes WHY it stopped: a patience retirement
+    # may still win; a halving drop is provably worse than a survivor
+    assert by_id[0]["stop_reason"] == "patience"
     # the improving trial trains to max_epochs
     assert by_id[1]["stopped_at"] is None and by_id[1]["epochs_run"] == 6
+    assert by_id[1]["stop_reason"] is None
     # the RETIRED trial holds the best loss and wins selection
     assert result["best"]["trial_id"] == 0
     assert result["best"]["best_val_loss"] == pytest.approx(0.1)

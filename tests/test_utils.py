@@ -170,8 +170,10 @@ def test_wandb_mirroring_images_and_histograms(tmp_path, monkeypatch):
 def test_logger_save_mirrors_artifacts(tmp_path, monkeypatch):
     """logger.save uploads checkpoint artifacts to wandb like the
     reference's wandb.save (optimized_train.py:317,340) — directories
-    (orbax) as globs, files directly — and always records the path in
-    artifacts.jsonl for offline runs."""
+    (orbax) recursively, INCLUDING the nested data payloads
+    (d/<hash>, ocdbt.process_0/d/<hash>; a one-level glob would mirror
+    metadata without weights), files directly — and always records the
+    path in artifacts.jsonl for offline runs."""
     import json as _json
     import sys
 
@@ -179,16 +181,23 @@ def test_logger_save_mirrors_artifacts(tmp_path, monkeypatch):
     monkeypatch.setitem(sys.modules, "wandb", fake)
     logger = ExperimentLogger(str(tmp_path / "logs"), use_wandb=True)
 
+    # mimic the orbax OCDBT layout: top-level metadata + nested payloads
     ckpt_dir = tmp_path / "best_model"
-    ckpt_dir.mkdir()
-    (ckpt_dir / "data").write_text("x")
+    (ckpt_dir / "d").mkdir(parents=True)
+    (ckpt_dir / "ocdbt.process_0" / "d").mkdir(parents=True)
+    (ckpt_dir / "_METADATA").write_text("m")
+    (ckpt_dir / "d" / "abc123").write_text("w1")
+    (ckpt_dir / "ocdbt.process_0" / "d" / "def456").write_text("w2")
     ckpt_file = tmp_path / "weights.npz"
     ckpt_file.write_text("y")
 
     logger.save(str(ckpt_dir))
     logger.save(str(ckpt_file))
-    assert fake.saved[0] == (str(ckpt_dir / "*"), str(tmp_path))
-    assert fake.saved[1] == (str(ckpt_file), None)
+    dir_saves = {g for g, b in fake.saved if b == str(tmp_path)}
+    assert dir_saves == {str(ckpt_dir / "_METADATA"),
+                         str(ckpt_dir / "d" / "abc123"),
+                         str(ckpt_dir / "ocdbt.process_0" / "d" / "def456")}
+    assert (str(ckpt_file), None) in fake.saved
 
     lines = [_json.loads(line) for line in
              (tmp_path / "logs" / "artifacts.jsonl").read_text().splitlines()]
