@@ -177,18 +177,20 @@ def main(argv=None):
         if args.n_devices:
             raise SystemExit("--distributed spans the global mesh; "
                              "--n_devices applies to single-host runs only")
-        if args.resident_data:
-            raise SystemExit("--resident_data is single-process only")
         n_dev = len(jax.devices())
         mesh = make_mesh()  # every chip of every host
         if args.batch_size % n_dev != 0:
             raise SystemExit(f"--batch_size {args.batch_size} (global) must "
                              f"divide by {n_dev} global devices")
-        # each host feeds its slice of every (identically-seeded) batch
-        from ..parallel.distributed import LocalSliceLoader
+        if not args.resident_data:
+            # each host feeds its slice of every (identically-seeded) batch
+            from ..parallel.distributed import LocalSliceLoader
 
-        train_loader = LocalSliceLoader(train_loader)
-        val_loader = LocalSliceLoader(val_loader)
+            train_loader = LocalSliceLoader(train_loader)
+            val_loader = LocalSliceLoader(val_loader)
+        # resident: loaders stay GLOBAL — cache_on_device decodes only this
+        # host's rows and assembles the sharded HBM cache across processes
+        # (train.resident._cache_multiprocess)
     else:
         # make_mesh truncates to the devices that actually exist, so clamp
         # the request before validating against it — checking the raw

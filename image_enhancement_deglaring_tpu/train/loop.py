@@ -347,10 +347,10 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
     # the GLOBAL sharded arrays so every host takes identical decisions
     # with zero extra coordination. Side-effect writes happen on host 0.
     is_host0 = jax.process_index() == 0
-    if jax.process_count() > 1 and resident:
+    if jax.process_count() > 1 and resident and mesh is None:
         raise ValueError(
-            "resident_data mode caches via device_put and is single-process "
-            "only; use the streaming path for multi-host training")
+            "multi-host resident training requires the global mesh — the "
+            "cache is assembled across processes onto its data axis")
 
     augment_fn = None
     if device_augment:
@@ -399,7 +399,15 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             # op is the cast, so shipping f32 would just double the bytes
             rd_val = cache_on_device(val_loader, dtype=input_dtype,
                                      sharding=sharding, num_workers=workers)
-            val_batches = batch_val_cache(rd_val, val_static_b, sharding)
+            # resident batches shard their SECOND axis over the whole mesh
+            # (multi-host the loader is GLOBAL, not host-sliced), so the
+            # pad target aligns to the global device count — the streaming
+            # val_static_b aligns to the per-host count instead
+            n_dev = mesh.devices.size if mesh is not None else 1
+            res_val_b = -(-int(getattr(val_loader, "batch_size",
+                                       val_static_b) or val_static_b)
+                          // n_dev) * n_dev
+            val_batches = batch_val_cache(rd_val, res_val_b, sharding)
             val_epoch_metrics = make_val_epoch(model.apply)
             val_epoch_plain = make_val_epoch(model.apply, with_metrics=False)
         else:
@@ -577,15 +585,22 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                     np.float64,
                 )
                 if log_images:
-                    xb, yb, masks = val_batches
+                    # host-local forward over the peeked first val batch:
+                    # np inputs compile a purely LOCAL program, so host-0-
+                    # only logging cannot stall other hosts in a collective
+                    # (slicing the mesh-sharded cache here would); params
+                    # are replicated, so np.asarray is a local fetch
+                    k = min(2, sample_x.shape[0])
+                    p_np = jax.tree_util.tree_map(np.asarray, state.params)
+                    ms_np = jax.tree_util.tree_map(np.asarray,
+                                                   state.model_state)
                     _, _, _, out = val_step_plain(
-                        state.params, state.model_state,
-                        xb[0], yb[0], masks[0])
+                        p_np, ms_np, np.asarray(sample_x[:k]),
+                        np.asarray(sample_y[:k]),
+                        np.ones((k,), np.float32))
                     out_np = np.asarray(out, np.float32)
-                    k = min(2, int(masks[0].sum()))
-                    # one fetch per batch, not one per logged image
-                    x_np = np.asarray(xb[0], np.float32)
-                    y_np = np.asarray(yb[0], np.float32)
+                    x_np = np.asarray(sample_x[:k], np.float32)
+                    y_np = np.asarray(sample_y[:k], np.float32)
                     imgs = {}
                     for i in range(k):
                         imgs[f"input_{i}"] = x_np[i, ..., 0]

@@ -90,39 +90,40 @@ def cache_on_device(source, *, dtype=None, sharding=None,
     ``sharding``: optional batch (leading-axis) NamedSharding — the cache
     pads N up to the mesh size and shards it, so each device holds ~N/D
     samples.
+
+    Multi-process (after ``jax.distributed.initialize``): ``source`` is the
+    GLOBAL loader/dataset, identically constructed on every host (same
+    directory, seed, split — the standard multi-host input contract), and
+    ``sharding`` must span the global mesh. Each host decodes ONLY its own
+    contiguous row range of the padded cache (1/n_proc of the decode work)
+    and the global resident array is assembled with
+    ``jax.make_array_from_process_local_data``. The scanned epoch then runs
+    unchanged over the global mesh — cross-host gathers/all-reduces are
+    XLA-inserted collectives.
     """
     ds = getattr(source, "dataset", source)
+    if getattr(ds, "augment", "none") != "none":
+        raise ValueError(
+            "cache_on_device: the data source applies host augmentations "
+            f"({ds.augment!r}); caching would freeze one random draw. "
+            "Build it with augment='none' and use device augmentation."
+        )
+    if jax.process_count() > 1:
+        return _cache_multiprocess(source, ds, dtype=dtype,
+                                   sharding=sharding,
+                                   num_workers=num_workers)
     if hasattr(ds, "__getitem__") and hasattr(ds, "__len__"):
-        if getattr(ds, "augment", "none") != "none":
-            raise ValueError(
-                "cache_on_device: the dataset applies host augmentations "
-                f"({ds.augment!r}); caching would freeze one random draw. "
-                "Build it with augment='none' and use device augmentation."
-            )
         n = len(ds)
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
             samples = list(pool.map(ds.__getitem__, range(n)))
         x = np.stack([s[0] for s in samples])
         y = np.stack([s[1] for s in samples])
     else:
-        # batch-iteration fallback (no indexable dataset attached): the same
-        # frozen-augmentation hazard applies — check the loader itself for
-        # an augment marker (loaders that hide an augmenting dataset behind
-        # plain iteration cannot be detected; see the docstring contract)
-        if getattr(ds, "augment", "none") != "none":
-            raise ValueError(
-                "cache_on_device: the loader applies host augmentations "
-                f"({ds.augment!r}); caching would freeze one random draw. "
-                "Build it with augment='none' and use device augmentation."
-            )
-        xs, ys = [], []
-        for bx, by in source:
-            xs.append(np.asarray(bx))
-            ys.append(np.asarray(by))
-        if not xs:
-            raise ValueError("cache_on_device: empty data source")
-        x = np.concatenate(xs)
-        y = np.concatenate(ys)
+        # batch-iteration fallback (no indexable dataset attached). The
+        # frozen-augmentation check above inspected the loader itself;
+        # loaders that hide an augmenting dataset behind plain iteration
+        # cannot be detected (see the docstring contract).
+        x, y = _iterate_all(source)
     n = x.shape[0]
 
     if dtype is not None:
@@ -154,6 +155,95 @@ def cache_on_device(source, *, dtype=None, sharding=None,
     else:
         put = jax.device_put
     return ResidentData(put(x), put(y), n)
+
+
+def _iterate_all(source) -> tuple[np.ndarray, np.ndarray]:
+    """Drain a batch loader once into stacked host arrays."""
+    xs, ys = [], []
+    for bx, by in source:
+        xs.append(np.asarray(bx))
+        ys.append(np.asarray(by))
+    if not xs:
+        raise ValueError("cache_on_device: empty data source")
+    return np.concatenate(xs), np.concatenate(ys)
+
+
+def _cache_multiprocess(source, ds, *, dtype, sharding,
+                        num_workers: int) -> ResidentData:
+    """Assemble the resident cache across hosts (see ``cache_on_device``).
+
+    Every host holds the contiguous padded-row range its local devices own
+    under the 1-D batch sharding (``make_mesh`` orders devices by process,
+    the same layout contract as ``parallel.mesh.put_global_batch``), so
+    host ``i`` decodes rows ``[i*per_host, (i+1)*per_host) ∩ [0, n)`` and
+    contributes zeros for padding rows.
+    """
+    if sharding is None:
+        raise ValueError(
+            "cache_on_device: multi-process resident caching requires a "
+            "batch sharding over the GLOBAL mesh (the cache must be "
+            "assembled with make_array_from_process_local_data)")
+    n_shards = sharding.mesh.devices.size
+    n_proc = jax.process_count()
+    if n_shards % n_proc:
+        raise ValueError(
+            f"cache_on_device: global mesh size {n_shards} must divide by "
+            f"{n_proc} processes (non-uniform hosts are unsupported)")
+    rank = jax.process_index()
+
+    if hasattr(ds, "__getitem__") and hasattr(ds, "__len__"):
+        n = len(ds)
+        n_total = n + ((-n) % n_shards)
+        per_host = n_total // n_proc
+        start = rank * per_host
+        own = range(start, min(start + per_host, n))
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            samples = list(pool.map(ds.__getitem__, own))
+        if samples:
+            x_loc = np.stack([s[0] for s in samples])
+            y_loc = np.stack([s[1] for s in samples])
+        else:
+            # every row of this host's range is padding (tiny n): decode
+            # one sample anyway — the local block must still carry the
+            # global (H, W, C) layout for the assembly below
+            probe_x, probe_y = ds[0]
+            x_loc = np.zeros((0,) + np.shape(probe_x),
+                             np.asarray(probe_x).dtype)
+            y_loc = np.zeros((0,) + np.shape(probe_y),
+                             np.asarray(probe_y).dtype)
+    else:
+        # no indexable dataset: drain the identically-seeded global loader
+        # (full decode on every host) and keep this host's row range
+        x_all, y_all = _iterate_all(source)
+        n = x_all.shape[0]
+        n_total = n + ((-n) % n_shards)
+        per_host = n_total // n_proc
+        start = rank * per_host
+        x_loc = x_all[start:start + per_host]
+        y_loc = y_all[start:start + per_host]
+
+    pad = per_host - x_loc.shape[0]
+    if pad:
+        x_loc = np.concatenate(
+            [x_loc, np.zeros((pad,) + x_loc.shape[1:], x_loc.dtype)])
+        y_loc = np.concatenate(
+            [y_loc, np.zeros((pad,) + y_loc.shape[1:], y_loc.dtype)])
+    if dtype is not None:
+        x_loc = x_loc.astype(dtype)
+
+    per_device = (x_loc.nbytes + y_loc.nbytes) * n_proc // n_shards
+    if not fits_on_device_bytes(per_device):
+        raise ValueError(
+            f"cache_on_device: resident cache needs {per_device / 2**30:.1f}"
+            " GiB per device — more than half of one chip's HBM. Use the "
+            "streaming loader path (drop --resident_data) or shard the "
+            "cache over a larger mesh.")
+
+    x = jax.make_array_from_process_local_data(
+        sharding, x_loc, (n_total,) + x_loc.shape[1:])
+    y = jax.make_array_from_process_local_data(
+        sharding, y_loc, (n_total,) + y_loc.shape[1:])
+    return ResidentData(x, y, n)
 
 
 def epoch_batch_plan(key, n_real: int, batch_size: int, *,
@@ -223,22 +313,31 @@ def batch_val_cache(data: ResidentData, batch_size: int,
     n, npad = data.n, data.x.shape[0]
     vb = max(1, -(-n // batch_size))
     total = vb * batch_size
-    x, y = data.x, data.y
-    if total > npad:
-        widths = [(0, total - npad)] + [(0, 0)] * (x.ndim - 1)
-        x = jnp.pad(x, widths)
-        y = jnp.pad(y, widths)
-    x = x[:total].reshape((vb, batch_size) + x.shape[1:])
-    y = y[:total].reshape((vb, batch_size) + y.shape[1:])
-    mask = (np.arange(total) < n).astype(np.float32).reshape(vb, batch_size)
+
+    out_sharding = None
     if sharding is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         axis = sharding.spec[0]
-        s = NamedSharding(sharding.mesh, P(None, axis))
-        x = jax.device_put(x, s)
-        y = jax.device_put(y, s)
-    return x, y, jnp.asarray(mask)
+        out_sharding = NamedSharding(sharding.mesh, P(None, axis))
+
+    # one jitted global program (not eager ops + device_put): multi-host
+    # the cache spans non-addressable devices, where only compiled SPMD
+    # programs may touch it — every host dispatches this identically
+    @partial(jax.jit, out_shardings=out_sharding)
+    def _rebatch(a):
+        if total > npad:
+            widths = [(0, total - npad)] + [(0, 0)] * (a.ndim - 1)
+            a = jnp.pad(a, widths)
+        return a[:total].reshape((vb, batch_size) + a.shape[1:])
+
+    x = _rebatch(data.x)
+    y = _rebatch(data.y)
+    # host numpy (not jnp): an uncommitted array is valid on any mesh the
+    # val program runs over — a committed single-device mask would fight
+    # the global-mesh inputs multi-host
+    mask = (np.arange(total) < n).astype(np.float32).reshape(vb, batch_size)
+    return x, y, mask
 
 
 def make_val_epoch(apply_fn, metric_subset: int = 4, *,

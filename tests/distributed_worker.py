@@ -90,6 +90,36 @@ def main() -> None:
         out["resume_missing_err"] = ""
     except RuntimeError as e:
         out["resume_missing_err"] = str(e)
+
+    # --- phase 4: resident + distributed (HBM-cached epochs over the
+    # global mesh). The train loader exposes an indexable dataset, so each
+    # host decodes ONLY its own rows of the padded cache; the val loader
+    # does not, exercising the drain-and-slice fallback. Loaders are
+    # GLOBAL (not host-sliced) — the cache assembly does the splitting.
+    class _DS:
+        augment = "none"
+
+        def __init__(self, a, b):
+            self.a, self.b = a, b
+
+        def __len__(self):
+            return len(self.a)
+
+        def __getitem__(self, i):
+            return self.a[i], self.b[i]
+
+    train_res = ArrayLoader(x[:8], y[:8], 8)
+    train_res.dataset = _DS(x[:8], y[:8])
+    res_params, _, res_best, res_state = train_model(
+        LightweightUNet(), train_res, ArrayLoader(x[8:], y[8:], 8),
+        epochs=2, lr=1e-3, output_dir=ckpt_dir + "_res", save_every=100,
+        progress=False, mesh=mesh, resident=True,
+    )
+    out["resident_best_val"] = float(res_best)
+    out["resident_param_abs_sum"] = float(
+        sum(np.abs(np.asarray(l)).sum()
+            for l in jax.tree_util.tree_leaves(res_params)))
+    out["resident_step"] = int(np.asarray(res_state.step))
     with open(out_path, "w") as f:
         json.dump(out, f)
 

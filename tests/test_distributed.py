@@ -114,6 +114,48 @@ def test_two_hosts_match_single_process(two_host_run, tmp_path):
     np.testing.assert_allclose(r0["param_abs_sum"], abs_sum, rtol=1e-5)
 
 
+def test_resident_distributed_hosts_agree(two_host_run):
+    """Resident + multi-host composition: the HBM cache is assembled
+    across processes and the scanned epoch runs over the global mesh —
+    both hosts must land on identical replicated results."""
+    _, (r0, r1), _ = two_host_run
+    assert r0["resident_step"] == r1["resident_step"] > 0
+    assert r0["resident_best_val"] == r1["resident_best_val"]
+    assert r0["resident_param_abs_sum"] == r1["resident_param_abs_sum"]
+    assert np.isfinite(r0["resident_best_val"])
+
+
+def test_resident_distributed_matches_single_process(two_host_run, tmp_path):
+    """Resident 2 hosts x 4 devices == resident 1 process x 8 devices, to
+    float tolerance: the epoch batch plan is seeded identically and the
+    cross-host cache holds the same rows at the same global positions, so
+    only collective reduction ordering may differ."""
+    import jax
+
+    from image_enhancement_deglaring_tpu.models import LightweightUNet
+    from image_enhancement_deglaring_tpu.parallel import make_mesh
+    from image_enhancement_deglaring_tpu.train.loop import train_model
+    from tests.loaders import ArrayLoader
+
+    _, (r0, _), _ = two_host_run
+    rng = np.random.default_rng(0)
+    y = rng.random((16, 32, 32, 1)).astype(np.float32)
+    x = np.clip(y + rng.normal(0, 0.15, y.shape), 0, 1).astype(np.float32)
+    best_params, _, best_val, state = train_model(
+        LightweightUNet(), ArrayLoader(x[:8], y[:8], 8),
+        ArrayLoader(x[8:], y[8:], 8), epochs=2, lr=1e-3,
+        output_dir=str(tmp_path), save_every=100, progress=False,
+        mesh=make_mesh(), resident=True,
+    )
+    assert int(np.asarray(state.step)) == r0["resident_step"]
+    np.testing.assert_allclose(r0["resident_best_val"], float(best_val),
+                               rtol=1e-5, atol=1e-7)
+    abs_sum = float(sum(np.abs(np.asarray(l)).sum()
+                        for l in jax.tree_util.tree_leaves(best_params)))
+    np.testing.assert_allclose(r0["resident_param_abs_sum"], abs_sum,
+                               rtol=1e-5)
+
+
 def test_host0_owns_the_checkpoint(two_host_run):
     """Only host 0 writes checkpoints — both hosts pointed at the SAME
     output directory and it must hold exactly one uncorrupted best_model
