@@ -213,18 +213,33 @@ def main(argv=None):
         config=vars(args),
     ) if jax.process_index() == 0 else None
 
-    best_params, best_model_state, best_val, _state = train_model(
-        model, train_loader, val_loader, epochs=args.epochs, lr=args.lr,
-        weight_decay=args.weight_decay, clip_grad_norm=args.clip_grad_norm,
-        patience=args.patience, output_dir=args.output_dir,
-        save_every=args.save_every,
-        validation_metrics_every=args.validation_metrics_every,
-        log_images_every=args.log_images_every, mesh=mesh, seed=args.seed,
-        logger=logger, resume_from=args.resume, watch_every=args.watch_every,
-        profile_dir=args.profile_dir, profile_steps=args.profile_steps,
-        device_augment=device_augment, resident=args.resident_data,
-        prefetch=args.prefetch_factor,
-    )
+    from ..train.preempt import PreemptionGuard
+
+    guard = PreemptionGuard()
+    with guard:
+        best_params, best_model_state, best_val, _state = train_model(
+            model, train_loader, val_loader, epochs=args.epochs, lr=args.lr,
+            weight_decay=args.weight_decay, clip_grad_norm=args.clip_grad_norm,
+            patience=args.patience, output_dir=args.output_dir,
+            save_every=args.save_every,
+            validation_metrics_every=args.validation_metrics_every,
+            log_images_every=args.log_images_every, mesh=mesh, seed=args.seed,
+            logger=logger, resume_from=args.resume, watch_every=args.watch_every,
+            profile_dir=args.profile_dir, profile_steps=args.profile_steps,
+            device_augment=device_augment, resident=args.resident_data,
+            prefetch=args.prefetch_factor, preempt_guard=guard,
+        )
+    if guard.triggered:
+        # the exact-resume checkpoint is already on disk (collective write
+        # inside train_model); skip the final_model/weights work — the
+        # preemption grace window may not cover it — and exit 0 so the
+        # orchestrator treats this as a clean drain, not a crash
+        if logger is not None:
+            logger.finish()
+        print("Training preempted; resume with --resume "
+              f"{os.path.join(args.output_dir, 'preempt_checkpoint')}",
+              flush=True)
+        return
 
     from ..train import save_checkpoint
 

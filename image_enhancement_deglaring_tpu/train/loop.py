@@ -36,6 +36,7 @@ from ..ops.metrics import l1_loss, psnr as psnr_fn, ssim as ssim_fn
 from ..parallel.mesh import batch_sharding, local_rows, replicate
 from .checkpoint import save_checkpoint
 from .lr_control import ReduceLROnPlateau
+from .preempt import PreemptionGuard, preemption_agreed
 
 
 @flax.struct.dataclass
@@ -246,7 +247,8 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                 lr_controller: ReduceLROnPlateau | None = None,
                 watch_every: int = 0, profile_dir: str | None = None,
                 profile_steps: int = 0, device_augment: bool = False,
-                resident: bool = False, prefetch: int = 2):
+                resident: bool = False, prefetch: int = 2,
+                preempt_guard=None, handle_preemption: bool = True):
     """Train ``model`` (a Flax module); returns (best_params,
     best_model_state, best_val_loss, final_state) — best_model_state is the
     mutable-collection snapshot (e.g. BatchNorm batch_stats) taken at the
@@ -261,6 +263,14 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
     ``resident``: cache the full decoded dataset in device memory once and
     run each epoch as ONE compiled lax.scan dispatch (see train.resident);
     requires non-augmenting loaders (combine with ``device_augment``).
+    ``preempt_guard``: an entered ``train.preempt.PreemptionGuard`` owned
+    by the caller (the CLI inspects it after return to exit 0 promptly);
+    with the default ``None`` and ``handle_preemption=True`` the loop
+    installs its own. On SIGTERM/SIGINT the in-flight step finishes, a
+    checkpoint lands in ``output_dir/preempt_checkpoint`` (mid-epoch exact
+    single-process; epoch-boundary with a host-agreement collective
+    multi-host), and the function returns early — ``resume_from`` that
+    directory continues bitwise-identically.
     """
     os.makedirs(output_dir, exist_ok=True)
 
@@ -294,6 +304,10 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         )
 
     resumed_stale_epochs = 0
+    # mid-epoch preemption resume: replay the interrupted epoch from the
+    # batch AFTER the last completed step (loaders are per-epoch seeded;
+    # per-step randomness rides state.rng, so the skip is exact)
+    resume_mid_epoch, resume_skip_steps = -1, 0
     if resume_from is not None:
         from .checkpoint import restore_checkpoint, restore_checkpoint_all_hosts
 
@@ -331,7 +345,14 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             state = state.replace(
                 rng=jnp.asarray(meta["rng"], jnp.uint32))
         resumed_stale_epochs = int(meta.get("epochs_without_improvement", 0))
-        start_epoch = max(start_epoch, int(meta.get("epoch", -1)) + 1)
+        if meta.get("mid_epoch"):
+            # checkpoint written MID-epoch (preemption): re-enter the
+            # interrupted epoch and skip its already-trained batches
+            resume_mid_epoch = int(meta.get("epoch", 0))
+            resume_skip_steps = int(meta.get("epoch_step", 0))
+            start_epoch = max(start_epoch, resume_mid_epoch)
+        else:
+            start_epoch = max(start_epoch, int(meta.get("epoch", -1)) + 1)
         if lr_controller is None and meta.get("lr_state"):
             lr_controller = ReduceLROnPlateau(lr, factor=plateau_factor,
                                               patience=plateau_patience)
@@ -500,257 +521,307 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
     warned_no_val = False
     history = {"train_loss": [], "val_loss": []}
 
-    for epoch in range(start_epoch, epochs):
-        # ---------------------------------------------------------- train
-        t0 = time.time()
-        # optional jax profiler capture of the first epoch's hot loop
-        # (tensorboard-readable trace; the reference has no profiler)
-        profiling = (profile_dir is not None and profile_steps > 0
-                     and epoch == start_epoch)
-        if profiling:
-            jax.profiler.start_trace(profile_dir)
-        if resident:
-            # whole epoch in one dispatch: shuffle/gather/augment/step scan
-            epoch_key = jax.random.fold_in(jax.random.PRNGKey(seed), epoch)
-            state, losses = train_epoch_fn(state, rd_train.x, rd_train.y,
-                                           epoch_key, rd_train.n)
-            losses_np = np.asarray(losses, np.float64)  # the epoch barrier
-            if profiling:
-                jax.profiler.stop_trace()
-                profiling = False
-            # epoch_batch_plan clamps the step batch to the dataset size, so
-            # mirror it — steps * train_batch would overcount on tiny sets
-            n_seen = losses_np.size * min(train_batch, rd_train.n)
-            train_loss = float(losses_np.mean()) if losses_np.size else 0.0
-        else:
-            if hasattr(train_loader, "set_epoch"):
-                train_loader.set_epoch(epoch)
-            train_iter = DevicePrefetcher(train_loader, sharding=sharding,
-                                          prefetch=prefetch,
-                                          input_dtype=input_dtype)
-            it = train_iter
-            if progress:
-                try:
-                    from tqdm import tqdm
+    def _resume_extra():
+        # everything exact resume needs beyond the pytrees: LR-controller
+        # state, the step counter, the rng stream position, and the
+        # early-stop counter (reads the CURRENT loop locals at call time)
+        return {"lr_state": scheduler.state_dict(),
+                "step": int(np.asarray(state.step)),
+                "rng": np.asarray(state.rng).tolist(),
+                "epochs_without_improvement": epochs_without_improvement}
 
-                    it = tqdm(train_iter, total=len(train_loader),
-                              desc=f"Epoch {epoch + 1}/{epochs} [Train]")
-                except ImportError:
-                    pass
-            # keep per-step losses ON DEVICE: float(loss) every step would
-            # force a host sync per step, stalling the dispatch pipeline
-            # (steps can't overlap with the next batch's transfer); fetch
-            # once per epoch
-            step_losses: list = []
-            step_sizes: list[int] = []
-            for i, (x, y) in enumerate(it):
-                state, loss = train_step(state, x, y)
-                step_losses.append(loss)
-                step_sizes.append(x.shape[0])
-                if profiling and i + 1 >= profile_steps:
-                    loss.block_until_ready()
+    def _save_preempt(epoch_step=None):
+        # collective on multi-host (all hosts reach this together via
+        # preemption_agreed); epoch_step marks a MID-epoch snapshot whose
+        # resume re-enters this epoch at the next batch
+        extra = _resume_extra()
+        if epoch_step is not None:
+            extra.update(mid_epoch=True, epoch_step=int(epoch_step))
+        path = os.path.join(output_dir, "preempt_checkpoint")
+        save_checkpoint(path, params=state.params, opt_state=state.opt_state,
+                        model_state=state.model_state, epoch=epoch,
+                        val_loss=best_val_loss, extra=extra)
+        print(f"Preempted: exact state saved to {path} — continue with "
+              f"--resume {path}", flush=True)
+
+    guard = preempt_guard
+    own_guard = False
+    if guard is None and handle_preemption:
+        guard = PreemptionGuard().__enter__()
+        own_guard = True
+    preempted = False
+    try:
+        for epoch in range(start_epoch, epochs):
+            # ---------------------------------------------------------- train
+            t0 = time.time()
+            # optional jax profiler capture of the first epoch's hot loop
+            # (tensorboard-readable trace; the reference has no profiler)
+            profiling = (profile_dir is not None and profile_steps > 0
+                         and epoch == start_epoch)
+            if profiling:
+                jax.profiler.start_trace(profile_dir)
+            if resident:
+                # whole epoch in one dispatch: shuffle/gather/augment/step scan
+                epoch_key = jax.random.fold_in(jax.random.PRNGKey(seed), epoch)
+                state, losses = train_epoch_fn(state, rd_train.x, rd_train.y,
+                                               epoch_key, rd_train.n)
+                losses_np = np.asarray(losses, np.float64)  # the epoch barrier
+                if profiling:
                     jax.profiler.stop_trace()
                     profiling = False
-            if profiling:  # epoch shorter than profile_steps
-                jax.profiler.stop_trace()
-            n_seen = sum(step_sizes)
-            if step_losses:  # one stacked fetch, not one sync per scalar
-                losses_np = np.asarray(jnp.stack(step_losses), np.float64)
-                running = float(losses_np @ np.asarray(step_sizes, np.float64))
+                # epoch_batch_plan clamps the step batch to the dataset size, so
+                # mirror it — steps * train_batch would overcount on tiny sets
+                n_seen = losses_np.size * min(train_batch, rd_train.n)
+                train_loss = float(losses_np.mean()) if losses_np.size else 0.0
             else:
-                running = 0.0
-            train_loss = running / max(n_seen, 1)
-        history["train_loss"].append(train_loss)
-        train_secs = time.time() - t0
-        train_ips = n_seen / train_secs if train_secs > 0 else 0.0
+                if hasattr(train_loader, "set_epoch"):
+                    train_loader.set_epoch(epoch)
+                train_iter = DevicePrefetcher(train_loader, sharding=sharding,
+                                              prefetch=prefetch,
+                                              input_dtype=input_dtype)
+                it = train_iter
+                if progress:
+                    try:
+                        from tqdm import tqdm
 
-        # ------------------------------------------------------------ val
-        calc_metrics = (
-            (epoch + 1) % validation_metrics_every == 0
-            or epoch == 0
-            or epoch == epochs - 1
-        )
-        log_images = logger is not None and (
-            (epoch + 1) % log_images_every == 0 or epoch == 0 or epoch == epochs - 1
-        )
-        if resident:
-            # whole validation set in one dispatch + one stats fetch
-            vs = None
-            if val_batches is not None:
-                val_epoch_fn = (val_epoch_metrics if calc_metrics
-                                else val_epoch_plain)
-                vs = np.asarray(
-                    val_epoch_fn(state.params, state.model_state,
-                                 *val_batches),
-                    np.float64,
-                )
-                if log_images:
-                    # host-local forward over the peeked first val batch:
-                    # np inputs compile a purely LOCAL program, so host-0-
-                    # only logging cannot stall other hosts in a collective
-                    # (slicing the mesh-sharded cache here would); params
-                    # are replicated, so np.asarray is a local fetch
-                    k = min(2, sample_x.shape[0])
-                    p_np = jax.tree_util.tree_map(np.asarray, state.params)
-                    ms_np = jax.tree_util.tree_map(np.asarray,
-                                                   state.model_state)
-                    _, _, _, out = val_step_plain(
-                        p_np, ms_np, np.asarray(sample_x[:k]),
-                        np.asarray(sample_y[:k]),
-                        np.ones((k,), np.float32))
-                    out_np = np.asarray(out, np.float32)
-                    x_np = np.asarray(sample_x[:k], np.float32)
-                    y_np = np.asarray(sample_y[:k], np.float32)
-                    imgs = {}
-                    for i in range(k):
-                        imgs[f"input_{i}"] = x_np[i, ..., 0]
-                        imgs[f"prediction_{i}"] = np.clip(out_np[i, ..., 0], 0, 1)
-                        imgs[f"target_{i}"] = y_np[i, ..., 0]
-                    logger.log_images("val", imgs, step=epoch + 1)
-        else:
-            val_step = val_step_metrics if calc_metrics else val_step_plain
-            val_stats: list = []  # per-batch (loss, psnr, ssim, n_real) on device
-            for batch_idx, (x, y, mask) in enumerate(
-                DevicePrefetcher(padded_val, sharding=sharding,
-                                 prefetch=prefetch,
-                                 input_dtype=input_dtype)
-            ):
-                loss, psnr, ssim, out = val_step(state.params, state.model_state,
-                                                 x, y, mask)
-                val_stats.append(jnp.stack([loss, psnr, ssim, jnp.sum(mask)]))
-                if log_images and batch_idx == 0:
-                    # one fetch per batch, not one per logged image;
-                    # local_rows: multi-host the global batch is not
-                    # fetchable — log from this host's own rows
-                    out_np = local_rows(out)
-                    k = min(2, out_np.shape[0])
-                    x_np = local_rows(x).astype(np.float32)
-                    y_np = local_rows(y).astype(np.float32)
-                    imgs = {}
-                    for i in range(k):
-                        imgs[f"input_{i}"] = x_np[i, ..., 0]
-                        imgs[f"prediction_{i}"] = np.clip(out_np[i, ..., 0], 0, 1)
-                        imgs[f"target_{i}"] = y_np[i, ..., 0]
-                    logger.log_images("val", imgs, step=epoch + 1)
-            # one stacked fetch for the whole epoch's metrics (per-batch
-            # float() would sync the pipeline every step)
-            vs = (np.asarray(jnp.stack(val_stats), np.float64)
-                  if val_stats else None)
-        if vs is not None:
-            val_seen = float(vs[:, 3].sum())
-            val_loss = float(vs[:, 0] @ vs[:, 3]) / max(val_seen, 1.0)
-            val_psnr = float(vs[:, 1].mean())
-            val_ssim = float(vs[:, 2].mean())
-        else:
-            # no validation data: fall back to the train loss as the
-            # plateau/early-stop signal — a constant 0.0 here would silently
-            # early-stop after `patience` epochs and decay the LR forever
-            val_loss = train_loss
-            val_psnr = val_ssim = 0.0
-            if not warned_no_val:
-                warned_no_val = True
-                print("Warning: validation loader is empty — using the train "
-                      "loss for LR scheduling, early stopping, and "
-                      "best-model tracking")
-        history["val_loss"].append(val_loss)
+                        it = tqdm(train_iter, total=len(train_loader),
+                                  desc=f"Epoch {epoch + 1}/{epochs} [Train]")
+                    except ImportError:
+                        pass
+                # keep per-step losses ON DEVICE: float(loss) every step would
+                # force a host sync per step, stalling the dispatch pipeline
+                # (steps can't overlap with the next batch's transfer); fetch
+                # once per epoch
+                step_losses: list = []
+                step_sizes: list[int] = []
+                mid_step = 0
+                for i, (x, y) in enumerate(it):
+                    if epoch == resume_mid_epoch and i < resume_skip_steps:
+                        continue  # trained before the preemption snapshot
+                    state, loss = train_step(state, x, y)
+                    step_losses.append(loss)
+                    step_sizes.append(x.shape[0])
+                    if profiling and i + 1 >= profile_steps:
+                        loss.block_until_ready()
+                        jax.profiler.stop_trace()
+                        profiling = False
+                    # single-process: react to SIGTERM after every step
+                    # (the in-flight step above already finished); multi-
+                    # host defers to the collective epoch-boundary check
+                    if (guard is not None and guard.triggered
+                            and jax.process_count() == 1):
+                        preempted = True
+                        mid_step = i + 1
+                        break
+                if profiling:  # epoch shorter than profile_steps
+                    jax.profiler.stop_trace()
+                if preempted:
+                    _save_preempt(mid_step)
+                    break
+                n_seen = sum(step_sizes)
+                if step_losses:  # one stacked fetch, not one sync per scalar
+                    losses_np = np.asarray(jnp.stack(step_losses), np.float64)
+                    running = float(losses_np @ np.asarray(step_sizes, np.float64))
+                else:
+                    running = 0.0
+                train_loss = running / max(n_seen, 1)
+            history["train_loss"].append(train_loss)
+            train_secs = time.time() - t0
+            train_ips = n_seen / train_secs if train_secs > 0 else 0.0
 
-        # --------------------------------------------- schedule / log / save
-        new_lr = scheduler.step(val_loss)
-        state = set_learning_rate(state, new_lr)
+            # ------------------------------------------------------------ val
+            calc_metrics = (
+                (epoch + 1) % validation_metrics_every == 0
+                or epoch == 0
+                or epoch == epochs - 1
+            )
+            log_images = logger is not None and (
+                (epoch + 1) % log_images_every == 0 or epoch == 0 or epoch == epochs - 1
+            )
+            if resident:
+                # whole validation set in one dispatch + one stats fetch
+                vs = None
+                if val_batches is not None:
+                    val_epoch_fn = (val_epoch_metrics if calc_metrics
+                                    else val_epoch_plain)
+                    vs = np.asarray(
+                        val_epoch_fn(state.params, state.model_state,
+                                     *val_batches),
+                        np.float64,
+                    )
+                    if log_images:
+                        # host-local forward over the peeked first val batch:
+                        # np inputs compile a purely LOCAL program, so host-0-
+                        # only logging cannot stall other hosts in a collective
+                        # (slicing the mesh-sharded cache here would); params
+                        # are replicated, so np.asarray is a local fetch
+                        k = min(2, sample_x.shape[0])
+                        p_np = jax.tree_util.tree_map(np.asarray, state.params)
+                        ms_np = jax.tree_util.tree_map(np.asarray,
+                                                       state.model_state)
+                        _, _, _, out = val_step_plain(
+                            p_np, ms_np, np.asarray(sample_x[:k]),
+                            np.asarray(sample_y[:k]),
+                            np.ones((k,), np.float32))
+                        out_np = np.asarray(out, np.float32)
+                        x_np = np.asarray(sample_x[:k], np.float32)
+                        y_np = np.asarray(sample_y[:k], np.float32)
+                        imgs = {}
+                        for i in range(k):
+                            imgs[f"input_{i}"] = x_np[i, ..., 0]
+                            imgs[f"prediction_{i}"] = np.clip(out_np[i, ..., 0], 0, 1)
+                            imgs[f"target_{i}"] = y_np[i, ..., 0]
+                        logger.log_images("val", imgs, step=epoch + 1)
+            else:
+                val_step = val_step_metrics if calc_metrics else val_step_plain
+                val_stats: list = []  # per-batch (loss, psnr, ssim, n_real) on device
+                for batch_idx, (x, y, mask) in enumerate(
+                    DevicePrefetcher(padded_val, sharding=sharding,
+                                     prefetch=prefetch,
+                                     input_dtype=input_dtype)
+                ):
+                    loss, psnr, ssim, out = val_step(state.params, state.model_state,
+                                                     x, y, mask)
+                    val_stats.append(jnp.stack([loss, psnr, ssim, jnp.sum(mask)]))
+                    if log_images and batch_idx == 0:
+                        # one fetch per batch, not one per logged image;
+                        # local_rows: multi-host the global batch is not
+                        # fetchable — log from this host's own rows
+                        out_np = local_rows(out)
+                        k = min(2, out_np.shape[0])
+                        x_np = local_rows(x).astype(np.float32)
+                        y_np = local_rows(y).astype(np.float32)
+                        imgs = {}
+                        for i in range(k):
+                            imgs[f"input_{i}"] = x_np[i, ..., 0]
+                            imgs[f"prediction_{i}"] = np.clip(out_np[i, ..., 0], 0, 1)
+                            imgs[f"target_{i}"] = y_np[i, ..., 0]
+                        logger.log_images("val", imgs, step=epoch + 1)
+                # one stacked fetch for the whole epoch's metrics (per-batch
+                # float() would sync the pipeline every step)
+                vs = (np.asarray(jnp.stack(val_stats), np.float64)
+                      if val_stats else None)
+            if vs is not None:
+                val_seen = float(vs[:, 3].sum())
+                val_loss = float(vs[:, 0] @ vs[:, 3]) / max(val_seen, 1.0)
+                val_psnr = float(vs[:, 1].mean())
+                val_ssim = float(vs[:, 2].mean())
+            else:
+                # no validation data: fall back to the train loss as the
+                # plateau/early-stop signal — a constant 0.0 here would silently
+                # early-stop after `patience` epochs and decay the LR forever
+                val_loss = train_loss
+                val_psnr = val_ssim = 0.0
+                if not warned_no_val:
+                    warned_no_val = True
+                    print("Warning: validation loader is empty — using the train "
+                          "loss for LR scheduling, early stopping, and "
+                          "best-model tracking")
+            history["val_loss"].append(val_loss)
 
-        msg = (f"Epoch {epoch + 1}/{epochs}: Train Loss: {train_loss:.4f}, "
-               f"Val Loss: {val_loss:.4f}")
-        if calc_metrics:
-            msg += f", PSNR: {val_psnr:.2f}, SSIM: {val_ssim:.4f}"
-        msg += f", LR: {new_lr:.6f} ({time.time() - t0:.1f}s)"
-        # flush so redirected logs (nohup, containers) show live progress
-        print(msg, flush=True)
+            # --------------------------------------------- schedule / log / save
+            new_lr = scheduler.step(val_loss)
+            state = set_learning_rate(state, new_lr)
 
-        if logger is not None:
-            rec = {"epoch": epoch + 1, "train_loss": train_loss,
-                   "val_loss": val_loss, "learning_rate": new_lr,
-                   "train_images_per_sec": train_ips}
+            msg = (f"Epoch {epoch + 1}/{epochs}: Train Loss: {train_loss:.4f}, "
+                   f"Val Loss: {val_loss:.4f}")
             if calc_metrics:
-                rec["val_psnr"] = val_psnr
-                rec["val_ssim"] = val_ssim
-            logger.log(rec, step=epoch + 1)
+                msg += f", PSNR: {val_psnr:.2f}, SSIM: {val_ssim:.4f}"
+            msg += f", LR: {new_lr:.6f} ({time.time() - t0:.1f}s)"
+            # flush so redirected logs (nohup, containers) show live progress
+            print(msg, flush=True)
 
-        if (logger is not None and watch_every > 0
-                and (epoch + 1) % watch_every == 0):
-            # wandb.watch analogue (reference: optimized_train.py:179):
-            # per-leaf parameter statistics into the metrics stream
-            logger.log_histograms(
-                jax.tree_util.tree_map(np.asarray, state.params),
-                step=epoch + 1, prefix="params",
-            )
-
-        def _resume_extra():
-            # everything exact resume needs beyond the pytrees: LR-controller
-            # state, the step counter, the rng stream position, and the
-            # early-stop counter
-            return {"lr_state": scheduler.state_dict(),
-                    "step": int(np.asarray(state.step)),
-                    "rng": np.asarray(state.rng).tolist(),
-                    "epochs_without_improvement": epochs_without_improvement}
-
-        if val_loss < best_val_loss:
-            epochs_without_improvement = 0
-            best_val_loss = val_loss
-            best_params = jax.tree_util.tree_map(np.asarray, state.params)
-            # snapshot the MATCHING mutable collections (BatchNorm stats):
-            # best params with another epoch's running stats would be a
-            # silently different model
-            best_model_state = jax.tree_util.tree_map(np.asarray,
-                                                      state.model_state)
-            # multi-host: save_checkpoint is COLLECTIVE (orbax barriers all
-            # processes and writes from the primary only) — every host must
-            # call it; gating on host 0 here would deadlock the barrier
-            save_checkpoint(
-                os.path.join(output_dir, "best_model"),
-                params=state.params, opt_state=state.opt_state,
-                model_state=state.model_state, epoch=epoch,
-                val_loss=val_loss, extra=_resume_extra(),
-            )
-            print(f"New best model with validation loss: {val_loss:.4f}")
             if logger is not None:
-                summary = {"best_val_loss": best_val_loss, "best_epoch": epoch + 1}
+                rec = {"epoch": epoch + 1, "train_loss": train_loss,
+                       "val_loss": val_loss, "learning_rate": new_lr,
+                       "train_images_per_sec": train_ips}
                 if calc_metrics:
-                    summary["best_val_psnr"] = val_psnr
-                    summary["best_val_ssim"] = val_ssim
-                logger.set_summary(**summary)
-                # artifact mirroring (reference: optimized_train.py:340)
-                logger.save(os.path.join(output_dir, "best_model"))
-        else:
-            epochs_without_improvement += 1
-            print(f"No improvement for {epochs_without_improvement} epochs "
-                  f"(best: {best_val_loss:.4f}, current: {val_loss:.4f})")
-            if logger is not None:
-                logger.log({"epochs_without_improvement": epochs_without_improvement},
-                           step=epoch + 1)
+                    rec["val_psnr"] = val_psnr
+                    rec["val_ssim"] = val_ssim
+                logger.log(rec, step=epoch + 1)
 
-        # AFTER the improvement bookkeeping: the checkpoint's resume extras
-        # must carry THIS epoch's early-stop counter, not last epoch's
-        # (collective on multi-host — see the best_model save above)
-        if (epoch + 1) % save_every == 0:
-            ckpt_dir = os.path.join(output_dir,
-                                    f"checkpoint_epoch_{epoch + 1}")
-            save_checkpoint(
-                ckpt_dir,
-                params=state.params, opt_state=state.opt_state,
-                model_state=state.model_state, epoch=epoch,
-                val_loss=val_loss, extra=_resume_extra(),
-            )
-            if logger is not None:  # reference: optimized_train.py:317
-                logger.save(ckpt_dir)
+            if (logger is not None and watch_every > 0
+                    and (epoch + 1) % watch_every == 0):
+                # wandb.watch analogue (reference: optimized_train.py:179):
+                # per-leaf parameter statistics into the metrics stream
+                logger.log_histograms(
+                    jax.tree_util.tree_map(np.asarray, state.params),
+                    step=epoch + 1, prefix="params",
+                )
 
-        if epochs_without_improvement >= patience:
-            print(f"Early stopping triggered after {patience} epochs "
-                  f"without improvement")
-            if logger is not None:
-                logger.set_summary(early_stopped=True,
-                                   early_stopping_epoch=epoch + 1)
-            break
+            if val_loss < best_val_loss:
+                epochs_without_improvement = 0
+                best_val_loss = val_loss
+                best_params = jax.tree_util.tree_map(np.asarray, state.params)
+                # snapshot the MATCHING mutable collections (BatchNorm stats):
+                # best params with another epoch's running stats would be a
+                # silently different model
+                best_model_state = jax.tree_util.tree_map(np.asarray,
+                                                          state.model_state)
+                # multi-host: save_checkpoint is COLLECTIVE (orbax barriers all
+                # processes and writes from the primary only) — every host must
+                # call it; gating on host 0 here would deadlock the barrier
+                save_checkpoint(
+                    os.path.join(output_dir, "best_model"),
+                    params=state.params, opt_state=state.opt_state,
+                    model_state=state.model_state, epoch=epoch,
+                    val_loss=val_loss, extra=_resume_extra(),
+                )
+                print(f"New best model with validation loss: {val_loss:.4f}")
+                if logger is not None:
+                    summary = {"best_val_loss": best_val_loss, "best_epoch": epoch + 1}
+                    if calc_metrics:
+                        summary["best_val_psnr"] = val_psnr
+                        summary["best_val_ssim"] = val_ssim
+                    logger.set_summary(**summary)
+                    # artifact mirroring (reference: optimized_train.py:340)
+                    logger.save(os.path.join(output_dir, "best_model"))
+            else:
+                epochs_without_improvement += 1
+                print(f"No improvement for {epochs_without_improvement} epochs "
+                      f"(best: {best_val_loss:.4f}, current: {val_loss:.4f})")
+                if logger is not None:
+                    logger.log({"epochs_without_improvement": epochs_without_improvement},
+                               step=epoch + 1)
 
+            # AFTER the improvement bookkeeping: the checkpoint's resume extras
+            # must carry THIS epoch's early-stop counter, not last epoch's
+            # (collective on multi-host — see the best_model save above)
+            if (epoch + 1) % save_every == 0:
+                ckpt_dir = os.path.join(output_dir,
+                                        f"checkpoint_epoch_{epoch + 1}")
+                save_checkpoint(
+                    ckpt_dir,
+                    params=state.params, opt_state=state.opt_state,
+                    model_state=state.model_state, epoch=epoch,
+                    val_loss=val_loss, extra=_resume_extra(),
+                )
+                if logger is not None:  # reference: optimized_train.py:317
+                    logger.save(ckpt_dir)
+
+            if epochs_without_improvement >= patience:
+                print(f"Early stopping triggered after {patience} epochs "
+                      f"without improvement")
+                if logger is not None:
+                    logger.set_summary(early_stopped=True,
+                                       early_stopping_epoch=epoch + 1)
+                break
+
+            # epoch-boundary preemption: catches signals that landed
+            # outside the step loop (val, checkpoint writes, resident
+            # scanned epochs), and is the ONLY check multi-host — a signal
+            # may land on one host, the checkpoint write is collective, so
+            # the decision is made host-uniform by preemption_agreed (one
+            # tiny allgather per epoch)
+            if guard is not None and preemption_agreed(guard.triggered):
+                guard.triggered = True  # host-uniform for the caller
+                preempted = True
+                _save_preempt()
+                break
+
+    finally:
+        if own_guard:
+            guard.__exit__(None, None, None)
     if is_host0:
         _plot_losses(history, output_dir)
     if best_params is None:

@@ -120,6 +120,15 @@ def main() -> None:
         sum(np.abs(np.asarray(l)).sum()
             for l in jax.tree_util.tree_leaves(res_params)))
     out["resident_step"] = int(np.asarray(res_state.step))
+
+    # --- phase 5: host-uniform preemption agreement — a signal landing on
+    # ONE host must stop BOTH (the checkpoint write is collective)
+    from image_enhancement_deglaring_tpu.train.preempt import (
+        preemption_agreed,
+    )
+
+    out["preempt_agree_one_host"] = bool(preemption_agreed(rank == 1))
+    out["preempt_agree_none"] = bool(preemption_agreed(False))
     with open(out_path, "w") as f:
         json.dump(out, f)
 

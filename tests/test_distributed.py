@@ -156,6 +156,16 @@ def test_resident_distributed_matches_single_process(two_host_run, tmp_path):
                                rtol=1e-5)
 
 
+def test_preemption_decision_is_host_uniform(two_host_run):
+    """A SIGTERM on ONE host must stop EVERY host (the preemption
+    checkpoint write is collective) — and no signal anywhere must not."""
+    _, (r0, r1), _ = two_host_run
+    assert r0["preempt_agree_one_host"] is True
+    assert r1["preempt_agree_one_host"] is True
+    assert r0["preempt_agree_none"] is False
+    assert r1["preempt_agree_none"] is False
+
+
 def test_host0_owns_the_checkpoint(two_host_run):
     """Only host 0 writes checkpoints — both hosts pointed at the SAME
     output directory and it must hold exactly one uncorrupted best_model
