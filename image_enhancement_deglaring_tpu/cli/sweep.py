@@ -49,6 +49,19 @@ def parse_args(argv=None):
                         "the optimized augmentation stack runs on device")
     p.add_argument("--n_devices", type=int, default=0,
                    help="trial-parallel devices (0 = all local)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: run jax.distributed.initialize before "
+                        "backend init and shard the vmapped trial axis "
+                        "over the GLOBAL mesh (every chip of every host — "
+                        "one trial per chip); launch the same command on "
+                        "each host of the slice. Every host loads the "
+                        "same data (trial groups replicate it); host 0 "
+                        "writes results/artifacts")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (TPU VMs auto-detect; "
+                        "required off-pod, e.g. CPU multi-process)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     # the reference's sweep fixes mixed_precision ON for every trial
     # (reference: sweep.py:80-87); bf16 compute is the TPU equivalent
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
@@ -79,6 +92,22 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.distributed:
+        # must run before the first backend touch (jax.devices etc.)
+        from ..parallel import distributed
+
+        distributed.initialize(coordinator_address=args.coordinator_address,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
+    elif any(a is not None for a in (args.coordinator_address,
+                                     args.num_processes, args.process_id)):
+        # same guard as cli.train: explicit coordinator flags without
+        # --distributed would run N INDEPENDENT sweeps stomping one
+        # shared output_dir
+        raise SystemExit(
+            "--coordinator_address/--num_processes/--process_id require "
+            "--distributed (refusing to fall back to an independent "
+            "single-host sweep)")
     import jax
 
     from ..data import make_dataloaders
@@ -87,15 +116,33 @@ def main(argv=None):
     from ..utils import ExperimentLogger, set_seed
 
     set_seed(args.seed)
-    # clamp like cli.train: make_mesh truncates to the devices that exist,
-    # so a silently smaller mesh would leave the operator believing more
-    # trial parallelism is active than is
-    avail = len(jax.devices())
-    n_dev = min(args.n_devices or avail, avail)
-    if args.n_devices and args.n_devices > avail:
-        print(f"requested --n_devices {args.n_devices}, but only "
-              f"{avail} available; using {n_dev}")
-    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    if args.distributed:
+        import sys
+
+        print(f"Distributed runtime: {jax.process_count()} process(es), "
+              f"{len(jax.devices())} global device(s)")
+        if jax.process_count() == 1:
+            print("WARNING: --distributed resolved to a SINGLE process. "
+                  "If this is one host of a pod, pass "
+                  "--coordinator_address/--num_processes/--process_id "
+                  "explicitly.", file=sys.stderr)
+    if args.distributed and jax.process_count() > 1:
+        if args.n_devices:
+            raise SystemExit("--distributed spans the global mesh; "
+                             "--n_devices applies to single-host runs only")
+        # trial axis shards over every chip of every host — trial counts
+        # pad up to the global device count inside VmappedTrialGroup
+        mesh = make_mesh()
+    else:
+        # clamp like cli.train: make_mesh truncates to the devices that
+        # exist, so a silently smaller mesh would leave the operator
+        # believing more trial parallelism is active than is
+        avail = len(jax.devices())
+        n_dev = min(args.n_devices or avail, avail)
+        if args.n_devices and args.n_devices > avail:
+            print(f"requested --n_devices {args.n_devices}, but only "
+                  f"{avail} available; using {n_dev}")
+        mesh = make_mesh(n_dev) if n_dev > 1 else None
 
     loaders_cache = {}
 
@@ -117,8 +164,11 @@ def main(argv=None):
             )
         return loaders_cache[batch_size]
 
+    # host 0 owns all telemetry (every host computes identical results;
+    # N hosts each mirroring N runs would duplicate every trial in W&B)
+    is_host0 = jax.process_index() == 0
     wandb_mirror = None
-    if args.use_wandb:
+    if args.use_wandb and is_host0:
         try:
             from ..parallel.sweep import WandbSweepMirror
 
@@ -127,7 +177,8 @@ def main(argv=None):
         except Exception as e:  # wandb missing/unconfigured: JSONL only
             print(f"wandb unavailable ({e}); sweep telemetry stays local")
 
-    logger = ExperimentLogger(f"{args.output_dir}/sweep_logs", config=vars(args))
+    logger = (ExperimentLogger(f"{args.output_dir}/sweep_logs",
+                               config=vars(args)) if is_host0 else None)
     import jax.numpy as jnp
 
     # restrict sampled batch sizes to those the train split can actually

@@ -51,17 +51,52 @@ def put_global_batch(batch, sharding: NamedSharding):
     place host data on another process's devices). Every host must feed
     the same local batch size; the 1-D mesh orders devices by process, so
     host ``i``'s rows land at ``parallel.distributed.process_batch_slice``
-    positions of the global batch."""
+    positions of the global batch.
+
+    With a fully REPLICATED sharding (the sweep's trial groups feed every
+    device the same batch) there is no slicing convention: every host
+    passes the SAME full batch and ``device_put`` replicates it across the
+    global mesh directly."""
     n_proc = jax.process_count()
 
     def put(x):
-        if n_proc > 1:
+        if n_proc > 1 and not sharding.is_fully_replicated:
             gshape = (x.shape[0] * n_proc,) + tuple(x.shape[1:])
             return jax.make_array_from_process_local_data(
                 sharding, np.asarray(x), gshape)
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def put_from_full(x, sharding: NamedSharding):
+    """Place an array EVERY HOST HOLDS IN FULL onto a (possibly
+    cross-process) sharding — the multi-host sweep's trial-axis puts:
+    each host samples the same trials (same seed), so the full stacked
+    array exists everywhere and each host contributes its addressable
+    shards. ``device_put`` to a non-replicated cross-process sharding is
+    not supported; ``make_array_from_callback`` slices the host copy
+    per-shard instead. Single-process this IS ``device_put``."""
+    if jax.process_count() == 1 or sharding.is_fully_replicated:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def fetch_replicated(a) -> np.ndarray:
+    """``np.asarray`` for a possibly cross-process array: a multi-host
+    sharded array spans non-addressable devices and cannot be fetched
+    wholesale, so re-lay it out fully replicated first (one XLA
+    all-gather over the mesh — every host then reads its local replica).
+    Single-process (or an already fully-replicated / fully-addressable
+    array) this is a plain fetch."""
+    if (not isinstance(a, jax.Array) or a.is_fully_addressable
+            or a.is_fully_replicated):
+        return np.asarray(a)
+    mesh = a.sharding.mesh
+    rep = NamedSharding(mesh, P())
+    return np.asarray(jax.jit(lambda x: x, out_shardings=rep)(a))
 
 
 def local_rows(a) -> np.ndarray:

@@ -35,6 +35,16 @@ import optax
 
 from ..ops.metrics import l1_loss
 from ..train.lr_control import ReduceLROnPlateau
+from .mesh import fetch_replicated, put_from_full
+
+
+def _reshard(x, sharding):
+    """Re-lay an array out onto ``sharding``. A multi-host array that is
+    not fully addressable cannot go through ``device_put``/host copies —
+    a jitted identity makes XLA move it (collectives over ICI/DCN)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return jax.jit(lambda a: a, out_shardings=sharding)(x)
+    return put_from_full(x, sharding)
 
 # --------------------------------------------------------------------- space
 
@@ -216,18 +226,23 @@ class VmappedTrialGroup:
             for t in trials
         ]
 
+        self._rep_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             # data batches replicate over the mesh whether or not the
             # trial axis shards (below requires n % devices == 0)
             self._data_sharding = NamedSharding(mesh, P())
+            self._rep_sharding = self._data_sharding
         if mesh is not None:  # n_phys is a mesh multiple by construction
             axis = mesh.axis_names[0]
             tsh = NamedSharding(mesh, P(axis))
             rep = NamedSharding(mesh, P())
             self._trial_sharding = tsh
-            put_t = lambda x: (jax.device_put(x, tsh)
+            # multi-host (mesh spans several processes): every host built
+            # the same stacked arrays (same seed), so each contributes its
+            # addressable shards — put_from_full; single-host device_put
+            put_t = lambda x: (put_from_full(x, tsh)
                                if x.shape[0] == n_phys else x)
             self.params = jax.tree_util.tree_map(put_t, self.params)
             self.model_state = jax.tree_util.tree_map(put_t, self.model_state)
@@ -237,8 +252,8 @@ class VmappedTrialGroup:
                 else jax.device_put(x, rep),
                 self.opt_state,
             )
-            self.lrs = jax.device_put(self.lrs, tsh)
-            self.wds = jax.device_put(self.wds, tsh)
+            self.lrs = put_from_full(self.lrs, tsh)
+            self.wds = put_from_full(self.wds, tsh)
 
         apply_fn = model.apply
         clip = self.clip
@@ -367,6 +382,17 @@ class VmappedTrialGroup:
 
         self._resident_val = jax.jit(scan_val_epoch)
 
+    def _to_mesh(self, x):
+        """Multi-host, a host-locally computed array (a PRNG key, a batch
+        weight vector) is committed to this process's device 0 and cannot
+        feed a jit or eager op over the global mesh alongside trial-sharded
+        params — replicate it across the mesh first (bytes, not batches;
+        cross-process device_put to a replicated sharding is supported).
+        Single-process jit handles the transfer itself."""
+        if jax.process_count() > 1 and self._rep_sharding is not None:
+            return jax.device_put(x, self._rep_sharding)
+        return x
+
     def train_epoch(self, train_loader, epoch: int) -> np.ndarray:
         """Runs one epoch; per-batch losses STAY ON DEVICE and are fetched
         once at epoch end — a per-step np.asarray would synchronize the
@@ -385,12 +411,14 @@ class VmappedTrialGroup:
             (self.params, self.model_state, self.opt_state,
              losses) = self._train_step(
                 self.params, self.model_state, self.opt_state,
-                self.lrs, self.wds, x, y, jax.random.fold_in(ek, i),
+                self.lrs, self.wds, x, y,
+                self._to_mesh(jax.random.fold_in(ek, i)),
             )
             per_batch.append(losses)
         if not per_batch:
             return np.zeros(len(self.trials))
-        return np.asarray(jnp.mean(jnp.stack(per_batch), axis=0))[self._slots]
+        return fetch_replicated(
+            jnp.mean(jnp.stack(per_batch), axis=0))[self._slots]
 
     def val_epoch(self, val_loader) -> np.ndarray:
         from ..data.dataset import DevicePrefetcher
@@ -406,9 +434,12 @@ class VmappedTrialGroup:
             weights.append(x.shape[0])
         if not per_batch:
             return np.zeros(len(self.trials))
-        # sample-weighted mean (final batch may be short), one device fetch
-        w = jnp.asarray(weights, jnp.float32)
-        return np.asarray(jnp.stack(per_batch).T @ w / w.sum())[self._slots]
+        # sample-weighted mean (final batch may be short), one device fetch;
+        # the weight vector replicates first — an eager op mixing a host-
+        # local array with global-mesh arrays is invalid multi-host
+        w = self._to_mesh(jnp.asarray(weights, jnp.float32))
+        return fetch_replicated(
+            jnp.stack(per_batch).T @ w / w.sum())[self._slots]
 
     def train_epoch_resident(self, data, epoch: int, *,
                              shuffle: bool = True) -> np.ndarray:
@@ -418,14 +449,14 @@ class VmappedTrialGroup:
         epoch index, so every trial sees the same shuffled (and, with
         ``augment_fn``, identically augmented) stream — the reference's
         same-data-per-trial semantics (reference: sweep.py:103)."""
-        key = jax.random.fold_in(self._base_key, epoch)
+        key = self._to_mesh(jax.random.fold_in(self._base_key, epoch))
         (self.params, self.model_state, self.opt_state,
          losses) = self._resident_train(
             self.params, self.model_state, self.opt_state, self.lrs,
             self.wds, data.x, data.y, key, data.n, self.batch_size, shuffle)
         if losses.shape[0] == 0:
             return np.zeros(len(self.trials))
-        return np.asarray(jnp.mean(losses, axis=0))[self._slots]
+        return fetch_replicated(jnp.mean(losses, axis=0))[self._slots]
 
     def val_epoch_resident(self, val_batches, n_real: int) -> np.ndarray:
         """Whole validation set in one dispatch over static padded batches
@@ -435,19 +466,22 @@ class VmappedTrialGroup:
         xb, yb, masks = val_batches
         sums = self._resident_val(self.params, self.model_state, xb, yb,
                                   masks)
-        return np.asarray(sums)[self._slots] / max(n_real, 1)
+        return fetch_replicated(sums)[self._slots] / max(n_real, 1)
 
     def step_schedulers(self, val_losses: np.ndarray) -> None:
         new = [s.step(float(v)) for s, v in zip(self.schedulers, val_losses)]
         if len(self._slots) == int(self.lrs.shape[0]):
-            lrs = jnp.asarray(new, jnp.float32)
-        else:  # mask-mode halving: scatter live lrs into their slots
-            lrs = self.lrs.at[jnp.asarray(self._slots)].set(
-                jnp.asarray(new, jnp.float32))
-        if self._trial_sharding is not None and lrs.shape[0] % \
+            lrs_host = np.asarray(new, np.float32)
+        else:  # mask-mode halving: scatter live lrs into their slots ON
+            # HOST (the scheduler values are host floats anyway; an
+            # eager .at[].set on a multi-host array can't take them)
+            lrs_host = np.array(fetch_replicated(self.lrs), np.float32)
+            lrs_host[np.asarray(self._slots)] = np.asarray(new, np.float32)
+        if self._trial_sharding is not None and lrs_host.shape[0] % \
                 self._trial_sharding.mesh.devices.size == 0:
-            lrs = jax.device_put(lrs, self._trial_sharding)
-        self.lrs = lrs
+            self.lrs = put_from_full(lrs_host, self._trial_sharding)
+        else:
+            self.lrs = jnp.asarray(lrs_host)
 
     def keep(self, indices: list[int], *, mode: str = "compact") -> None:
         """Drop all but ``indices`` (successive halving).
@@ -490,7 +524,7 @@ class VmappedTrialGroup:
         self.lrs = take(self.lrs)
         self.wds = take(self.wds)
         if self._trial_sharding is not None:
-            put_t = lambda x: (jax.device_put(x, self._trial_sharding)
+            put_t = lambda x: (_reshard(x, self._trial_sharding)
                                if hasattr(x, "shape") and x.ndim
                                and x.shape[0] == n_new else x)
             self.params = jax.tree_util.tree_map(put_t, self.params)
@@ -504,7 +538,8 @@ class VmappedTrialGroup:
 
     def params_of(self, i: int):
         s = self._slots[i]
-        return jax.tree_util.tree_map(lambda x: np.asarray(x[s]), self.params)
+        return jax.tree_util.tree_map(lambda x: fetch_replicated(x[s]),
+                                      self.params)
 
     def snapshot_of(self, i: int):
         """Host snapshot of trial ``i``'s weights. Stateless models return
@@ -516,7 +551,7 @@ class VmappedTrialGroup:
         if not self.stateful:
             return params
         s = self._slots[i]
-        mstate = jax.tree_util.tree_map(lambda x: np.asarray(x[s]),
+        mstate = jax.tree_util.tree_map(lambda x: fetch_replicated(x[s]),
                                         self.model_state)
         return {"params": params, **mstate}
 
@@ -550,15 +585,69 @@ class WandbSweepMirror:
         # the reference logs the trained model's size into every trial run
         # (reference: sweep.py:209-210)
         self.model_size_mb: float | None = None
+        # set by register_sweep when the W&B server accepts a first-class
+        # sweep object; None = offline/local, fall back to grouped runs
+        self.sweep_id: str | None = None
+
+    def register_sweep(self, *, method: str, min_iter: int, eta: int,
+                       space: "SearchSpace", extra_config: dict | None = None,
+                       ) -> str | None:
+        """Register a FIRST-CLASS W&B sweep object (wandb.sweep), mirroring
+        the reference's server-side sweep entity (reference:
+        sweep.py:228-235 builds the config at :41-94 then wandb.sweep()s
+        it) — this is what buys the W&B sweep UI (parallel-coordinates
+        plot, parameter importance, server-side state). Trial runs mirrored
+        afterwards attach to the returned sweep id. Best-effort: offline or
+        API failure leaves ``sweep_id`` None and the grouped-runs fallback
+        carries the same telemetry."""
+        config = {
+            # W&B only knows bayes/grid/random; our TPE is a Bayesian
+            # method, so it maps to 'bayes' like the reference's (:44)
+            "method": "bayes" if method == "tpe" else method,
+            "metric": {"name": "val_loss", "goal": "minimize"},
+            "early_terminate": {"type": "hyperband", "min_iter": min_iter,
+                                "eta": eta},
+            "parameters": {
+                "batch_size": {"values": list(space.batch_sizes)},
+                "learning_rate": {"distribution": "log_uniform_values",
+                                  "min": space.lr_min, "max": space.lr_max},
+                "weight_decay": {"distribution": "log_uniform_values",
+                                 "min": space.wd_min, "max": space.wd_max},
+            },
+        }
+        if extra_config:
+            config.update(extra_config)
+        try:
+            self.sweep_id = self._wandb.sweep(
+                config, project=self.project, entity=self.entity)
+        except Exception:  # offline/unauthenticated: grouped-runs fallback
+            self.sweep_id = None
+        return self.sweep_id
 
     def mirror_trial(self, trial: "Trial") -> None:
+        import os as _os
+
         try:
-            run = self._wandb.init(
-                project=self.project, entity=self.entity, group=self.group,
-                name=f"trial_{trial.trial_id}", reinit=True,
-                config={"batch_size": trial.batch_size, "lr": trial.lr,
-                        "weight_decay": trial.wd},
-            )
+            # attach to the registered sweep the way wandb's own agent
+            # does — the SDK reads the sweep id from the environment at
+            # init time (there is no public init kwarg for it)
+            prev = _os.environ.get("WANDB_SWEEP_ID")
+            if self.sweep_id is not None:
+                _os.environ["WANDB_SWEEP_ID"] = self.sweep_id
+            try:
+                run = self._wandb.init(
+                    project=self.project, entity=self.entity,
+                    group=self.group,
+                    name=f"trial_{trial.trial_id}", reinit=True,
+                    config={"batch_size": trial.batch_size, "lr": trial.lr,
+                            "weight_decay": trial.wd},
+                )
+            finally:
+                if self.sweep_id is not None:
+                    if prev is None:
+                        _os.environ.pop("WANDB_SWEEP_ID", None)
+                    else:
+                        _os.environ["WANDB_SWEEP_ID"] = prev
             for epoch, v in enumerate(trial.val_losses):
                 run.log({"val_loss": v}, step=epoch)
             run.summary["best_val_loss"] = trial.best_val_loss
@@ -638,9 +727,30 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
     rng = np.random.default_rng(seed)
     os.makedirs(output_dir, exist_ok=True)
 
+    # multi-host (mesh spans several processes): every host runs this same
+    # function on identical inputs — sampling, ranking and halving are
+    # deterministic host-side mirrors of the one global computation, and
+    # device fetches are replicated gathers, so state never diverges.
+    # Host 0 alone writes artifacts (concurrent identical writes to a
+    # shared FS can still corrupt), and halving is forced to mask mode:
+    # compact's trial-axis reshape would recompile every group program on
+    # every host at each rung — exactly the cost mask mode exists to avoid.
+    is_host0 = jax.process_index() == 0
+    if jax.process_count() > 1 and halving == "compact":
+        if is_host0:
+            print("multi-host sweep: forcing halving='mask' (compact "
+                  "would recompile each rung on every host)")
+        halving = "mask"
+
     rungs = hyperband_rungs(min_iter, max_epochs, eta)
     all_trials: list[Trial] = []
     best: Trial | None = None
+
+    if wandb_mirror is not None:
+        # first-class W&B sweep object (reference: sweep.py:231-235); the
+        # grouped-runs fallback inside the mirror covers offline mode
+        wandb_mirror.register_sweep(method=method, min_iter=min_iter,
+                                    eta=eta, space=space)
 
     from ..utils.pytree import flatten_tree
 
@@ -814,8 +924,11 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
                         continue
                     if best is None or t.best_val_loss < best.best_val_loss:
                         best = t
-                        np.savez(os.path.join(output_dir, "best_trial_params.npz"),
-                                 **flatten_tree(snap))
+                        if is_host0:  # snapshot_of above stays collective
+                            np.savez(
+                                os.path.join(output_dir,
+                                             "best_trial_params.npz"),
+                                **flatten_tree(snap))
 
     if method == "tpe":
         # multi-wave TPE: an exploratory random wave builds the history the
@@ -837,8 +950,9 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
         "best": _trial_dict(best),
         "trials": [_trial_dict(t) for t in sorted(all_trials, key=lambda t: t.trial_id)],
     }
-    with open(os.path.join(output_dir, "sweep_results.json"), "w") as f:
-        json.dump(result, f, indent=2)
+    if is_host0:
+        with open(os.path.join(output_dir, "sweep_results.json"), "w") as f:
+            json.dump(result, f, indent=2)
     return result
 
 

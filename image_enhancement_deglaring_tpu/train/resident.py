@@ -108,7 +108,13 @@ def cache_on_device(source, *, dtype=None, sharding=None,
             f"({ds.augment!r}); caching would freeze one random draw. "
             "Build it with augment='none' and use device augmentation."
         )
-    if jax.process_count() > 1:
+    if jax.process_count() > 1 and not (
+            sharding is not None and sharding.is_fully_replicated):
+        # fully-REPLICATED multi-host caches (sweep trial groups: every
+        # device steps its own trials against a local copy of the whole
+        # data) fall through: each host decodes everything and device_put
+        # replicates across the global mesh directly — the per-host
+        # row-range split below only applies to batch-sharded caches
         return _cache_multiprocess(source, ds, dtype=dtype,
                                    sharding=sharding,
                                    num_workers=num_workers)

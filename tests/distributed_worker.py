@@ -129,6 +129,31 @@ def main() -> None:
 
     out["preempt_agree_one_host"] = bool(preemption_agreed(rank == 1))
     out["preempt_agree_none"] = bool(preemption_agreed(False))
+
+    # --- phase 6: multi-host sweep fan-out — the vmapped trial axis
+    # shards over the GLOBAL mesh (one trial slot per chip across hosts),
+    # every host feeds the same replicated data, halving is forced to mask
+    # mode, and host 0 alone writes the results file / best-params npz
+    import os
+
+    from image_enhancement_deglaring_tpu.parallel import run_sweep
+    from image_enhancement_deglaring_tpu.parallel.sweep import SearchSpace
+
+    def sweep_loaders(bs):
+        return ArrayLoader(x[:8], y[:8], bs), ArrayLoader(x[8:], y[8:], bs)
+
+    sweep_dir = ckpt_dir + f"_sweep_r{rank}"  # per-rank dir: gating visible
+    sres = run_sweep(
+        LightweightUNet, sweep_loaders, n_trials=4, max_epochs=2,
+        min_iter=1, eta=2, method="random", seed=5, mesh=mesh,
+        output_dir=sweep_dir, space=SearchSpace(batch_sizes=(8,)))
+    out["sweep_best_id"] = sres["best"]["trial_id"]
+    out["sweep_best_val"] = sres["best"]["best_val_loss"]
+    out["sweep_vals"] = [t["best_val_loss"] for t in sres["trials"]]
+    out["sweep_wrote_results"] = os.path.exists(
+        os.path.join(sweep_dir, "sweep_results.json"))
+    out["sweep_wrote_params"] = os.path.exists(
+        os.path.join(sweep_dir, "best_trial_params.npz"))
     with open(out_path, "w") as f:
         json.dump(out, f)
 

@@ -166,6 +166,47 @@ def test_preemption_decision_is_host_uniform(two_host_run):
     assert r1["preempt_agree_none"] is False
 
 
+def test_sweep_fanout_two_hosts_match_single_process(two_host_run,
+                                                     tmp_path):
+    """Multi-host sweep fan-out: 2 hosts x 4 devices sharding the vmapped
+    trial axis must reproduce the single-process 8-device sweep — same
+    best trial, same per-trial val losses (replicated data + seeded
+    sampling means only collective layout may differ), and only host 0
+    writes sweep_results.json / best_trial_params.npz."""
+    from image_enhancement_deglaring_tpu.models import LightweightUNet
+    from image_enhancement_deglaring_tpu.parallel import make_mesh, run_sweep
+    from image_enhancement_deglaring_tpu.parallel.sweep import SearchSpace
+    from tests.loaders import ArrayLoader
+
+    _, (r0, r1), _ = two_host_run
+    # both hosts computed identical sweep outcomes
+    assert r0["sweep_best_id"] == r1["sweep_best_id"]
+    assert r0["sweep_best_val"] == r1["sweep_best_val"]
+    assert r0["sweep_vals"] == r1["sweep_vals"]
+    assert len(r0["sweep_vals"]) == 4
+    # host-0-only artifact writes
+    assert r0["sweep_wrote_results"] and r0["sweep_wrote_params"]
+    assert not r1["sweep_wrote_results"] and not r1["sweep_wrote_params"]
+
+    # single-process 8-device reference run (same seed, same data)
+    rng = np.random.default_rng(0)
+    y = rng.random((16, 32, 32, 1)).astype(np.float32)
+    x = np.clip(y + rng.normal(0, 0.15, y.shape), 0, 1).astype(np.float32)
+
+    def loaders(bs):
+        return ArrayLoader(x[:8], y[:8], bs), ArrayLoader(x[8:], y[8:], bs)
+
+    sres = run_sweep(
+        LightweightUNet, loaders, n_trials=4, max_epochs=2, min_iter=1,
+        eta=2, method="random", seed=5, mesh=make_mesh(),
+        output_dir=str(tmp_path), space=SearchSpace(batch_sizes=(8,)),
+        halving="mask")  # the multi-host run force-switches to mask
+    assert sres["best"]["trial_id"] == r0["sweep_best_id"]
+    np.testing.assert_allclose(
+        [t["best_val_loss"] for t in sres["trials"]], r0["sweep_vals"],
+        rtol=1e-5)
+
+
 def test_host0_owns_the_checkpoint(two_host_run):
     """Only host 0 writes checkpoints — both hosts pointed at the SAME
     output directory and it must hold exactly one uncorrupted best_model

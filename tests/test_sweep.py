@@ -325,6 +325,136 @@ def test_wandb_sweep_mirror_one_run_per_trial(tmp_path, toy, monkeypatch):
     assert len({r.kwargs["group"] for r in runs}) == 1
 
 
+def test_wandb_sweep_object_registered_and_runs_attach(tmp_path, toy,
+                                                       monkeypatch):
+    """First-class W&B sweep parity (reference: sweep.py:228-241): when the
+    server accepts wandb.sweep(), run_sweep registers EXACTLY ONE sweep
+    object with the reference-shaped config (bayes + val_loss-minimize +
+    hyperband early_terminate + the sampled parameter space) and every
+    trial run attaches to its id (via WANDB_SWEEP_ID, the mechanism
+    wandb.agent itself uses). wandb is mocked; no network."""
+    import os
+    import sys
+    import types
+
+    sweeps = []
+    runs = []
+
+    class _FakeRun:
+        def __init__(self, kwargs):
+            self.kwargs = kwargs
+            # what the SDK reads at init time to attach a run to a sweep
+            self.sweep_id_at_init = os.environ.get("WANDB_SWEEP_ID")
+            self.summary = {}
+
+        def log(self, metrics, step=None):
+            pass
+
+        def finish(self):
+            pass
+
+    fake = types.ModuleType("wandb")
+
+    def fake_sweep(config, project=None, entity=None):
+        sweeps.append({"config": config, "project": project,
+                       "entity": entity})
+        return "swp123"
+
+    def fake_init(**kwargs):
+        run = _FakeRun(kwargs)
+        runs.append(run)
+        return run
+
+    fake.sweep = fake_sweep
+    fake.init = fake_init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    monkeypatch.delenv("WANDB_SWEEP_ID", raising=False)
+
+    from image_enhancement_deglaring_tpu.parallel import WandbSweepMirror
+
+    x, y = toy
+
+    def loader_factory(bs):
+        return _ArrayLoader(x, y, bs), _ArrayLoader(x[:8], y[:8], bs)
+
+    space = SearchSpace(batch_sizes=(8,), lr_min=1e-4, lr_max=1e-2,
+                        wd_min=1e-6, wd_max=1e-3)
+    mirror = WandbSweepMirror(project="proj-x", entity="team-x")
+    run_sweep(
+        _tiny_model, loader_factory, n_trials=3, max_epochs=2, min_iter=1,
+        eta=2, method="tpe", seed=0, output_dir=str(tmp_path),
+        space=space, wandb_mirror=mirror,
+    )
+    # exactly one server-side sweep object, reference-shaped config
+    assert len(sweeps) == 1
+    assert mirror.sweep_id == "swp123"
+    cfg = sweeps[0]["config"]
+    assert sweeps[0]["project"] == "proj-x"
+    assert sweeps[0]["entity"] == "team-x"
+    assert cfg["method"] == "bayes"  # our TPE maps to W&B bayes (ref :44)
+    assert cfg["metric"] == {"name": "val_loss", "goal": "minimize"}
+    assert cfg["early_terminate"]["type"] == "hyperband"
+    assert cfg["early_terminate"]["min_iter"] == 1
+    assert cfg["parameters"]["batch_size"] == {"values": [8]}
+    assert cfg["parameters"]["learning_rate"] == {
+        "distribution": "log_uniform_values", "min": 1e-4, "max": 1e-2}
+    assert cfg["parameters"]["weight_decay"] == {
+        "distribution": "log_uniform_values", "min": 1e-6, "max": 1e-3}
+    # every trial run attached to the sweep; env restored afterwards
+    assert len(runs) == 3
+    assert all(r.sweep_id_at_init == "swp123" for r in runs)
+    assert "WANDB_SWEEP_ID" not in os.environ
+
+
+def test_wandb_sweep_registration_failure_falls_back_to_groups(
+        tmp_path, monkeypatch):
+    """An offline/unauthenticated wandb.sweep() must not kill the sweep:
+    sweep_id stays None and trial runs keep the grouped-runs scheme."""
+    import os
+    import sys
+    import types
+
+    fake = types.ModuleType("wandb")
+
+    def fake_sweep(config, project=None, entity=None):
+        raise RuntimeError("401 unauthorized")
+
+    inits = []
+
+    class _FakeRun:
+        def __init__(self):
+            self.sweep_id_at_init = os.environ.get("WANDB_SWEEP_ID")
+            self.summary = {}
+
+        def log(self, m, step=None):
+            pass
+
+        def finish(self):
+            pass
+
+    def fake_init(**kwargs):
+        inits.append(kwargs)
+        return _FakeRun()
+
+    fake.sweep = fake_sweep
+    fake.init = fake_init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    monkeypatch.delenv("WANDB_SWEEP_ID", raising=False)
+
+    from image_enhancement_deglaring_tpu.parallel import WandbSweepMirror
+    from image_enhancement_deglaring_tpu.parallel.sweep import Trial
+
+    mirror = WandbSweepMirror(project="p")
+    assert mirror.register_sweep(method="random", min_iter=1, eta=2,
+                                 space=SearchSpace()) is None
+    assert mirror.sweep_id is None
+    t = Trial(trial_id=0, batch_size=8, lr=1e-3, wd=1e-5)
+    t.val_losses.append(0.5)
+    mirror.mirror_trial(t)
+    assert len(inits) == 1 and inits[0]["group"] == mirror.group
+    assert "WANDB_SWEEP_ID" not in os.environ
+
+
 def test_early_stop_patience_retires_plateaued_trial(tmp_path, toy,
                                                      monkeypatch):
     """Per-trial early stopping (reference: sweep.py:35 feeds patience into
