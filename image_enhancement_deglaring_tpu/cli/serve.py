@@ -45,6 +45,12 @@ def parse_args(argv=None):
                    help="expose POST /reload for zero-downtime weight swaps "
                         "from a same-family checkpoint on this filesystem")
     p.add_argument("--log_dir", type=str, default=None)
+    p.add_argument("--profile_port", type=int, default=0,
+                   help="expose the jax profiler server on this port "
+                        "(0 = off): TensorBoard's profile plugin / xprof "
+                        "connects live to capture device traces of serving "
+                        "batches under load — see docs/PERF.md for the "
+                        "capture-under-load workflow")
     return p.parse_args(argv)
 
 
@@ -62,6 +68,16 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..serve import create_server
+
+    if args.profile_port:
+        # before model load so warmup compiles are captureable too; the
+        # profiler server runs on a daemon thread inside this process —
+        # the one that owns the engine and dispatches TPU batches
+        from ..utils.profiling import start_trace_server
+
+        start_trace_server(args.profile_port)
+        print(f"jax profiler server on :{args.profile_port} "
+              f"(TensorBoard profile plugin / xprof can connect live)")
 
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     server = create_server(

@@ -51,6 +51,7 @@ def test_serve_parser_env_model_path(monkeypatch):
     args = serve.parse_args([])
     assert args.model_path == "/models/x.onnx"
     assert args.port == 4000 and args.mode == "resize"
+    assert args.profile_port == 0  # profiler server off by default
 
 
 def test_sweep_parser_defaults():

@@ -44,6 +44,47 @@ def test_replicate_places_on_all_devices():
         assert leaf.sharding.is_fully_replicated
 
 
+def test_trace_server_port_accepts_connections():
+    """cli.serve --profile_port wires utils.profiling.start_trace_server;
+    the contract is a live TCP port TensorBoard's profile plugin can
+    connect to."""
+    import socket
+
+    from image_enhancement_deglaring_tpu.utils.profiling import (
+        start_trace_server,
+    )
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    start_trace_server(port)
+    with socket.create_connection(("127.0.0.1", port), timeout=10):
+        pass  # connected: the profiler server is listening
+
+
+def test_put_from_full_and_fetch_replicated_roundtrip():
+    """Single-process semantics of the multi-host sweep helpers: put a
+    host array onto a trial-axis sharding over the 8-device mesh and read
+    it back; fetch_replicated must be a plain fetch for addressable and
+    replicated layouts alike."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from image_enhancement_deglaring_tpu.parallel.mesh import (
+        fetch_replicated,
+        put_from_full,
+    )
+
+    mesh = make_mesh(8)
+    x = np.arange(32, dtype=np.float32).reshape(8, 4)
+    sharded = put_from_full(x, NamedSharding(mesh, P("data")))
+    assert sharded.sharding.num_devices == 8
+    np.testing.assert_array_equal(fetch_replicated(sharded), x)
+    rep = put_from_full(x, NamedSharding(mesh, P()))
+    assert rep.sharding.is_fully_replicated
+    np.testing.assert_array_equal(fetch_replicated(rep), x)
+    np.testing.assert_array_equal(fetch_replicated(x), x)  # numpy passthrough
+
+
 def test_profiler_trace_writes_files(tmp_path):
     from image_enhancement_deglaring_tpu.utils import trace
 
