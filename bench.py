@@ -31,6 +31,17 @@ BENCH_ITERS = 10
 # ~15% between rounds on an identical path; still ~8% at 16 samples);
 # median over enough forwards stabilizes the denominator to a few percent
 BASELINE_IMAGES = 48
+# The headline ratio uses a FROZEN denominator so vs_baseline is
+# reproducible run-to-run: even the median-of-48 live measurement drifted
+# 5.11 -> 6.34 -> 5.88 img/s across rounds (1-CPU-cgroup scheduling noise)
+# while tpu_img_s held within +/-0.5%. 5.88 is the round-3 median-of-48
+# reading (docs/PERF.md); the live CPU number is still measured and
+# emitted as cpu_img_s_live for auditability.
+FROZEN_CPU_IMG_S = 5.88
+
+
+class _Timeout(Exception):
+    pass
 
 
 def _tpu_throughput(params, quantize: str | None = None) -> float:
@@ -95,20 +106,25 @@ def _cpu_baseline_throughput(params) -> float | None:
             torch_forward_lightweight(params, x)
             times.append(time.perf_counter() - t0)
         return 1.0 / float(np.median(times))
+    except _Timeout:
+        raise  # the watchdog alarm must reach main's handler
     except Exception:
         return None
 
 
 def _emit(value, vs_baseline, note=None, metric="infer_throughput_512x512_bf16",
-          cpu_img_s=None):
+          cpu_img_s_live=None):
     rec = {
         "metric": metric,
         "value": round(value, 2) if value else value,
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-        # raw numbers for both sides so the ratio's provenance is auditable
+        # raw numbers for both sides so the ratio's provenance is auditable:
+        # cpu_img_s is the frozen denominator vs_baseline divides by,
+        # cpu_img_s_live is this run's fresh median-of-48 measurement
         "tpu_img_s": round(value, 2) if value else value,
-        "cpu_img_s": round(cpu_img_s, 2) if cpu_img_s else None,
+        "cpu_img_s": FROZEN_CPU_IMG_S,
+        "cpu_img_s_live": round(cpu_img_s_live, 2) if cpu_img_s_live else None,
     }
     if note:
         rec["note"] = note
@@ -144,9 +160,6 @@ def main() -> int:
     # one JSON line the harness records, so measure under a watchdog.
     import signal
 
-    class _Timeout(Exception):
-        pass
-
     def _alarm(_sig, _frm):
         raise _Timeout()
 
@@ -179,11 +192,13 @@ def main() -> int:
         _emit(None, None, note="device benchmark timed out (tunnel stall, "
               "after one fresh-process retry)", metric=metric)
         return 1
-    _emit(tpu_ips, (tpu_ips / cpu_ips) if cpu_ips else None, metric=metric,
-          cpu_img_s=cpu_ips,
-          note="baseline = single-image torch-CPU forwards, median of "
-               f"{BASELINE_IMAGES} (the reference's ORT-CPU serving "
-               "pattern; onnxruntime wheel unavailable here)")
+    _emit(tpu_ips, tpu_ips / FROZEN_CPU_IMG_S, metric=metric,
+          cpu_img_s_live=cpu_ips,
+          note="baseline = single-image torch-CPU forwards (the reference's "
+               "ORT-CPU serving pattern; onnxruntime wheel unavailable "
+               "here), frozen at the round-3 median-of-"
+               f"{BASELINE_IMAGES} reading; cpu_img_s_live is this run's "
+               "fresh measurement")
     return 0
 
 

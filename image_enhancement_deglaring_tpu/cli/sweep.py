@@ -74,9 +74,11 @@ def parse_args(argv=None):
     p.add_argument("--use_wandb", action="store_true",
                    help="mirror each finished trial to W&B as its own run")
     # --sweep_project/--sweep_entity are the reference's flag names
-    # (reference: sweep.py:28-29); --wandb_* match our train CLI
+    # (reference: sweep.py:28-29); --wandb_* match our train CLI. The
+    # default matches the reference's, so a migrating user relying on it
+    # lands in the same W&B project (reference: sweep.py:28)
     p.add_argument("--wandb_project", "--sweep_project", type=str,
-                   default="glare-removal-sweep")
+                   default="image-deglaring-sweep")
     p.add_argument("--wandb_entity", "--sweep_entity", type=str, default=None,
                    help="W&B entity (team) for mirrored trial runs")
     # loader-compatibility flags (reference: sweep.py:36-37): prefetch maps

@@ -181,6 +181,10 @@ class DevicePrefetcher:
         # clamp: queue.Queue(maxsize<=0) is UNBOUNDED — a user passing
         # --prefetch_factor 0 ("disable prefetch") would have the worker
         # eagerly ship the whole epoch to HBM
+        if prefetch < 1:
+            print(f"DevicePrefetcher: prefetch={prefetch} clamped to 1 "
+                  "(prefetching cannot be fully disabled; depth 1 is the "
+                  "minimum pipeline)")
         self.prefetch = max(1, prefetch)
         self.input_dtype = input_dtype
 

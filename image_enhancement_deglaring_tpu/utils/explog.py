@@ -108,7 +108,13 @@ class ExperimentLogger:
         to the live wandb run — the reference uploads every periodic and
         best checkpoint (reference: optimized_train.py:317,340). The
         artifact already lives on local disk either way; offline runs keep
-        the same audit trail in artifacts.jsonl."""
+        the same audit trail in artifacts.jsonl.
+
+        Uploads use policy="now" (point-in-time copy), not the default
+        "live" symlink: orbax rewrites the checkpoint directory with new
+        content hashes on every improvement epoch, so live symlinks into
+        it would go dangling and stale file entries would pile up in the
+        run."""
         rec = {"_time": time.time(), "path": os.path.abspath(path)}
         with open(os.path.join(self.run_dir, "artifacts.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")
@@ -124,9 +130,9 @@ class ExperimentLogger:
                     for dirpath, _dirs, files in os.walk(path):
                         for fname in files:
                             self._wandb.save(os.path.join(dirpath, fname),
-                                             base_path=base)
+                                             base_path=base, policy="now")
                 else:
-                    self._wandb.save(path)
+                    self._wandb.save(path, policy="now")
             except Exception:  # pragma: no cover - SaaS failure path
                 pass  # artifact mirroring is best-effort, like the sweep's
 

@@ -25,6 +25,15 @@ import numpy as np
 import pytest
 
 
+def pytest_collection_modifyitems(items):
+    # every test driving the 2-process multi-host fixture costs a real
+    # double-subprocess JAX boot + distributed run; auto-mark them slow so
+    # `-m "not slow"` gives a fast inner loop without per-test decorators
+    for item in items:
+        if "two_host_run" in getattr(item, "fixturenames", ()):
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

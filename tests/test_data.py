@@ -318,10 +318,11 @@ def test_heavy_augment_geometry_applies_to_both_image_and_mask():
     np.testing.assert_array_equal(out_t, np.rot90(tgt, 1)[:, ::-1])
 
 
-def test_prefetcher_depth_clamped_to_bounded_queue():
+def test_prefetcher_depth_clamped_to_bounded_queue(capsys):
     """--prefetch_factor 0 (a torch user's 'disable prefetch') must not
     become queue.Queue(maxsize=0) == UNBOUNDED, which would eagerly ship
-    the whole epoch to HBM; depth clamps to 1 and iteration still works."""
+    the whole epoch to HBM; depth clamps to 1 (with a printed note, so the
+    user learns prefetch cannot be fully disabled) and iteration works."""
     from image_enhancement_deglaring_tpu.data.dataset import DevicePrefetcher
 
     batches = [(np.full((2, 8, 8, 1), i, np.float32),
@@ -329,8 +330,11 @@ def test_prefetcher_depth_clamped_to_bounded_queue():
     for depth in (0, -3):
         pf = DevicePrefetcher(batches, prefetch=depth)
         assert pf.prefetch == 1
+        assert "clamped to 1" in capsys.readouterr().out
         xs = [np.asarray(x)[0, 0, 0, 0] for x, _ in pf]
         assert xs == [0.0, 1.0, 2.0, 3.0]
+    DevicePrefetcher(batches, prefetch=2)  # no note when depth is honored
+    assert "clamped" not in capsys.readouterr().out
 
 
 def test_prefetcher_abandoned_iteration_stops_worker():

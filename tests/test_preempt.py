@@ -162,6 +162,7 @@ def test_preemption_agreed_single_process_is_local():
     assert preemption_agreed(False) is False
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("resume_after", [True])
 def test_cli_sigterm_exits_zero_and_resumes(tmp_path, resume_after):
     """Real process, real SIGTERM: the train CLI drains to an exact

@@ -1314,6 +1314,7 @@ def test_remote_engine_bad_frame_err_reply(small_model, tmp_path):
         eng.stop()
 
 
+@pytest.mark.slow
 def test_sigterm_drains_inflight_requests(small_model, tmp_path):
     """SIGTERM must let an in-flight /infer finish (k8s rolling update:
     no dropped requests) and then exit cleanly."""
@@ -1656,6 +1657,7 @@ def test_http_reload_enhanced_rebinds_params_and_stats(tmp_path_factory, rng):
         eng.stop()
 
 
+@pytest.mark.slow
 def test_multiprocess_sigterm_drains_both_workers(tmp_path):
     """Rolling-update safety for --workers N: SIGTERM on the parent forwards
     to both HTTP workers, each of which finishes its in-flight requests
