@@ -1,9 +1,19 @@
 # Developer entry points.
 
-.PHONY: test bench demo serve evaluate graft-check lint clean
+.PHONY: test test-fast bench demo serve evaluate e2e graft-check lint clean
 
 test:
 	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
+
+# One-command lifecycle rehearsal (CPU, ~7 min): data gen -> validate ->
+# sweep -> train best config -> ONNX export -> eval parity -> promotion
+# gate -> serve -> API tests -> frontend proxy -> SIGTERM drain.
+# The day real SD1 appears: point the script at it and run with --tpu.
+e2e:
+	python scripts/e2e_lifecycle.py
 
 bench:
 	python bench.py

@@ -61,17 +61,20 @@ def check_png_dimensions(data_dir: str = "SD1", required_width: int = 1536,
     return incorrect_dimensions, invalid_channels, invalid_pixels, total
 
 
-def main(data_dir: str = "SD1") -> int:
-    bad_dims, bad_chan, bad_pix, total = check_png_dimensions(data_dir)
+def main(data_dir: str = "SD1", required_width: int = 1536,
+         required_height: int = 512) -> int:
+    bad_dims, bad_chan, bad_pix, total = check_png_dimensions(
+        data_dir, required_width, required_height)
+    dims = f"{required_width}x{required_height}"
     print(f"Checked {total} image files in {data_dir}/train and {data_dir}/val")
     ok = True
     if bad_dims:
         ok = False
         print(f"✗ {len(bad_dims)} files with incorrect dimensions:")
         for rel, w, h in bad_dims:
-            print(f"  {data_dir}/{rel}: {w}x{h} (should be 1536x512)")
+            print(f"  {data_dir}/{rel}: {w}x{h} (should be {dims})")
     else:
-        print("✓ All PNG files have the correct dimensions (1536x512)")
+        print(f"✓ All PNG files have the correct dimensions ({dims})")
     if bad_chan:
         ok = False
         print(f"✗ {len(bad_chan)} files with incorrect format:")

@@ -4,6 +4,7 @@ API status endpoint, sample serving."""
 import http.client
 import importlib
 import json
+import os
 import socket
 import threading
 import time
@@ -146,6 +147,23 @@ def test_samples_served(frontend):
     status, body = _get(*frontend, "/samples/test_input1.png")
     assert status == 200
     assert body.startswith(b"\x89PNG")
+
+
+def test_committed_samples_served_verbatim(frontend):
+    """The repo now CHECKS IN photo-grade samples (reference ships real
+    photos under frontend/samples); _ensure_samples must serve those
+    bytes untouched, not clobber them with the synthesized fallback."""
+    import app as frontend_app
+
+    path = os.path.join(frontend_app._SAMPLES_DIR, "test_input1.png")
+    with open(path, "rb") as f:
+        committed = f.read()
+    assert frontend_app._ensure_samples() == ["test_input1.png",
+                                              "test_input2.png"]
+    with open(path, "rb") as f:
+        assert f.read() == committed, "_ensure_samples rewrote a sample"
+    status, body = _get(*frontend, "/samples/test_input1.png")
+    assert status == 200 and body == committed
 
 
 def test_infer_proxy_forwards_to_api(frontend):

@@ -501,6 +501,51 @@ def test_infer_exotic_pil_modes(live_server, rng, mode):
     assert out.mode == "L" and out.size == (SIZE, SIZE)
 
 
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.mark.parametrize("fname", [
+    "photo_noise.png", "photo_noise.jpg", "photo_16bit.png",
+    "photo_palette_trns.png", "photo_1bit.png", "photo_interlaced.png",
+])
+def test_infer_committed_photo_fixtures(live_server, fname):
+    """COMMITTED fixture files through /infer — unlike the runtime-
+    generated exotic-mode uploads above, these exercise file-level decode
+    paths a clean in-memory PIL image never hits: Adam7 interlacing (PIL
+    cannot even write it), a tRNS-transparency palette, a 16-bit encode
+    from disk, JPEG entropy data, and photographed noise/blur/JPEG
+    artifacts (the reference ships real photos: api/test_input1.png)."""
+    with open(os.path.join(FIXTURE_DIR, fname), "rb") as f:
+        payload = f.read()
+    boundary = "fixtureb"
+    body = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="image"; filename="{fname}"\r\n'
+        "Content-Type: application/octet-stream\r\n\r\n"
+    ).encode() + payload + f"\r\n--{boundary}--\r\n".encode()
+    status, data = _request(
+        *live_server, "POST", "/infer", body,
+        {"Content-Type": f"multipart/form-data; boundary={boundary}"})
+    assert status == 200, data
+    out = Image.open(io.BytesIO(base64.b64decode(json.loads(data)["image"])))
+    # response comes back at the ORIGINAL resolution (reference:
+    # api/app.py:203) — fixtures are 160x160, the model input is SIZE^2
+    assert out.mode == "L" and out.size == (160, 160)
+    arr = np.asarray(out)
+    assert arr.std() > 1.0, "flat output: decode fed garbage to the model"
+
+
+def test_interlaced_fixture_is_really_adam7():
+    """Guard the fixture itself: IHDR's interlace byte must be 1, so a
+    careless regeneration (PIL save: always 0) can't silently turn the
+    interlaced-decode test into a plain-PNG test."""
+    with open(os.path.join(FIXTURE_DIR, "photo_interlaced.png"), "rb") as f:
+        head = f.read(34)
+    assert head[:8] == b"\x89PNG\r\n\x1a\n"
+    # IHDR payload starts at offset 16; interlace is its 13th byte
+    assert head[16 + 12] == 1
+
+
 def test_bad_content_length_400(live_server):
     """A malformed Content-Length must get a 400, not a dropped socket."""
     host, port = live_server
