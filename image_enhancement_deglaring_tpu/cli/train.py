@@ -229,16 +229,19 @@ def main(argv=None):
             device_augment=device_augment, resident=args.resident_data,
             prefetch=args.prefetch_factor, preempt_guard=guard,
         )
-    if guard.triggered:
-        # the exact-resume checkpoint is already on disk (collective write
-        # inside train_model); skip the final_model/weights work — the
-        # preemption grace window may not cover it — and exit 0 so the
-        # orchestrator treats this as a clean drain, not a crash
+    if guard.preempt_checkpoint is not None:
+        # the exact-resume checkpoint is on disk (collective write inside
+        # train_model); skip the final_model/weights work — the preemption
+        # grace window may not cover it — and exit 0 so the orchestrator
+        # treats this as a clean drain, not a crash. Gated on the
+        # checkpoint actually existing, NOT guard.triggered: a signal
+        # landing during the early-stopping epoch's validation/teardown
+        # returns through the patience path without writing one, and
+        # training is then COMPLETE — the final artifacts must be saved
         if logger is not None:
             logger.finish()
         print("Training preempted; resume with --resume "
-              f"{os.path.join(args.output_dir, 'preempt_checkpoint')}",
-              flush=True)
+              f"{guard.preempt_checkpoint}", flush=True)
         return
 
     from ..train import save_checkpoint

@@ -98,16 +98,19 @@ class _Loader:
         self.num_workers = num_workers
         self._epoch = 0
         self._batch_slice: tuple[int, int] | None = None
+        self._skip_batches = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
         if self._batch_slice is not None:
             # mirror _iter_batches exactly (see sliced_batch_count)
             _, world = self._batch_slice
-            return sliced_batch_count(n, self.batch_size, world,
-                                      self.drop_last)
-        nb_full, tail = divmod(n, self.batch_size)
-        return nb_full if self.drop_last else nb_full + (1 if tail else 0)
+            count = sliced_batch_count(n, self.batch_size, world,
+                                       self.drop_last)
+        else:
+            nb_full, tail = divmod(n, self.batch_size)
+            count = nb_full if self.drop_last else nb_full + (1 if tail else 0)
+        return max(0, count - self._skip_batches)
 
     @property
     def num_samples(self) -> int:
@@ -115,6 +118,18 @@ class _Loader:
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
+
+    def set_skip_batches(self, k: int) -> None:
+        """Skip the first ``k`` batches of the next iterations WITHOUT
+        decoding them — mid-epoch preemption resume's fast-forward. The
+        index order is per-epoch seeded and augmentation seeds are
+        per-INDEX, so dropping the leading batch windows from the plan
+        yields exactly what iterate-and-discard would, minus the decode
+        and host->device work (minutes on a large epoch through a slow
+        link). Persists until reset with ``set_skip_batches(0)``."""
+        if k < 0:
+            raise ValueError(f"skip_batches must be >= 0, got {k}")
+        self._skip_batches = k
 
     def set_batch_slice(self, rank: int, world: int) -> None:
         """Decode only rows ``[rank*per, (rank+1)*per)`` of every batch —
@@ -149,6 +164,7 @@ class _Loader:
             yield from self._iter_batches(order, map)
 
     def _iter_batches(self, order, mapper):
+        skip = self._skip_batches
         for start in range(0, len(order), self.batch_size):
             idx = order[start : start + self.batch_size]
             if self._batch_slice is not None:
@@ -157,6 +173,9 @@ class _Loader:
                 if per == 0:
                     continue
                 idx = idx[rank * per : (rank + 1) * per]
+            if skip > 0:  # counted in YIELDED batches (after slice skips)
+                skip -= 1
+                continue
             samples = list(mapper(self.dataset.__getitem__, idx))
             x = np.stack([s[0] for s in samples])
             y = np.stack([s[1] for s in samples])
@@ -174,6 +193,9 @@ class DevicePrefetcher:
     model's first op is a cast to the same dtype; targets stay f32 so loss
     math is untouched."""
 
+    _clamp_noted = False  # class-level: the train loop builds one of these
+    # per epoch per loader — a per-instance note would repeat every epoch
+
     def __init__(self, loader, *, sharding=None, prefetch: int = 2,
                  input_dtype=None):
         self.loader = loader
@@ -181,7 +203,8 @@ class DevicePrefetcher:
         # clamp: queue.Queue(maxsize<=0) is UNBOUNDED — a user passing
         # --prefetch_factor 0 ("disable prefetch") would have the worker
         # eagerly ship the whole epoch to HBM
-        if prefetch < 1:
+        if prefetch < 1 and not DevicePrefetcher._clamp_noted:
+            DevicePrefetcher._clamp_noted = True
             print(f"DevicePrefetcher: prefetch={prefetch} clamped to 1 "
                   "(prefetching cannot be fully disabled; depth 1 is the "
                   "minimum pipeline)")

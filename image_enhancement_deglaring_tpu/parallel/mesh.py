@@ -11,6 +11,8 @@ needed. The same helpers drive multi-host slices once
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -96,7 +98,16 @@ def fetch_replicated(a) -> np.ndarray:
         return np.asarray(a)
     mesh = a.sharding.mesh
     rep = NamedSharding(mesh, P())
-    return np.asarray(jax.jit(lambda x: x, out_shardings=rep)(a))
+    return np.asarray(reshard_fn(rep)(a))
+
+
+@functools.lru_cache(maxsize=None)
+def reshard_fn(sharding: NamedSharding):
+    """Jitted identity that re-lays its input onto ``sharding``, cached per
+    sharding — a fresh ``jax.jit(lambda ...)`` per call would defeat jit's
+    function-identity trace cache and recompile the all-gather every epoch
+    (seconds-to-minutes through a remote-compile tunnel)."""
+    return jax.jit(lambda x: x, out_shardings=sharding)
 
 
 def local_rows(a) -> np.ndarray:

@@ -35,15 +35,16 @@ import optax
 
 from ..ops.metrics import l1_loss
 from ..train.lr_control import ReduceLROnPlateau
-from .mesh import fetch_replicated, put_from_full
+from .mesh import fetch_replicated, put_from_full, reshard_fn
 
 
 def _reshard(x, sharding):
     """Re-lay an array out onto ``sharding``. A multi-host array that is
     not fully addressable cannot go through ``device_put``/host copies —
-    a jitted identity makes XLA move it (collectives over ICI/DCN)."""
+    a jitted identity (cached per sharding, see mesh.reshard_fn) makes XLA
+    move it (collectives over ICI/DCN)."""
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
-        return jax.jit(lambda a: a, out_shardings=sharding)(x)
+        return reshard_fn(sharding)(x)
     return put_from_full(x, sharding)
 
 # --------------------------------------------------------------------- space
@@ -231,10 +232,10 @@ class VmappedTrialGroup:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             # data batches replicate over the mesh whether or not the
-            # trial axis shards (below requires n % devices == 0)
+            # trial axis shards (which requires n % devices == 0 —
+            # n_phys is a mesh multiple by construction)
             self._data_sharding = NamedSharding(mesh, P())
             self._rep_sharding = self._data_sharding
-        if mesh is not None:  # n_phys is a mesh multiple by construction
             axis = mesh.axis_names[0]
             tsh = NamedSharding(mesh, P(axis))
             rep = NamedSharding(mesh, P())

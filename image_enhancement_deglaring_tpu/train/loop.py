@@ -541,6 +541,8 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         save_checkpoint(path, params=state.params, opt_state=state.opt_state,
                         model_state=state.model_state, epoch=epoch,
                         val_loss=best_val_loss, extra=extra)
+        if guard is not None:
+            guard.preempt_checkpoint = path  # see PreemptionGuard.__init__
         print(f"Preempted: exact state saved to {path} — continue with "
               f"--resume {path}", flush=True)
 
@@ -576,6 +578,17 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             else:
                 if hasattr(train_loader, "set_epoch"):
                     train_loader.set_epoch(epoch)
+                # mid-epoch preemption resume: fast-forward at the batch-PLAN
+                # level (set_skip_batches) so already-trained batches cost no
+                # decode and no host->device transfer (iterate-and-discard
+                # through the prefetcher would decode AND ship every skipped
+                # batch — minutes on a big epoch through a slow link); fall
+                # back to discarding for loaders without the hook
+                skip = resume_skip_steps if epoch == resume_mid_epoch else 0
+                plan_skip = (skip if skip and
+                             hasattr(train_loader, "set_skip_batches") else 0)
+                if plan_skip:
+                    train_loader.set_skip_batches(plan_skip)
                 train_iter = DevicePrefetcher(train_loader, sharding=sharding,
                                               prefetch=prefetch,
                                               input_dtype=input_dtype)
@@ -596,7 +609,9 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                 step_sizes: list[int] = []
                 mid_step = 0
                 for i, (x, y) in enumerate(it):
-                    if epoch == resume_mid_epoch and i < resume_skip_steps:
+                    # plan_skip batches never reach this loop; with the
+                    # discard fallback they do, and are dropped here
+                    if not plan_skip and skip and i < skip:
                         continue  # trained before the preemption snapshot
                     state, loss = train_step(state, x, y)
                     step_losses.append(loss)
@@ -611,8 +626,12 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                     if (guard is not None and guard.triggered
                             and jax.process_count() == 1):
                         preempted = True
-                        mid_step = i + 1
+                        # epoch_step counts from the epoch START, so a
+                        # resume-of-a-resume skips the right total
+                        mid_step = plan_skip + i + 1
                         break
+                if plan_skip:  # one-shot: later epochs iterate in full
+                    train_loader.set_skip_batches(0)
                 if profiling:  # epoch shorter than profile_steps
                     jax.profiler.stop_trace()
                 if preempted:

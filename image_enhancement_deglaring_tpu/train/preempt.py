@@ -48,6 +48,14 @@ class PreemptionGuard:
         self._signals = signals
         self._prev: dict = {}
         self.triggered = False
+        # set by the train loop when it actually writes the preemption
+        # checkpoint. A signal can land where no checkpoint follows (e.g.
+        # during the early-stopping epoch's teardown, after the loop already
+        # broke via the patience path) — callers deciding "skip the final
+        # artifacts and point the user at preempt_checkpoint" must check
+        # THIS, not `triggered`, or they exit 0 advertising a resume path
+        # that does not exist
+        self.preempt_checkpoint: str | None = None
 
     def _handle(self, signum, frame):
         if self.triggered and signum == signal.SIGINT:

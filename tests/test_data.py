@@ -328,11 +328,18 @@ def test_prefetcher_depth_clamped_to_bounded_queue(capsys):
     batches = [(np.full((2, 8, 8, 1), i, np.float32),
                 np.zeros((2, 8, 8, 1), np.float32)) for i in range(4)]
     for depth in (0, -3):
+        DevicePrefetcher._clamp_noted = False  # note prints ONCE per process
         pf = DevicePrefetcher(batches, prefetch=depth)
         assert pf.prefetch == 1
         assert "clamped to 1" in capsys.readouterr().out
+        # the train loop builds a prefetcher per epoch per loader: later
+        # constructions must clamp silently instead of spamming every epoch
+        pf2 = DevicePrefetcher(batches, prefetch=depth)
+        assert pf2.prefetch == 1
+        assert "clamped" not in capsys.readouterr().out
         xs = [np.asarray(x)[0, 0, 0, 0] for x, _ in pf]
         assert xs == [0.0, 1.0, 2.0, 3.0]
+    DevicePrefetcher._clamp_noted = False
     DevicePrefetcher(batches, prefetch=2)  # no note when depth is honored
     assert "clamped" not in capsys.readouterr().out
 
@@ -513,3 +520,46 @@ def test_make_eval_loader_covers_every_image(sd1_dir):
                               image_size=32)
     seen = sum(x.shape[0] for x, _y in loader)
     assert seen == loader.num_samples == n_all
+
+
+def test_loader_set_skip_batches_skips_decode_exactly():
+    """Mid-epoch preemption resume fast-forwards at the batch-PLAN level:
+    the skipped batches must never be decoded (no __getitem__), and the
+    surviving batches must be IDENTICAL to iterate-and-discard (the index
+    order is per-epoch seeded, so dropping leading windows is exact)."""
+    from image_enhancement_deglaring_tpu.data.dataset import _Loader
+
+    class CountingDataset:
+        def __init__(self, n):
+            self.n = n
+            self.calls: list[int] = []
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            self.calls.append(int(i))
+            a = np.full((4, 4, 1), i, np.float32)
+            return a, a.copy()
+
+    ds = CountingDataset(10)
+    loader = _Loader(ds, 2, shuffle=True, drop_last=True, seed=3,
+                     num_workers=0)
+    loader.set_epoch(1)
+    full = list(loader)
+    full_calls = list(ds.calls)
+
+    ds.calls.clear()
+    loader.set_skip_batches(3)
+    assert len(loader) == len(full) - 3
+    rest = list(loader)
+    assert len(rest) == len(full) - 3
+    for (x1, y1), (x2, y2) in zip(full[3:], rest):
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(y1, y2)
+    assert ds.calls == full_calls[3 * 2:], "skipped batches were decoded"
+
+    loader.set_skip_batches(0)  # reset restores full iteration
+    assert len(list(loader)) == len(full)
+    with pytest.raises(ValueError):
+        loader.set_skip_batches(-1)

@@ -96,3 +96,25 @@ def test_profiler_trace_writes_files(tmp_path):
     for root, _, files in os.walk(tmp_path):
         found.extend(files)
     assert found  # trace artifacts were written
+
+
+def test_reshard_fn_cached_per_sharding():
+    """fetch_replicated/_reshard go through reshard_fn, which must return
+    the SAME jitted callable for an equal sharding — a fresh
+    jax.jit(lambda ...) per call would defeat jit's function-identity
+    trace cache and recompile the all-gather on every epoch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from image_enhancement_deglaring_tpu.parallel.mesh import (
+        make_mesh,
+        reshard_fn,
+    )
+
+    mesh = make_mesh()
+    a = reshard_fn(NamedSharding(mesh, P()))
+    b = reshard_fn(NamedSharding(mesh, P()))
+    assert a is b
+    c = reshard_fn(NamedSharding(mesh, P("data")))
+    assert c is not a
+    x = np.arange(len(jax.devices()) * 2, dtype=np.float32)
+    np.testing.assert_array_equal(np.asarray(a(x)), x)

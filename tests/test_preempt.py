@@ -220,3 +220,109 @@ def test_cli_sigterm_exits_zero_and_resumes(tmp_path, resume_after):
         assert done.returncode == 0, done.stdout + done.stderr
         assert "Training completed" in done.stdout
         assert (out / "final_model").is_dir()
+
+
+def test_signal_during_early_stop_epoch_keeps_final_artifacts(tmp_path):
+    """A signal landing OUTSIDE the step loop during the early-stopping
+    epoch (its validation/teardown) returns through the patience break,
+    which precedes the epoch-boundary preemption check — so NO preempt
+    checkpoint exists. Callers keying 'skip final artifacts' on
+    guard.triggered would then exit pointing at a nonexistent resume path;
+    guard.preempt_checkpoint is the truth (cli/train.py gates on it)."""
+    x, y = _toy_data()
+    guard = PreemptionGuard()
+
+    class FlagAtValLoader(ArrayLoader):
+        # sets the guard flag when iterated the `flag_at`-th time (1-based)
+        def __init__(self, *a, flag_at, **k):
+            super().__init__(*a, **k)
+            self.flag_at, self.count = flag_at, 0
+
+        def __iter__(self):
+            self.count += 1
+            if self.count == self.flag_at:
+                guard.triggered = True
+            yield from super().__iter__()
+
+    tr = ArrayLoader(x[:8], y[:8], 4)
+    # lr=0: epoch 0 improves (inf -> L), epoch 1's identical val loss does
+    # not -> patience=1 early-stops at epoch 1, whose val sets the flag.
+    # Iterations: 1 = train_model's init peek, 2 = epoch 0 val, 3 = the
+    # early-stopping epoch's val
+    va = FlagAtValLoader(x[8:], y[8:], 4, flag_at=3)
+    _, _, best, _state = train_model(
+        LightweightUNet(), tr, va, epochs=5, lr=0.0, patience=1,
+        output_dir=str(tmp_path), save_every=100, progress=False,
+        preempt_guard=guard)
+    assert guard.triggered
+    assert va.count == 3  # early stop really fired at epoch 1
+    assert guard.preempt_checkpoint is None
+    assert not (tmp_path / "preempt_checkpoint").exists()
+    assert np.isfinite(best)
+
+
+class SkippableKillLoader(KillAtLoader):
+    """KillAtLoader + the _Loader.set_skip_batches fast-forward hook, so
+    resume exercises the plan-level skip path (no decode of skipped
+    batches) instead of iterate-and-discard."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self._skip = 0
+        self.materialized = 0
+
+    def set_skip_batches(self, k):
+        self._skip = k
+
+    def __len__(self):
+        return max(0, super().__len__() - self._skip)
+
+    def __iter__(self):
+        skip = self._skip
+        for i, batch in enumerate(super().__iter__()):
+            if i < skip:
+                continue
+            self.materialized += 1
+            yield batch
+
+
+def test_plan_skip_resume_is_bitwise_equal(tmp_path):
+    """Same bitwise-equality contract as the discard-fallback test above,
+    through the set_skip_batches fast path — and the skipped batches never
+    reach the prefetcher."""
+    x, y = _toy_data()
+
+    def loaders(kill=False):
+        kw = {"kill_epoch": 1, "kill_batch": 1} if kill else \
+             {"kill_epoch": -1, "kill_batch": -1}
+        return (SkippableKillLoader(x[:8], y[:8], 2, **kw),
+                ArrayLoader(x[8:], y[8:], 4))
+
+    tr_a, va_a = loaders()
+    _, _, a_best, a_state = train_model(
+        LightweightUNet(), tr_a, va_a, epochs=3, lr=1e-3,
+        output_dir=str(tmp_path / "full"), save_every=100, progress=False)
+
+    tr_b, va_b = loaders(kill=True)
+    out = tmp_path / "pre"
+    train_model(LightweightUNet(), tr_b, va_b, epochs=3, lr=1e-3,
+                output_dir=str(out), save_every=100, progress=False)
+    ckpt = out / "preempt_checkpoint"
+    assert ckpt.is_dir()
+    skip = json.load(open(ckpt / "train_meta.json"))["epoch_step"]
+    assert skip >= 1
+
+    tr_c, va_c = loaders()
+    _, _, c_best, c_state = train_model(
+        LightweightUNet(), tr_c, va_c, epochs=3, lr=1e-3,
+        output_dir=str(out), save_every=100, progress=False,
+        resume_from=str(ckpt))
+    # resume runs epochs 1 (minus the skipped steps) and 2: the plan-level
+    # skip means those batches were never materialized at all
+    per_epoch = len(ArrayLoader(x[:8], y[:8], 2))
+    assert tr_c.materialized == 2 * per_epoch - skip
+    assert c_best == a_best
+    assert int(np.asarray(c_state.step)) == int(np.asarray(a_state.step))
+    for al, cl in zip(jax.tree_util.tree_leaves(a_state.params),
+                      jax.tree_util.tree_leaves(c_state.params)):
+        np.testing.assert_array_equal(np.asarray(al), np.asarray(cl))
