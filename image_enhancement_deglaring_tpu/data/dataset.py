@@ -126,7 +126,22 @@ class _Loader:
         per-INDEX, so dropping the leading batch windows from the plan
         yields exactly what iterate-and-discard would, minus the decode
         and host->device work (minutes on a large epoch through a slow
-        link). Persists until reset with ``set_skip_batches(0)``."""
+        link). Persists until reset with ``set_skip_batches(0)``.
+
+        Contract for third-party loaders implementing this hook (the train
+        loop duck-types on the method name, ``train/loop.py``):
+
+        * ``__len__`` returns the REDUCED count — full epoch plan minus
+          ``k`` — so progress bars and step accounting see what will
+          actually be yielded;
+        * ``__iter__`` walks the FULL per-epoch plan (same seeded order as
+          with no skip) and drops the first ``k`` yields — it must NOT
+          derive its iteration bound from the reduced ``__len__``, or the
+          skip applies twice and one batch per epoch is silently lost.
+
+        The train loop cross-checks steps-trained against ``len(loader)``
+        after every completed epoch and fails loudly on a mismatch, so a
+        loader that violates this contract cannot silently drop data."""
         if k < 0:
             raise ValueError(f"skip_batches must be >= 0, got {k}")
         self._skip_batches = k

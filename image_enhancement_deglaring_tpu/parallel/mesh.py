@@ -101,12 +101,15 @@ def fetch_replicated(a) -> np.ndarray:
     return np.asarray(reshard_fn(rep)(a))
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def reshard_fn(sharding: NamedSharding):
     """Jitted identity that re-lays its input onto ``sharding``, cached per
     sharding — a fresh ``jax.jit(lambda ...)`` per call would defeat jit's
     function-identity trace cache and recompile the all-gather every epoch
-    (seconds-to-minutes through a remote-compile tunnel)."""
+    (seconds-to-minutes through a remote-compile tunnel). Bounded cache: a
+    training run uses a handful of shardings, but long-lived sweep/serving
+    processes can build many meshes over their lifetime and an unbounded
+    cache would pin every mesh + compiled executable forever."""
     return jax.jit(lambda x: x, out_shardings=sharding)
 
 

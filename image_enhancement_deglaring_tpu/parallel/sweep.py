@@ -663,6 +663,33 @@ class WandbSweepMirror:
             pass
 
 
+def _journal_bytes_all_hosts(path: str, is_host0: bool) -> bytes | None:
+    """Read the sweep journal with host-0 authority: host 0 reads the
+    file, every other host receives the bytes over the wire — the same
+    pattern as multi-host checkpoint resume (train/loop.py), because a
+    per-host read of a host-local or lagging filesystem would make hosts
+    replay DIFFERENT histories and deadlock the lock-step sweep."""
+    if jax.process_count() == 1:
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return f.read()
+    from jax.experimental import multihost_utils
+
+    payload = b""
+    if is_host0 and os.path.exists(path):
+        with open(path, "rb") as f:
+            payload = f.read()
+    n = int(multihost_utils.broadcast_one_to_all(
+        np.asarray([len(payload)], np.int64))[0])
+    if n == 0:
+        return None
+    buf = np.zeros(n, np.uint8)
+    if is_host0:
+        buf = np.frombuffer(payload, np.uint8)
+    return multihost_utils.broadcast_one_to_all(buf).tobytes()
+
+
 def hyperband_rungs(min_iter: int, max_epochs: int, eta: int = 3) -> list[int]:
     """Rung epochs: min_iter, min_iter*eta, ... capped at max_epochs."""
     if min_iter <= 0 or eta <= 1:
@@ -687,8 +714,10 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
               wandb_mirror: WandbSweepMirror | None = None,
               resident: bool = False, augment_fn=None,
               halving: str = "compact", early_stop_patience: int = 0,
-              prefetch: int = 2) -> dict:
-    """Run a sweep; returns {'best': Trial-dict, 'trials': [...]}.
+              prefetch: int = 2, preempt_guard=None,
+              resume: bool = False) -> dict:
+    """Run a sweep; returns {'best': Trial-dict, 'trials': [...],
+    'preempted': bool}.
 
     Args:
         model_factory: () -> Flax module.
@@ -723,6 +752,25 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
             trial can still be the best.
         prefetch: DevicePrefetcher depth for the group's train/val loaders
             (the reference's DataLoader prefetch_factor analogue).
+        preempt_guard: optional :class:`train.preempt.PreemptionGuard`. When
+            a SIGTERM lands, the sweep stops at the next epoch boundary of
+            the current trial group, abandons that group (its trials are
+            NOT journaled and re-run on resume — groups are deterministic,
+            so no exactness is lost), and returns with ``preempted=True``.
+            Every FINISHED group is already journaled, so at most one
+            group's partial epochs of compute are lost and drain latency is
+            bounded by one epoch. Multi-host the decision is host-uniform
+            (``preemption_agreed``). The reference bar: the W&B server
+            persists sweep state and agents rejoin
+            (reference: sweep.py:231-241).
+        resume: continue a journaled sweep in ``output_dir``. The sweep is
+            REPLAYED deterministically from ``seed``: sampling reproduces
+            the exact trial schedule, groups whose results are in
+            ``sweep_journal.jsonl`` restore without training, and the first
+            unjournaled group onward trains live — the finished sweep is
+            identical (same trials, same best) to one that was never
+            interrupted. The journal header pins every schedule-determining
+            argument; resuming with different flags fails loudly.
     """
     space = space or SearchSpace()
     rng = np.random.default_rng(seed)
@@ -746,6 +794,82 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
     rungs = hyperband_rungs(min_iter, max_epochs, eta)
     all_trials: list[Trial] = []
     best: Trial | None = None
+    preempted = False
+
+    from ..train.preempt import preemption_agreed
+
+    def _should_stop() -> bool:
+        """Host-uniform preemption check; called at every epoch boundary
+        of a live group and between groups. Once True, stays True."""
+        nonlocal preempted
+        if preempt_guard is None or preempted:
+            return preempted
+        if preemption_agreed(bool(preempt_guard.triggered)):
+            preempted = True
+        return preempted
+
+    # ---------------------------------------------------------- journal
+    # Every finished trial group appends one line to sweep_journal.jsonl
+    # (host 0 writes, after the best-params npz so a journaled group
+    # implies its artifacts landed). The header line pins every argument
+    # that determines the trial schedule, so a resume with drifted flags
+    # fails loudly instead of silently training a different sweep.
+    journal_path = os.path.join(output_dir, "sweep_journal.jsonl")
+    journal_meta = {
+        "n_trials": n_trials, "max_epochs": max_epochs,
+        "min_iter": min_iter, "eta": eta, "method": method, "seed": seed,
+        "max_parallel_trials": max_parallel_trials, "halving": halving,
+        "early_stop_patience": early_stop_patience,
+        "space": {"batch_sizes": list(space.batch_sizes),
+                  "lr_min": space.lr_min, "lr_max": space.lr_max,
+                  "wd_min": space.wd_min, "wd_max": space.wd_max},
+    }
+    journal_restore: list[list[dict]] = []  # FIFO of finished-group records
+    if resume:
+        raw = _journal_bytes_all_hosts(journal_path, is_host0)
+        if raw is None:
+            raise FileNotFoundError(
+                f"resume requested but no sweep journal at {journal_path}")
+        lines = [json.loads(ln) for ln in raw.decode().splitlines() if ln]
+        if not lines or "meta" not in lines[0]:
+            raise ValueError(f"corrupt sweep journal at {journal_path}")
+        if lines[0]["meta"] != journal_meta:
+            raise ValueError(
+                "sweep journal was written with different flags — resume "
+                f"must replay the identical schedule.\n  journal: "
+                f"{lines[0]['meta']}\n  now:     {journal_meta}")
+        journal_restore = [rec["group"] for rec in lines[1:]]
+    elif is_host0:
+        with open(journal_path, "w") as f:
+            f.write(json.dumps({"meta": journal_meta}) + "\n")
+
+    def _restore_group(group_trials: list[Trial], rec: list[dict]) -> None:
+        """Adopt a journaled group's results: no training, same appended
+        order as the original run (TPE refits see an identical history)."""
+        nonlocal best
+        by_id = {t.trial_id: t for t in group_trials}
+        for r in rec:
+            t = by_id[r["trial_id"]]
+            if (t.batch_size != r["batch_size"]
+                    or not math.isclose(t.lr, r["lr"], rel_tol=1e-12)
+                    or not math.isclose(t.wd, r["wd"], rel_tol=1e-12)):
+                raise ValueError(
+                    f"journaled trial {t.trial_id} hyperparameters do not "
+                    "match the replayed sample — the resume run's "
+                    "seed/space/flags differ from the original sweep")
+            t.val_losses = list(r["val_losses"])
+            t.stopped_at = r["stopped_at"]
+            t.stop_reason = r["stop_reason"]
+            all_trials.append(t)
+            # halving-dropped trials stay ineligible for best (provably
+            # worse than a survivor when dropped), matching the live path
+            if (t.stop_reason != "halving"
+                    and any(math.isfinite(v) for v in t.val_losses)
+                    and (best is None
+                         or t.best_val_loss < best.best_val_loss)):
+                # best_trial_params.npz from the original run still holds
+                # this trial's weights (journal lines land after the npz)
+                best = t
 
     if wandb_mirror is not None:
         # first-class W&B sweep object (reference: sweep.py:231-235); the
@@ -809,13 +933,34 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
                     "run_sweep: the validation set is empty — trials would "
                     "be ranked on a constant 0.0 val loss. Lower val_split "
                     "or provide more data.")
-            if resident:
-                rd_train, rd_val, val_batches = resident_data(
-                    train_loader, val_loader, bs)
             chunk = (max_parallel_trials if max_parallel_trials > 0
                      else len(bs_trials))
             for g0 in range(0, len(bs_trials), chunk):
                 group_trials = bs_trials[g0 : g0 + chunk]
+                # resume fast path: the trial schedule replays
+                # deterministically (groups are visited in the same sorted
+                # bs/chunk/wave order), so finished groups are consumed
+                # from the journal FIFO — a head-of-queue mismatch means
+                # the schedule diverged (config drift) and must not be
+                # papered over
+                if journal_restore:
+                    rec = journal_restore.pop(0)
+                    if ({r["trial_id"] for r in rec}
+                            != {t.trial_id for t in group_trials}):
+                        raise ValueError(
+                            "sweep journal does not match the replayed "
+                            "trial schedule — resume flags/seed/data "
+                            "differ from the original sweep")
+                    _restore_group(group_trials, rec)
+                    continue
+                if _should_stop():
+                    return
+                if resident:
+                    # built lazily (inside the chunk loop) so a resume whose
+                    # prefix is fully journaled never ships the dataset to
+                    # device for groups it will not train
+                    rd_train, rd_val, val_batches = resident_data(
+                        train_loader, val_loader, bs)
                 group = VmappedTrialGroup(model_factory(), group_trials,
                                           mesh=mesh, seed=seed,
                                           augment_fn=augment_fn,
@@ -843,8 +988,16 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
                 stale: dict[int, int] = {}
                 fin_best: dict[int, float] = {}
                 retired: list[Trial] = []
+                # trials finished within this group, in chronological order
+                # (patience/halving drops interleaved, survivors last).
+                # Global state (all_trials, W&B mirror, journal) is updated
+                # ONLY at group end so a preemption mid-group abandons the
+                # group atomically — resume re-runs it deterministically.
+                finished: list[Trial] = []
                 for rung_idx, rung in enumerate(rungs):
                     while epoch < rung and group.trials:
+                        if _should_stop():
+                            return  # abandon this group; journal has the rest
                         if resident:
                             group.train_epoch_resident(rd_train, epoch)
                             val_losses = (
@@ -889,9 +1042,7 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
                                     t.stopped_at = epoch
                                     t.stop_reason = "patience"
                                     retired.append(t)
-                                    all_trials.append(t)
-                                    if wandb_mirror is not None:
-                                        wandb_mirror.mirror_trial(t)
+                                    finished.append(t)
                                 # always mask mode: per-epoch compaction
                                 # would recompile the group step each time
                                 # a single trial plateaus; mask keeps
@@ -904,14 +1055,16 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
                         for t in dropped:
                             t.stopped_at = epoch
                             t.stop_reason = "halving"
-                            all_trials.append(t)
-                            if wandb_mirror is not None:
-                                wandb_mirror.mirror_trial(t)
+                            finished.append(t)
                         group.keep([int(i) for i in order[:n_keep]],
                                    mode=halving)
-                all_trials.extend(group.trials)
+                finished.extend(group.trials)
+                all_trials.extend(finished)
                 if wandb_mirror is not None:
-                    for t in group.trials:
+                    # mirrored only now (group end): a preempted mid-group
+                    # run must not leave half a group's runs in W&B that a
+                    # resume would duplicate
+                    for t in finished:
                         wandb_mirror.mirror_trial(t)
                 # patience-retired trials compete for best too: unlike
                 # halving drops (provably worse than a survivor when
@@ -930,6 +1083,18 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
                                 os.path.join(output_dir,
                                              "best_trial_params.npz"),
                                 **flatten_tree(snap))
+                if is_host0:
+                    # journaled AFTER the npz write: a journaled group's
+                    # artifacts are guaranteed on disk, so resume never
+                    # points "best" at weights that were never saved
+                    with open(journal_path, "a") as f:
+                        f.write(json.dumps({"group": [
+                            {"trial_id": t.trial_id,
+                             "batch_size": t.batch_size, "lr": t.lr,
+                             "wd": t.wd, "val_losses": t.val_losses,
+                             "stopped_at": t.stopped_at,
+                             "stop_reason": t.stop_reason}
+                            for t in finished]}) + "\n")
 
     if method == "tpe":
         # multi-wave TPE: an exploratory random wave builds the history the
@@ -941,7 +1106,7 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
         # best region instead of sampling from one stale wave-1 fit
         wave = min(n_trials, max(4, n_trials // 4))
         run_trial_batch(sample_random(rng, wave, space))
-        while len(all_trials) < n_trials:
+        while not preempted and len(all_trials) < n_trials:
             k = min(wave, n_trials - len(all_trials))
             run_trial_batch(sample_tpe(rng, k, space, all_trials))
     else:
@@ -950,8 +1115,12 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
     result = {
         "best": _trial_dict(best),
         "trials": [_trial_dict(t) for t in sorted(all_trials, key=lambda t: t.trial_id)],
+        "preempted": preempted,
     }
-    if is_host0:
+    # a preempted sweep writes NO results file: sweep_results.json means
+    # "the sweep ran to completion" to every downstream consumer (the e2e
+    # lifecycle, crossval promotion); the journal holds the partial state
+    if is_host0 and not preempted:
         with open(os.path.join(output_dir, "sweep_results.json"), "w") as f:
             json.dump(result, f, indent=2)
     return result
@@ -962,7 +1131,8 @@ def run_sweep_from_config(model_factory, loader_factory, cfg, *, mesh=None,
                           method: str = "tpe",
                           wandb_mirror: WandbSweepMirror | None = None,
                           resident: bool = False, augment_fn=None,
-                          halving: str = "compact") -> dict:
+                          halving: str = "compact", preempt_guard=None,
+                          resume: bool = False) -> dict:
     """Run a sweep driven by a :class:`utils.config.SweepConfig`."""
     space = SearchSpace(batch_sizes=tuple(cfg.batch_sizes), lr_min=cfg.lr_min,
                         lr_max=cfg.lr_max, wd_min=cfg.wd_min, wd_max=cfg.wd_max)
@@ -974,6 +1144,7 @@ def run_sweep_from_config(model_factory, loader_factory, cfg, *, mesh=None,
         max_parallel_trials=cfg.parallel_trials, wandb_mirror=wandb_mirror,
         resident=resident, augment_fn=augment_fn, halving=halving,
         early_stop_patience=cfg.early_stop_patience,
+        preempt_guard=preempt_guard, resume=resume,
     )
 
 

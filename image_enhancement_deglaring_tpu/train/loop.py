@@ -589,6 +589,14 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                              hasattr(train_loader, "set_skip_batches") else 0)
                 if plan_skip:
                     train_loader.set_skip_batches(plan_skip)
+                try:
+                    # plan_skip: len() is already reduced by the skip;
+                    # discard fallback: len() is full and `skip` batches
+                    # are dropped inside the step loop below
+                    planned_steps = (len(train_loader)
+                                     - (0 if plan_skip else skip))
+                except TypeError:
+                    planned_steps = None  # unsized loader: nothing to check
                 train_iter = DevicePrefetcher(train_loader, sharding=sharding,
                                               prefetch=prefetch,
                                               input_dtype=input_dtype)
@@ -637,6 +645,18 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                 if preempted:
                     _save_preempt(mid_step)
                     break
+                # Resume-correctness guard: a completed epoch must have
+                # trained exactly the planned number of steps. A loader
+                # whose set_skip_batches implementation double-applies the
+                # skip (len-driven __iter__, see data/dataset.py contract)
+                # would otherwise silently lose training batches.
+                if planned_steps is not None and len(step_sizes) != planned_steps:
+                    raise RuntimeError(
+                        f"epoch {epoch}: trained {len(step_sizes)} steps but "
+                        f"the loader planned {planned_steps} (skip={skip}, "
+                        f"plan_skip={bool(plan_skip)}) — the loader's "
+                        f"set_skip_batches len/iter contract is violated "
+                        f"(see data/dataset.py) or batches were dropped")
                 n_seen = sum(step_sizes)
                 if step_losses:  # one stacked fetch, not one sync per scalar
                     losses_np = np.asarray(jnp.stack(step_losses), np.float64)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import warnings
 from typing import Any
 
 import numpy as np
@@ -28,6 +29,7 @@ class ExperimentLogger:
         self._metrics_path = os.path.join(run_dir, "metrics.jsonl")
         self._summary: dict[str, Any] = {}
         self._step = 0
+        self._save_warned = False
 
         self._wandb = None
         if use_wandb:
@@ -133,8 +135,18 @@ class ExperimentLogger:
                                              base_path=base, policy="now")
                 else:
                     self._wandb.save(path, policy="now")
-            except Exception:  # pragma: no cover - SaaS failure path
-                pass  # artifact mirroring is best-effort, like the sweep's
+            except Exception as e:
+                # best-effort, like the sweep's mirroring — but NOT silent:
+                # a swallowed TypeError here once no-opped every upload for
+                # a whole round without a trace. Warn once per run, then
+                # stay quiet (a flaky SaaS link shouldn't spam the epoch
+                # loop).
+                if not self._save_warned:
+                    self._save_warned = True
+                    warnings.warn(
+                        f"wandb artifact mirroring failed ({type(e).__name__}: "
+                        f"{e}); further failures this run will be silent",
+                        RuntimeWarning, stacklevel=2)
 
     def set_summary(self, **kwargs) -> None:
         self._summary.update(_jsonable(kwargs))

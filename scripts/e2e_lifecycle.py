@@ -150,12 +150,15 @@ def main() -> int:
     with open(os.path.join(models, "logs", "metrics.jsonl")) as f:
         records = [json.loads(ln) for ln in f]
     val_losses = [r["val_loss"] for r in records if "val_loss" in r]
+    assert val_losses, "no val_loss records in metrics.jsonl"
     best_val = min(val_losses)
     # non-divergence gate, not strict improvement: with few epochs and a
     # sweep-chosen tiny LR, epoch 1 can legitimately be the minimum — the
     # rehearsal verifies the pipeline runs and stays sane, convergence
-    # depth is the synthetic-demo script's job
-    assert (len(val_losses) >= 1 and best_val < 1.0
+    # depth is the synthetic-demo script's job. Bound: untrained-model L1
+    # on [0,1] images is ~0.2-0.5, so any trained epoch sits well under
+    # 1.0 unless the loss went non-finite or the pipeline mis-scaled.
+    assert (best_val < 1.0
             and all(math.isfinite(v) for v in val_losses)), (
         f"training diverged: {val_losses}")
     summary["train_best_val_loss"] = best_val

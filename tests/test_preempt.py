@@ -278,12 +278,66 @@ class SkippableKillLoader(KillAtLoader):
         return max(0, super().__len__() - self._skip)
 
     def __iter__(self):
-        skip = self._skip
+        # set_skip_batches contract (data/dataset.py): __len__ shrinks by
+        # the skip, but iteration walks the FULL epoch plan and drops the
+        # first `skip` yields. ArrayLoader.__iter__ is len()-driven, so the
+        # skip must be zeroed while the base generator runs — otherwise it
+        # applies twice (base drops the tail, this method drops the head)
+        # and one batch is silently lost.
+        skip, self._skip = self._skip, 0
+        try:
+            for i, batch in enumerate(super().__iter__()):
+                if i < skip:
+                    continue
+                self.materialized += 1
+                yield batch
+        finally:
+            self._skip = skip
+
+
+class ContractViolatingSkipLoader(ArrayLoader):
+    """Deliberately broken set_skip_batches: __len__ shrinks AND __iter__
+    stays len()-driven, so the skip applies twice (the round-4 harness bug
+    — base drops the tail, the subclass drops the head) and one batch is
+    silently lost per resumed epoch."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self._skip = 0
+
+    def set_skip_batches(self, k):
+        self._skip = k
+
+    def __len__(self):
+        return max(0, super().__len__() - self._skip)
+
+    def __iter__(self):
         for i, batch in enumerate(super().__iter__()):
-            if i < skip:
-                continue
-            self.materialized += 1
-            yield batch
+            if i >= self._skip:
+                yield batch
+
+
+def test_loop_rejects_contract_violating_skip_loader(tmp_path):
+    """The train loop's steps-vs-plan guard turns a loader that silently
+    drops batches (set_skip_batches len/iter contract violation, see
+    data/dataset.py) into a loud RuntimeError instead of corrupted
+    training."""
+    x, y = _toy_data()
+    # fabricate a mid-epoch preemption checkpoint via a well-behaved run
+    tr, va = (KillAtLoader(x[:8], y[:8], 2, kill_epoch=1, kill_batch=1),
+              ArrayLoader(x[8:], y[8:], 4))
+    out = tmp_path / "pre"
+    train_model(LightweightUNet(), tr, va, epochs=3, lr=1e-3,
+                output_dir=str(out), save_every=100, progress=False)
+    ckpt = out / "preempt_checkpoint"
+    assert ckpt.is_dir()
+
+    tr_bad = ContractViolatingSkipLoader(x[:8], y[:8], 2)
+    va_c = ArrayLoader(x[8:], y[8:], 4)
+    with pytest.raises(RuntimeError, match="contract is violated"):
+        train_model(LightweightUNet(), tr_bad, va_c, epochs=3, lr=1e-3,
+                    output_dir=str(out), save_every=100, progress=False,
+                    resume_from=str(ckpt))
 
 
 def test_plan_skip_resume_is_bitwise_equal(tmp_path):

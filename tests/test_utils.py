@@ -127,9 +127,9 @@ class _FakeWandb:
     def finish(self):
         self.finished = True
 
-    def save(self, glob_str, base_path=None):
+    def save(self, glob_str, base_path=None, policy="live"):
         self.saved = getattr(self, "saved", [])
-        self.saved.append((glob_str, base_path))
+        self.saved.append((glob_str, base_path, policy))
 
 
 def test_wandb_mirroring_images_and_histograms(tmp_path, monkeypatch):
@@ -193,11 +193,14 @@ def test_logger_save_mirrors_artifacts(tmp_path, monkeypatch):
 
     logger.save(str(ckpt_dir))
     logger.save(str(ckpt_file))
-    dir_saves = {g for g, b in fake.saved if b == str(tmp_path)}
+    dir_saves = {g for g, b, _p in fake.saved if b == str(tmp_path)}
     assert dir_saves == {str(ckpt_dir / "_METADATA"),
                          str(ckpt_dir / "d" / "abc123"),
                          str(ckpt_dir / "ocdbt.process_0" / "d" / "def456")}
-    assert (str(ckpt_file), None) in fake.saved
+    assert (str(ckpt_file), None, "now") in fake.saved
+    # every upload is a point-in-time copy (orbax rewrites dirs, so "live"
+    # symlinks would dangle — see ExperimentLogger.save docstring)
+    assert {p for _g, _b, p in fake.saved} == {"now"}
 
     lines = [_json.loads(line) for line in
              (tmp_path / "logs" / "artifacts.jsonl").read_text().splitlines()]
