@@ -89,11 +89,25 @@ def parse_args(argv=None):
     p.add_argument("--persistent_workers", action="store_true",
                    help="accepted for reference-command compatibility (the "
                         "threaded loader is always persistent)")
+    p.add_argument("--resume", type=str, default=None, metavar="SWEEP_DIR",
+                   help="continue a preempted sweep: pass its output dir "
+                        "(the one holding sweep_journal.jsonl) along with "
+                        "the SAME flags as the original run. Finished "
+                        "trial groups restore from the journal without "
+                        "retraining; the rest run live — the completed "
+                        "sweep is identical to an uninterrupted one "
+                        "(the W&B server's persistent-sweep analogue, "
+                        "reference: sweep.py:231-241)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.resume is not None:
+        # the journal lives in the sweep's output dir; resuming INTO a
+        # different dir would split the journal from the artifacts it
+        # indexes (best_trial_params.npz), so --resume pins output_dir
+        args.output_dir = args.resume
     if args.distributed:
         # must run before the first backend touch (jax.devices etc.)
         from ..parallel import distributed
@@ -206,17 +220,31 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     ctor = {"basic": LightweightUNet, "enhanced": EnhancedUNet,
             "optimized": OptimizedUNet}[args.model]
-    result = run_sweep(
-        lambda: ctor(dtype=dtype), loader_factory,
-        n_trials=args.sweep_count,
-        max_epochs=args.max_epochs, min_iter=args.early_stop_min_iter,
-        eta=args.eta, method=args.method, seed=args.seed, mesh=mesh,
-        output_dir=args.output_dir, logger=logger, space=space,
-        max_parallel_trials=args.parallel_trials, wandb_mirror=wandb_mirror,
-        resident=args.resident_data, augment_fn=augment_fn,
-        halving=args.halving, early_stop_patience=args.early_stop_patience,
-        prefetch=args.prefetch_factor,
-    )
+    from ..train.preempt import PreemptionGuard
+
+    guard = PreemptionGuard()
+    with guard:
+        result = run_sweep(
+            lambda: ctor(dtype=dtype), loader_factory,
+            n_trials=args.sweep_count,
+            max_epochs=args.max_epochs, min_iter=args.early_stop_min_iter,
+            eta=args.eta, method=args.method, seed=args.seed, mesh=mesh,
+            output_dir=args.output_dir, logger=logger, space=space,
+            max_parallel_trials=args.parallel_trials,
+            wandb_mirror=wandb_mirror,
+            resident=args.resident_data, augment_fn=augment_fn,
+            halving=args.halving,
+            early_stop_patience=args.early_stop_patience,
+            prefetch=args.prefetch_factor,
+            preempt_guard=guard, resume=args.resume is not None,
+        )
+    if result.get("preempted"):
+        # exit 0: a drained preemption is a clean stop, not a failure
+        # (same contract as cli.train's SIGTERM drain)
+        print(f"Sweep preempted: {len(result['trials'])} finished trial(s) "
+              f"journaled in {args.output_dir}/sweep_journal.jsonl — "
+              f"continue with the same flags plus --resume {args.output_dir}")
+        return
     best = result["best"]
     if best is None:
         print("Sweep completed. No trial reached a finite validation loss "
