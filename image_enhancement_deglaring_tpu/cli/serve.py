@@ -44,6 +44,14 @@ def parse_args(argv=None):
     p.add_argument("--allow_reload", action="store_true",
                    help="expose POST /reload for zero-downtime weight swaps "
                         "from a same-family checkpoint on this filesystem")
+    p.add_argument("--data_parallel", type=int, nargs="?", const=0,
+                   default=None, metavar="N",
+                   help="shard request batches across N local chips (omit "
+                        "N = every local device): params replicate over a "
+                        "1-D mesh, each micro-batch splits across it, and "
+                        "batch buckets snap to multiples of N — serving "
+                        "data parallelism on a multi-chip host (e.g. "
+                        "v5e-8). Default: single chip")
     p.add_argument("--log_dir", type=str, default=None)
     p.add_argument("--profile_port", type=int, default=0,
                    help="expose the jax profiler server on this port "
@@ -52,6 +60,37 @@ def parse_args(argv=None):
                         "batches under load — see docs/PERF.md for the "
                         "capture-under-load workflow")
     return p.parse_args(argv)
+
+
+def build_serving_mesh(data_parallel: int | None, max_batch_size: int):
+    """Resolve --data_parallel into (mesh, max_batch_size).
+
+    ``None`` = off; ``0`` = every local device; ``N`` = N devices (clamped
+    to what exists, loudly — a silently smaller mesh would leave the
+    operator believing more serving parallelism is active than is, the
+    same contract as cli.sweep's --n_devices). ``max_batch_size`` rounds UP
+    to a mesh multiple (the engine requires divisibility; rounding down
+    could halve per-step throughput the operator asked for)."""
+    if data_parallel is None:
+        return None, max_batch_size
+    import jax
+
+    from ..parallel import make_mesh
+
+    avail = len(jax.devices())
+    n = data_parallel or avail
+    if n > avail:
+        print(f"requested --data_parallel {n}, but only {avail} "
+              f"device(s) available; using {avail}")
+        n = avail
+    if n <= 1:
+        print("--data_parallel resolved to 1 device; serving single-chip")
+        return None, max_batch_size
+    snapped = -(-max_batch_size // n) * n
+    if snapped != max_batch_size:
+        print(f"--max_batch_size {max_batch_size} rounded up to {snapped} "
+              f"(must be a multiple of the {n}-chip serving mesh)")
+    return make_mesh(n), snapped
 
 
 def main(argv=None):
@@ -80,14 +119,19 @@ def main(argv=None):
               f"(TensorBoard profile plugin / xprof can connect live)")
 
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    mesh, max_batch = build_serving_mesh(args.data_parallel,
+                                         args.max_batch_size)
+    if mesh is not None:
+        print(f"serving data-parallel over {mesh.devices.size} chips "
+              f"(batch buckets snap to multiples of {mesh.devices.size})")
     server = create_server(
         args.model_path, host=args.host, port=args.port, mode=args.mode,
         model_arch=args.model,
-        max_batch_size=args.max_batch_size,
+        max_batch_size=max_batch,
         batch_timeout_ms=args.batch_timeout_ms, compute_dtype=dtype,
         tile_overlap=args.tile_overlap, log_dir=args.log_dir,
         image_size=args.image_size, quantize=args.quantize,
-        allow_reload=args.allow_reload,
+        allow_reload=args.allow_reload, mesh=mesh,
     )
     if args.workers > 1:
         import signal
