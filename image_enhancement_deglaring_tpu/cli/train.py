@@ -57,6 +57,13 @@ def parse_args(argv=None):
                         "steps); implies device-side augmentation "
                         "(--augment optimized auto-upgrades to device; "
                         "heavy is host-only and rejected)")
+    p.add_argument("--resident_segments", type=int, default=8,
+                   help="split each resident epoch into up to K scanned "
+                        "dispatches with a preemption check between them: "
+                        "SIGTERM drain latency is bounded by one segment "
+                        "(~epoch/K) instead of the whole epoch; 1 = the "
+                        "single-dispatch epoch (cost delta of K=8 measured "
+                        "in docs/PERF.md)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--n_devices", type=int, default=0,
@@ -228,6 +235,7 @@ def main(argv=None):
             profile_dir=args.profile_dir, profile_steps=args.profile_steps,
             device_augment=device_augment, resident=args.resident_data,
             prefetch=args.prefetch_factor, preempt_guard=guard,
+            resident_segments=args.resident_segments,
         )
     if guard.preempt_checkpoint is not None:
         # the exact-resume checkpoint is on disk (collective write inside

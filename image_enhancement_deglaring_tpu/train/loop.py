@@ -248,7 +248,8 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
                 watch_every: int = 0, profile_dir: str | None = None,
                 profile_steps: int = 0, device_augment: bool = False,
                 resident: bool = False, prefetch: int = 2,
-                preempt_guard=None, handle_preemption: bool = True):
+                preempt_guard=None, handle_preemption: bool = True,
+                resident_segments: int = 8):
     """Train ``model`` (a Flax module); returns (best_params,
     best_model_state, best_val_loss, final_state) — best_model_state is the
     mutable-collection snapshot (e.g. BatchNorm batch_stats) taken at the
@@ -261,8 +262,19 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
     state, model state, epoch, and the LR controller, continuing the run
     exactly where it stopped (the reference can only save, not resume).
     ``resident``: cache the full decoded dataset in device memory once and
-    run each epoch as ONE compiled lax.scan dispatch (see train.resident);
+    run each epoch as compiled lax.scan dispatches (see train.resident);
     requires non-augmenting loaders (combine with ``device_augment``).
+    ``resident_segments``: split each resident epoch into up to K scanned
+    dispatches with a preemption check between them — drain latency is
+    bounded by one SEGMENT (≈ epoch/K) instead of a whole epoch, which is
+    unbounded for large caches. K=1 restores the single-dispatch epoch.
+    The step sequence is identical regardless of K (the batch plan is
+    derived once per epoch and sliced), and a mid-epoch save lands on a
+    segment boundary so resume reuses the same compiled segment shapes.
+    Resident mid-epoch checkpoints resume exactly under the same flags
+    (the on-device plan is keyed by seed+epoch, not by the loader order —
+    do not resume a streaming mid-epoch checkpoint into resident mode or
+    vice versa).
     ``preempt_guard``: an entered ``train.preempt.PreemptionGuard`` owned
     by the caller (the CLI inspects it after return to exit 0 promptly);
     with the default ``None`` and ``handle_preemption=True`` the loop
@@ -401,7 +413,7 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         # device-resident mode: decode once, ship once, and run each epoch
         # as a single compiled scan (train.resident)
         from .resident import (batch_val_cache, cache_on_device,
-                               make_train_epoch, make_val_epoch)
+                               make_train_epoch_segmented, make_val_epoch)
 
         # the fallback peek must come from the TRAIN loader — sample_x may
         # have been peeked from the val loader, whose batch size can differ
@@ -410,7 +422,7 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         workers = getattr(train_loader, "num_workers", 8)
         rd_train = cache_on_device(train_loader, dtype=input_dtype,
                                    sharding=sharding, num_workers=workers)
-        train_epoch_fn = make_train_epoch(
+        res_plan_fn, res_segment_fn = make_train_epoch_segmented(
             model.apply, optimizer, batch_size=train_batch,
             stateful=stateful, augment_fn=augment_fn, batch_sharding=sharding,
         )
@@ -563,14 +575,48 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
             if profiling:
                 jax.profiler.start_trace(profile_dir)
             if resident:
-                # whole epoch in one dispatch: shuffle/gather/augment/step scan
+                # the epoch's batch plan, derived once on device; the epoch
+                # then runs as K scanned segment dispatches with a
+                # preemption check between them (drain latency <= epoch/K;
+                # K=1 == the original single-dispatch epoch)
                 epoch_key = jax.random.fold_in(jax.random.PRNGKey(seed), epoch)
-                state, losses = train_epoch_fn(state, rd_train.x, rd_train.y,
-                                               epoch_key, rd_train.n)
-                losses_np = np.asarray(losses, np.float64)  # the epoch barrier
+                idx = res_plan_fn(epoch_key, rd_train.n)
+                steps = int(idx.shape[0])
+                n_seg = max(1, min(resident_segments, steps))
+                seg_len = -(-steps // n_seg)
+                # resident mid-epoch resume: the plan is keyed by
+                # seed+epoch, so slicing from the saved boundary replays
+                # the identical remaining step sequence
+                skip = (resume_skip_steps if epoch == resume_mid_epoch
+                        else 0)
+                s = min(skip, steps)
+                parts: list = []
+                mid_step = 0
+                while s < steps:
+                    e = min(s + seg_len, steps)
+                    state, seg_losses = res_segment_fn(
+                        state, rd_train.x, rd_train.y, idx[s:e])
+                    parts.append(seg_losses)
+                    s = e
+                    if s < steps and guard is not None:
+                        trig = guard.triggered
+                        if jax.process_count() > 1:
+                            # every host reaches this boundary in lock
+                            # step, so the agreement collective is safe
+                            # here (unlike the streaming per-step check)
+                            trig = preemption_agreed(trig)
+                        if trig:
+                            preempted = True
+                            mid_step = s  # segment boundary == epoch_step
+                            break
+                losses_np = (np.asarray(jnp.concatenate(parts), np.float64)
+                             if parts else np.zeros(0))  # the epoch barrier
                 if profiling:
                     jax.profiler.stop_trace()
                     profiling = False
+                if preempted:
+                    _save_preempt(mid_step)
+                    break
                 # epoch_batch_plan clamps the step batch to the dataset size, so
                 # mirror it — steps * train_batch would overcount on tiny sets
                 n_seen = losses_np.size * min(train_batch, rd_train.n)

@@ -307,6 +307,53 @@ def make_train_epoch(apply_fn, optimizer, *, batch_size: int,
     return train_epoch
 
 
+def make_train_epoch_segmented(apply_fn, optimizer, *, batch_size: int,
+                               stateful: bool = False, augment_fn=None,
+                               shuffle: bool = True, batch_sharding=None):
+    """Segmented variant of :func:`make_train_epoch`, bounding preemption
+    drain latency.
+
+    Returns ``(plan, segment)``:
+
+    - ``plan(epoch_key, n_real) -> idx`` — the SAME per-epoch batch plan
+      the one-dispatch path derives (``epoch_batch_plan``), jitted
+      separately so the host can slice it into blocks;
+    - ``segment(state, x, y, idx_block) -> (state, losses)`` — scans only
+      that block (state donated).
+
+    Running the segments back-to-back threads state through exactly the
+    same step sequence as one whole-epoch scan, so a host-side preemption
+    check CAN run between segments: drain latency drops from one epoch to
+    one segment while keeping K-dispatches-per-epoch amortization (vs one;
+    measured cost of K=8 in docs/PERF.md). A preemption saved at a segment
+    boundary records ``epoch_step = segment_end``; resume recomputes the
+    identical plan from the epoch key and slices from there, so segment
+    shapes — and therefore compiled programs — are reused, not recompiled.
+    """
+    body = make_step_body(apply_fn, optimizer, stateful=stateful,
+                          augment_fn=augment_fn)
+
+    @partial(jax.jit, static_argnums=1)
+    def plan(epoch_key, n_real: int):
+        idx, _, _ = epoch_batch_plan(epoch_key, n_real, batch_size,
+                                     shuffle=shuffle)
+        return idx
+
+    @partial(jax.jit, donate_argnums=0)
+    def segment(state, x, y, idx):
+        def scan_body(st, ix):
+            xb = jnp.take(x, ix, axis=0)
+            yb = jnp.take(y, ix, axis=0)
+            if batch_sharding is not None:
+                xb = jax.lax.with_sharding_constraint(xb, batch_sharding)
+                yb = jax.lax.with_sharding_constraint(yb, batch_sharding)
+            return body(st, xb, yb)
+
+        return jax.lax.scan(scan_body, state, idx)
+
+    return plan, segment
+
+
 def batch_val_cache(data: ResidentData, batch_size: int,
                     sharding=None) -> tuple[Any, Any, Any]:
     """Reshape a resident validation cache into static scanned batches.

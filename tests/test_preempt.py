@@ -295,6 +295,54 @@ class SkippableKillLoader(KillAtLoader):
             self._skip = skip
 
 
+def test_resident_drains_at_segment_boundary_and_resumes_exact(tmp_path):
+    """Resident epochs run as K scanned segments with a preemption check
+    between them (train_model resident_segments): a flag raised mid-epoch
+    drains at the NEXT SEGMENT boundary — without waiting out the epoch —
+    to an exact mid-epoch checkpoint, and resume is bitwise-identical to
+    an uninterrupted run. Previously the whole epoch was one dispatch and
+    drain latency was unbounded for large caches."""
+    x, y = _toy_data()
+    common = dict(epochs=3, lr=1e-3, save_every=100, progress=False,
+                  resident=True, resident_segments=4,
+                  validation_metrics_every=100, log_images_every=100)
+
+    def loaders():
+        # 8 samples / batch 2 = 4 steps per epoch -> 4 segments of 1 step
+        return ArrayLoader(x[:8], y[:8], 2), ArrayLoader(x[8:], y[8:], 4)
+
+    tr, va = loaders()
+    _, _, a_best, a_state = train_model(
+        LightweightUNet(), tr, va, output_dir=str(tmp_path / "full"),
+        **common)
+
+    # flag already up when epoch 0 starts: the FIRST segment boundary
+    # must drain (epoch_step == 1 of 4 — provably not the epoch end)
+    guard = PreemptionGuard()
+    guard.triggered = True
+    out = tmp_path / "pre"
+    tr_b, va_b = loaders()
+    _, _, _, b_state = train_model(
+        LightweightUNet(), tr_b, va_b, output_dir=str(out),
+        preempt_guard=guard, **common)
+    ckpt = out / "preempt_checkpoint"
+    assert ckpt.is_dir()
+    meta = json.load(open(ckpt / "train_meta.json"))
+    assert meta["mid_epoch"] is True
+    assert meta["epoch"] == 0 and meta["epoch_step"] == 1
+    assert int(np.asarray(b_state.step)) == 1
+
+    tr_c, va_c = loaders()
+    _, _, c_best, c_state = train_model(
+        LightweightUNet(), tr_c, va_c, output_dir=str(out),
+        resume_from=str(ckpt), **common)
+    assert int(np.asarray(c_state.step)) == int(np.asarray(a_state.step))
+    assert c_best == a_best
+    for al, cl in zip(jax.tree_util.tree_leaves(a_state.params),
+                      jax.tree_util.tree_leaves(c_state.params)):
+        np.testing.assert_array_equal(np.asarray(al), np.asarray(cl))
+
+
 class ContractViolatingSkipLoader(ArrayLoader):
     """Deliberately broken set_skip_batches: __len__ shrinks AND __iter__
     stays len()-driven, so the skip applies twice (the round-4 harness bug

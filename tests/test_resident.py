@@ -183,6 +183,33 @@ def test_train_model_resident_deterministic_and_learns(tmp_path, toy_data):
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
 
+def test_resident_segment_count_does_not_change_training(tmp_path, toy_data):
+    """resident_segments only changes DISPATCH granularity (preemption
+    drain latency), never the step sequence: the per-epoch batch plan is
+    derived once and sliced, so K=1 (single-dispatch epoch) and K=4 train
+    through identical batches and land on the same weights."""
+    x, y = toy_data
+
+    def run(out, k):
+        return train_model(
+            LightweightUNet(), ArrayLoader(x, y, 2),
+            ArrayLoader(x[:8], y[:8], 8),
+            epochs=2, lr=1e-3, output_dir=str(out), progress=False,
+            resident=True, device_augment=True, resident_segments=k,
+            validation_metrics_every=100, log_images_every=100)
+
+    bp1, _, bv1, s1 = run(tmp_path / "k1", 1)
+    bp4, _, bv4, s4 = run(tmp_path / "k4", 4)
+    assert int(s1.step) == int(s4.step) == 2 * (len(x) // 2)
+    # same math, different program boundaries: XLA may fuse a 16-step scan
+    # differently than four 4-step scans, so float round-off (not bits)
+    assert bv4 == pytest.approx(bv1, rel=1e-5)
+    for l1, l4 in zip(jax.tree_util.tree_leaves(bp1),
+                      jax.tree_util.tree_leaves(bp4)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l4),
+                                   rtol=2e-5, atol=1e-6)
+
+
 def test_resident_mesh_matches_single_device(toy_data):
     """The scanned epoch over an 8-device mesh (cache sharded on the data
     axis, batches constrained to the per-step path's sharding) reproduces
