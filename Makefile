@@ -1,6 +1,6 @@
 # Developer entry points.
 
-.PHONY: test test-fast bench demo serve evaluate e2e graft-check lint clean
+.PHONY: test test-fast bench demo serve evaluate e2e e2e-tpu graft-check lint clean
 
 test:
 	python -m pytest tests/ -q
@@ -11,9 +11,14 @@ test-fast:
 # One-command lifecycle rehearsal (CPU, ~7 min): data gen -> validate ->
 # sweep -> train best config -> ONNX export -> eval parity -> promotion
 # gate -> serve -> API tests -> frontend proxy -> SIGTERM drain.
-# The day real SD1 appears: point the script at it and run with --tpu.
+# e2e-tpu runs the same flow on the real chip (hardware-proven round 5;
+# per-stage timings in docs/PERF.md). The day real SD1 appears: point the
+# script at it.
 e2e:
 	python scripts/e2e_lifecycle.py
+
+e2e-tpu:
+	python scripts/e2e_lifecycle.py --tpu
 
 bench:
 	python bench.py

@@ -19,7 +19,8 @@ def test_ping(url: str) -> bool:
     return ok
 
 
-def test_infer(url: str, image_path: str, out_dir: str = "test_output") -> bool:
+def test_infer(url: str, image_path: str, out_dir: str = "test_output",
+               timeout: float = 120.0) -> bool:
     import requests
     from PIL import Image
 
@@ -27,7 +28,7 @@ def test_infer(url: str, image_path: str, out_dir: str = "test_output") -> bool:
         resp = requests.post(
             f"{url}/infer",
             files={"image": (os.path.basename(image_path), f, "image/png")},
-            timeout=120,
+            timeout=timeout,
         )
     if resp.status_code != 200:
         print(f"Infer test: FAILED (status {resp.status_code}: {resp.text[:200]})")
@@ -76,6 +77,11 @@ def main(argv=None):
                    default="all")
     p.add_argument("--url", default="http://localhost:4000")
     p.add_argument("--image", default=None)
+    p.add_argument("--timeout", type=float, default=120.0,
+                   help="infer request timeout in seconds (default matches "
+                        "the reference script's 120; raise to >=300 when "
+                        "the server's first dispatch goes through a remote "
+                        "TPU tunnel — see CLAUDE.md)")
     args = p.parse_args(argv)
 
     ok = True
@@ -85,7 +91,8 @@ def main(argv=None):
         if not args.image:
             print("Infer test skipped: provide --image path")
         else:
-            ok &= _guarded("Infer", test_infer, args.url, args.image)
+            ok &= _guarded("Infer", test_infer, args.url, args.image,
+                           "test_output", args.timeout)
     if args.test == "stats":
         ok &= _guarded("Observability", test_observability, args.url)
     return 0 if ok else 1
