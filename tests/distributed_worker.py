@@ -154,6 +154,43 @@ def main() -> None:
         os.path.join(sweep_dir, "sweep_results.json"))
     out["sweep_wrote_params"] = os.path.exists(
         os.path.join(sweep_dir, "best_trial_params.npz"))
+
+    # --- phase 7: preempted multi-host sweep -> journal exists on HOST 0
+    # ONLY (per-rank dirs) -> resume must broadcast the journal bytes from
+    # host 0 (_journal_bytes_all_hosts) so both hosts replay the same
+    # restored history, and complete identically to an uninterrupted run
+    class _Trig:
+        # flips after n checks; both ranks count identically (same loop),
+        # and preemption_agreed makes the decision collective anyway
+        def __init__(self, n):
+            self.n, self.c = n, 0
+
+        @property
+        def triggered(self):
+            self.c += 1
+            return self.c > self.n
+
+    res_kw = dict(n_trials=2, max_epochs=1, min_iter=1, eta=2,
+                  method="random", seed=7, mesh=mesh,
+                  max_parallel_trials=1,
+                  space=SearchSpace(batch_sizes=(8,)))
+    full = run_sweep(LightweightUNet, sweep_loaders,
+                     output_dir=ckpt_dir + f"_swfull_r{rank}", **res_kw)
+    pre_dir = ckpt_dir + f"_swpre_r{rank}"
+    # per-group checks with max_epochs=1: 1 between-groups + 1 epoch
+    # boundary = 2; n=3 survives group 1 and trips inside group 2
+    pre = run_sweep(LightweightUNet, sweep_loaders, output_dir=pre_dir,
+                    preempt_guard=_Trig(3), **res_kw)
+    out["swres_preempted"] = pre["preempted"]
+    out["swres_pre_trials"] = len(pre["trials"])
+    out["swres_journal_local"] = os.path.exists(
+        os.path.join(pre_dir, "sweep_journal.jsonl"))  # host 0 only
+    res = run_sweep(LightweightUNet, sweep_loaders, output_dir=pre_dir,
+                    resume=True, **res_kw)
+    out["swres_resumed_matches_full"] = (res["trials"] == full["trials"]
+                                         and res["best"] == full["best"])
+    out["swres_results_written"] = os.path.exists(
+        os.path.join(pre_dir, "sweep_results.json"))  # host 0 only
     with open(out_path, "w") as f:
         json.dump(out, f)
 

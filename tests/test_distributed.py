@@ -63,7 +63,9 @@ def two_host_run(tmp_path_factory):
     logs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            # cold-cache phase 7 (three small sweeps) can push the first
+            # run past the old 600s bound; warm reruns are minutes
+            out, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -205,6 +207,22 @@ def test_sweep_fanout_two_hosts_match_single_process(two_host_run,
     np.testing.assert_allclose(
         [t["best_val_loss"] for t in sres["trials"]], r0["sweep_vals"],
         rtol=1e-5)
+
+
+def test_sweep_resume_broadcasts_journal_from_host0(two_host_run):
+    """Preempted multi-host sweep, then resume where the journal exists on
+    HOST 0 ONLY (per-rank output dirs): _journal_bytes_all_hosts must
+    broadcast host 0's bytes so both hosts replay the same restored
+    history — a per-host file read would give rank 1 nothing and deadlock
+    or fork the lock-step sweep. The resumed sweep equals an uninterrupted
+    run, and only host 0 writes the results file."""
+    _, (r0, r1), _ = two_host_run
+    assert r0["swres_preempted"] and r1["swres_preempted"]
+    assert r0["swres_pre_trials"] == r1["swres_pre_trials"] == 1
+    assert r0["swres_journal_local"] and not r1["swres_journal_local"]
+    assert r0["swres_resumed_matches_full"]
+    assert r1["swres_resumed_matches_full"]
+    assert r0["swres_results_written"] and not r1["swres_results_written"]
 
 
 def test_host0_owns_the_checkpoint(two_host_run):

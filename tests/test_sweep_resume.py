@@ -117,6 +117,42 @@ def test_preempted_sweep_resumes_to_identical_result(tmp_path, toy):
     assert (out / "best_trial_params.npz").exists()
 
 
+def test_tpe_resume_mid_second_wave_identical(tmp_path, toy):
+    """The hardest resume case: TPE's wave-2 proposals are a function of
+    the wave-1 HISTORY. A resume that restored wave 1 even slightly
+    differently (order, val losses, lr/wd) would re-fit the densities on
+    different data and sample a DIFFERENT wave 2 — the hyperparameter
+    mismatch guard would then fail, or worse, a different sweep would run.
+    Preempt during wave 2, resume, and require full trial-level equality
+    with the uninterrupted TPE sweep."""
+    x, y = toy
+
+    def loader_factory(bs):
+        return (ArrayLoader(x, y, bs, min_one_batch=True),
+                ArrayLoader(x[:8], y[:8], bs, min_one_batch=True))
+
+    kw = dict(n_trials=6, max_epochs=2, min_iter=2, eta=2, method="tpe",
+              seed=0, max_parallel_trials=1,
+              space=SearchSpace(batch_sizes=(8,)))
+    a = run_sweep(_CountingFactory(), loader_factory,
+                  output_dir=str(tmp_path / "full"), **kw)
+    assert a["preempted"] is False and len(a["trials"]) == 6
+
+    # wave 1 = 4 single-trial groups (3 checks each = 12), wave 2 begins
+    # at check 13 — trip inside wave 2's first group
+    b = run_sweep(_CountingFactory(), loader_factory,
+                  preempt_guard=_TriggerAfter(13),
+                  output_dir=str(tmp_path / "pre"), **kw)
+    assert b["preempted"] is True
+    assert 4 <= len(b["trials"]) < 6  # wave 1 journaled, wave 2 partial
+
+    c = run_sweep(_CountingFactory(), loader_factory, resume=True,
+                  output_dir=str(tmp_path / "pre"), **kw)
+    assert c["preempted"] is False
+    assert c["trials"] == a["trials"]
+    assert c["best"] == a["best"]
+
+
 def test_resume_with_drifted_flags_fails_loudly(tmp_path, toy):
     """The journal header pins every schedule-determining flag; resuming
     with a different seed must refuse, not silently run a different
