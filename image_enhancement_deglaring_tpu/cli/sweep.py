@@ -223,6 +223,20 @@ def main(argv=None):
     from ..train.preempt import PreemptionGuard
 
     guard = PreemptionGuard()
+    # result-determining flags beyond the schedule (which run_sweep pins
+    # itself): a --resume with any of these drifted would otherwise mix
+    # incomparable restored/live trial results silently
+    import os as _os
+
+    fingerprint = {
+        "model": args.model,
+        "data_dir": _os.path.abspath(args.data_dir),
+        "image_size": args.image_size,
+        "val_split": args.val_split,
+        "compute_dtype": args.compute_dtype,
+        "resident_data": bool(args.resident_data),
+        "cache_images": bool(args.cache_images),
+    }
     with guard:
         result = run_sweep(
             lambda: ctor(dtype=dtype), loader_factory,
@@ -237,6 +251,7 @@ def main(argv=None):
             early_stop_patience=args.early_stop_patience,
             prefetch=args.prefetch_factor,
             preempt_guard=guard, resume=args.resume is not None,
+            fingerprint=fingerprint,
         )
     if result.get("preempted"):
         # exit 0: a drained preemption is a clean stop, not a failure

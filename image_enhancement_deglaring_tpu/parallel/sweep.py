@@ -715,7 +715,7 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
               resident: bool = False, augment_fn=None,
               halving: str = "compact", early_stop_patience: int = 0,
               prefetch: int = 2, preempt_guard=None,
-              resume: bool = False) -> dict:
+              resume: bool = False, fingerprint: dict | None = None) -> dict:
     """Run a sweep; returns {'best': Trial-dict, 'trials': [...],
     'preempted': bool}.
 
@@ -771,6 +771,13 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
             identical (same trials, same best) to one that was never
             interrupted. The journal header pins every schedule-determining
             argument; resuming with different flags fails loudly.
+        fingerprint: optional JSON-able dict of RESULT-determining caller
+            context (model family, data dir, image size, compute dtype…)
+            pinned into the journal header alongside the schedule flags —
+            run_sweep cannot see what the factories close over, so the
+            caller declares it and a resume whose fingerprint differs
+            fails loudly instead of mixing incomparable trial results
+            (cli.sweep passes one).
     """
     space = space or SearchSpace()
     rng = np.random.default_rng(seed)
@@ -823,6 +830,10 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
         "space": {"batch_sizes": list(space.batch_sizes),
                   "lr_min": space.lr_min, "lr_max": space.lr_max,
                   "wd_min": space.wd_min, "wd_max": space.wd_max},
+        # result-determining caller context (model/data/dtype…): the
+        # schedule flags above make the resume REPLAY the same trials, but
+        # only the fingerprint makes their restored losses comparable
+        "fingerprint": fingerprint,
     }
     journal_restore: list[list[dict]] = []  # FIFO of finished-group records
     if resume:
@@ -830,9 +841,31 @@ def run_sweep(model_factory, loader_factory, *, n_trials: int = 20,
         if raw is None:
             raise FileNotFoundError(
                 f"resume requested but no sweep journal at {journal_path}")
-        lines = [json.loads(ln) for ln in raw.decode().splitlines() if ln]
+        raw_lines = [ln for ln in raw.decode().splitlines() if ln.strip()]
+        lines, valid_raw = [], []
+        for i, ln in enumerate(raw_lines):
+            try:
+                lines.append(json.loads(ln))
+                valid_raw.append(ln)
+            except json.JSONDecodeError:
+                if i == len(raw_lines) - 1:
+                    # torn trailing write — exactly what an ungraceful kill
+                    # (SIGKILL/OOM/hard VM reclaim) mid-append leaves
+                    # behind. Drop it: that group simply re-runs
+                    # deterministically. Anything torn EARLIER is real
+                    # corruption and must not be papered over.
+                    break
+                raise ValueError(
+                    f"corrupt sweep journal at {journal_path}: line {i + 1} "
+                    f"is unparseable but is not the final line")
         if not lines or "meta" not in lines[0]:
             raise ValueError(f"corrupt sweep journal at {journal_path}")
+        if len(valid_raw) != len(raw_lines) and is_host0:
+            # truncate the torn tail NOW: this run appends the re-run
+            # group after it, and a torn line mid-file would read as real
+            # corruption to the next resume
+            with open(journal_path, "w") as f:
+                f.write("\n".join(valid_raw) + "\n")
         if lines[0]["meta"] != journal_meta:
             raise ValueError(
                 "sweep journal was written with different flags — resume "
@@ -1132,7 +1165,8 @@ def run_sweep_from_config(model_factory, loader_factory, cfg, *, mesh=None,
                           wandb_mirror: WandbSweepMirror | None = None,
                           resident: bool = False, augment_fn=None,
                           halving: str = "compact", preempt_guard=None,
-                          resume: bool = False) -> dict:
+                          resume: bool = False,
+                          fingerprint: dict | None = None) -> dict:
     """Run a sweep driven by a :class:`utils.config.SweepConfig`."""
     space = SearchSpace(batch_sizes=tuple(cfg.batch_sizes), lr_min=cfg.lr_min,
                         lr_max=cfg.lr_max, wd_min=cfg.wd_min, wd_max=cfg.wd_max)
@@ -1144,7 +1178,7 @@ def run_sweep_from_config(model_factory, loader_factory, cfg, *, mesh=None,
         max_parallel_trials=cfg.parallel_trials, wandb_mirror=wandb_mirror,
         resident=resident, augment_fn=augment_fn, halving=halving,
         early_stop_patience=cfg.early_stop_patience,
-        preempt_guard=preempt_guard, resume=resume,
+        preempt_guard=preempt_guard, resume=resume, fingerprint=fingerprint,
     )
 
 

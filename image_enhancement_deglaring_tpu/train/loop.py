@@ -360,6 +360,16 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         if meta.get("mid_epoch"):
             # checkpoint written MID-epoch (preemption): re-enter the
             # interrupted epoch and skip its already-trained batches
+            if "resident" in meta and bool(meta["resident"]) != resident:
+                saved = "resident" if meta["resident"] else "streaming"
+                now = "resident" if resident else "streaming"
+                raise ValueError(
+                    f"mid-epoch checkpoint was written by a {saved} run but "
+                    f"this resume is {now}: the two modes count epoch_step "
+                    f"against DIFFERENT batch plans (loader order vs "
+                    f"on-device permutation), so the skip would silently "
+                    f"train the wrong batches. Resume with the same "
+                    f"--resident_data setting as the preempted run.")
             resume_mid_epoch = int(meta.get("epoch", 0))
             resume_skip_steps = int(meta.get("epoch_step", 0))
             start_epoch = max(start_epoch, resume_mid_epoch)
@@ -548,7 +558,14 @@ def train_model(model, train_loader, val_loader, *, epochs: int,
         # resume re-enters this epoch at the next batch
         extra = _resume_extra()
         if epoch_step is not None:
-            extra.update(mid_epoch=True, epoch_step=int(epoch_step))
+            # the mode stamp makes cross-mode resume fail LOUDLY: a
+            # streaming mid-epoch skip counts loader-plan batches while the
+            # resident skip counts positions in the on-device permutation —
+            # resuming one into the other would silently train some batches
+            # twice and others never (the step-count guard cannot catch it:
+            # the counts still match)
+            extra.update(mid_epoch=True, epoch_step=int(epoch_step),
+                         resident=bool(resident))
         path = os.path.join(output_dir, "preempt_checkpoint")
         save_checkpoint(path, params=state.params, opt_state=state.opt_state,
                         model_state=state.model_state, epoch=epoch,

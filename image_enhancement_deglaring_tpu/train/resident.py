@@ -270,6 +270,25 @@ def epoch_batch_plan(key, n_real: int, batch_size: int, *,
     return idx, jax.random.split(k_aug, steps), jax.random.split(k_drop, steps)
 
 
+def _make_scan_fn(body, batch_sharding):
+    """The ONE gather+shard+scan implementation both epoch shapes share
+    (whole-epoch and segmented) — so a fix to batch gathering or sharding
+    can never apply to one and silently miss the other."""
+
+    def scan(state, x, y, idx):
+        def scan_body(st, ix):
+            xb = jnp.take(x, ix, axis=0)
+            yb = jnp.take(y, ix, axis=0)
+            if batch_sharding is not None:
+                xb = jax.lax.with_sharding_constraint(xb, batch_sharding)
+                yb = jax.lax.with_sharding_constraint(yb, batch_sharding)
+            return body(st, xb, yb)
+
+        return jax.lax.scan(scan_body, state, idx)
+
+    return scan
+
+
 def make_train_epoch(apply_fn, optimizer, *, batch_size: int,
                      stateful: bool = False, augment_fn=None,
                      shuffle: bool = True, batch_sharding=None):
@@ -286,6 +305,7 @@ def make_train_epoch(apply_fn, optimizer, *, batch_size: int,
     """
     body = make_step_body(apply_fn, optimizer, stateful=stateful,
                           augment_fn=augment_fn)
+    scan = _make_scan_fn(body, batch_sharding)
 
     @partial(jax.jit, donate_argnums=0, static_argnums=4)
     def train_epoch(state, x, y, epoch_key, n_real: int):
@@ -293,16 +313,7 @@ def make_train_epoch(apply_fn, optimizer, *, batch_size: int,
         # make_step_body, so only the batch plan's idx is consumed here
         idx, _, _ = epoch_batch_plan(epoch_key, n_real, batch_size,
                                      shuffle=shuffle)
-
-        def scan_body(st, ix):
-            xb = jnp.take(x, ix, axis=0)
-            yb = jnp.take(y, ix, axis=0)
-            if batch_sharding is not None:
-                xb = jax.lax.with_sharding_constraint(xb, batch_sharding)
-                yb = jax.lax.with_sharding_constraint(yb, batch_sharding)
-            return body(st, xb, yb)
-
-        return jax.lax.scan(scan_body, state, idx)
+        return scan(state, x, y, idx)
 
     return train_epoch
 
@@ -332,6 +343,7 @@ def make_train_epoch_segmented(apply_fn, optimizer, *, batch_size: int,
     """
     body = make_step_body(apply_fn, optimizer, stateful=stateful,
                           augment_fn=augment_fn)
+    scan = _make_scan_fn(body, batch_sharding)
 
     @partial(jax.jit, static_argnums=1)
     def plan(epoch_key, n_real: int):
@@ -339,18 +351,7 @@ def make_train_epoch_segmented(apply_fn, optimizer, *, batch_size: int,
                                      shuffle=shuffle)
         return idx
 
-    @partial(jax.jit, donate_argnums=0)
-    def segment(state, x, y, idx):
-        def scan_body(st, ix):
-            xb = jnp.take(x, ix, axis=0)
-            yb = jnp.take(y, ix, axis=0)
-            if batch_sharding is not None:
-                xb = jax.lax.with_sharding_constraint(xb, batch_sharding)
-                yb = jax.lax.with_sharding_constraint(yb, batch_sharding)
-            return body(st, xb, yb)
-
-        return jax.lax.scan(scan_body, state, idx)
-
+    segment = jax.jit(scan, donate_argnums=0)
     return plan, segment
 
 

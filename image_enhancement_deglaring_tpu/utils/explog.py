@@ -29,7 +29,7 @@ class ExperimentLogger:
         self._metrics_path = os.path.join(run_dir, "metrics.jsonl")
         self._summary: dict[str, Any] = {}
         self._step = 0
-        self._save_warned = False
+        self._save_warned: set[str] = set()
 
         self._wandb = None
         if use_wandb:
@@ -138,14 +138,17 @@ class ExperimentLogger:
             except Exception as e:
                 # best-effort, like the sweep's mirroring — but NOT silent:
                 # a swallowed TypeError here once no-opped every upload for
-                # a whole round without a trace. Warn once per run, then
-                # stay quiet (a flaky SaaS link shouldn't spam the epoch
-                # loop).
-                if not self._save_warned:
-                    self._save_warned = True
+                # a whole round without a trace. Warn once per EXCEPTION
+                # TYPE per run (not once globally: one transient
+                # ConnectionError must not consume the warning and
+                # re-silence a later systematic TypeError), then stay quiet
+                # — a flaky SaaS link shouldn't spam the epoch loop.
+                kind = type(e).__name__
+                if kind not in self._save_warned:
+                    self._save_warned.add(kind)
                     warnings.warn(
-                        f"wandb artifact mirroring failed ({type(e).__name__}: "
-                        f"{e}); further failures this run will be silent",
+                        f"wandb artifact mirroring failed ({kind}: {e}); "
+                        f"further {kind} failures this run will be silent",
                         RuntimeWarning, stacklevel=2)
 
     def set_summary(self, **kwargs) -> None:

@@ -343,6 +343,34 @@ def test_resident_drains_at_segment_boundary_and_resumes_exact(tmp_path):
         np.testing.assert_array_equal(np.asarray(al), np.asarray(cl))
 
 
+def test_cross_mode_mid_epoch_resume_is_rejected(tmp_path):
+    """A mid-epoch checkpoint records which mode wrote it: resident and
+    streaming count epoch_step against DIFFERENT batch plans (on-device
+    permutation vs loader order), so resuming one into the other would
+    silently train some batches twice and skip others — the step-count
+    guard can't see it (counts still match). Must fail loudly."""
+    x, y = _toy_data()
+    guard = PreemptionGuard()
+    guard.triggered = True
+    out = tmp_path / "pre"
+    tr = ArrayLoader(x[:8], y[:8], 2)
+    va = ArrayLoader(x[8:], y[8:], 4)
+    train_model(LightweightUNet(), tr, va, epochs=3, lr=1e-3,
+                output_dir=str(out), save_every=100, progress=False,
+                resident=True, resident_segments=4, preempt_guard=guard,
+                validation_metrics_every=100, log_images_every=100)
+    ckpt = out / "preempt_checkpoint"
+    meta = json.load(open(ckpt / "train_meta.json"))
+    assert meta["mid_epoch"] and meta["resident"] is True
+
+    tr2 = ArrayLoader(x[:8], y[:8], 2)
+    va2 = ArrayLoader(x[8:], y[8:], 4)
+    with pytest.raises(ValueError, match="resident run but this resume"):
+        train_model(LightweightUNet(), tr2, va2, epochs=3, lr=1e-3,
+                    output_dir=str(out), save_every=100, progress=False,
+                    resume_from=str(ckpt))
+
+
 class ContractViolatingSkipLoader(ArrayLoader):
     """Deliberately broken set_skip_batches: __len__ shrinks AND __iter__
     stays len()-driven, so the skip applies twice (the round-4 harness bug

@@ -171,6 +171,62 @@ def test_resume_with_drifted_flags_fails_loudly(tmp_path, toy):
         run_sweep(_CountingFactory(), loader_factory, resume=True, **kw)
 
 
+def test_resume_tolerates_torn_trailing_journal_line(tmp_path, toy):
+    """A non-graceful kill (SIGKILL/OOM/hard VM reclaim) can tear the
+    journal's final append mid-write. Resume must DROP the torn trailing
+    line (that group re-runs deterministically) and still complete to the
+    uninterrupted result — refusing to resume would defeat the journal's
+    whole purpose. A torn line anywhere EARLIER is real corruption and
+    still refuses."""
+    x, y = toy
+
+    def loader_factory(bs):
+        return (ArrayLoader(x, y, bs, min_one_batch=True),
+                ArrayLoader(x[:8], y[:8], bs, min_one_batch=True))
+
+    kw = _kwargs(tmp_path, "pre")
+    a = run_sweep(_CountingFactory(), loader_factory,
+                  **_kwargs(tmp_path, "full"))
+    run_sweep(_CountingFactory(), loader_factory,
+              preempt_guard=_TriggerAfter(4), **kw)
+    journal = tmp_path / "pre" / "sweep_journal.jsonl"
+    with open(journal, "a") as f:
+        f.write('{"group": [{"trial_id": 1, "batch')  # torn mid-append
+    c = run_sweep(_CountingFactory(), loader_factory, resume=True, **kw)
+    assert c["trials"] == a["trials"] and c["best"] == a["best"]
+    # the torn tail was truncated before this run appended, so the journal
+    # parses cleanly end-to-end and a SECOND resume also succeeds
+    c2 = run_sweep(_CountingFactory(), loader_factory, resume=True, **kw)
+    assert c2["trials"] == a["trials"]
+
+    # torn NON-final line: corruption, not a crash artifact — refuse
+    lines = journal.read_text().splitlines()
+    lines.insert(1, '{"group": [{"torn')
+    journal.write_text("\n".join(lines) + "\n")
+    with pytest.raises(ValueError, match="not the final line"):
+        run_sweep(_CountingFactory(), loader_factory, resume=True, **kw)
+
+
+def test_resume_with_drifted_fingerprint_fails_loudly(tmp_path, toy):
+    """Schedule flags alone can match while the RESULTS are incomparable
+    (different model family / data dir / dtype). The caller-declared
+    fingerprint rides the journal header and a drifted resume refuses."""
+    x, y = toy
+
+    def loader_factory(bs):
+        return (ArrayLoader(x, y, bs, min_one_batch=True),
+                ArrayLoader(x[:8], y[:8], bs, min_one_batch=True))
+
+    kw = _kwargs(tmp_path, "run")
+    run_sweep(_CountingFactory(), loader_factory,
+              preempt_guard=_TriggerAfter(4),
+              fingerprint={"model": "basic", "image_size": 512}, **kw)
+    with pytest.raises(ValueError, match="different flags"):
+        run_sweep(_CountingFactory(), loader_factory, resume=True,
+                  fingerprint={"model": "optimized", "image_size": 512},
+                  **kw)
+
+
 def test_resume_without_journal_fails_loudly(tmp_path, toy):
     x, y = toy
 

@@ -167,6 +167,41 @@ def test_wandb_mirroring_images_and_histograms(tmp_path, monkeypatch):
     assert fake.finished
 
 
+def test_logger_save_warns_once_per_failure_type(tmp_path, monkeypatch):
+    """Artifact-mirroring failures warn once per EXCEPTION TYPE per run:
+    a transient ConnectionError must not consume the only warning and
+    re-silence a later systematic TypeError (the failure class that once
+    no-opped every upload unnoticed) — while repeats of the same type
+    stay quiet so a flaky link can't spam the epoch loop."""
+    import sys
+    import warnings as _w
+
+    class _BoomWandb(_FakeWandb):
+        exc: Exception = None
+
+        def save(self, *a, **k):
+            raise self.exc
+
+    fake = _BoomWandb()
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    logger = ExperimentLogger(str(tmp_path / "logs"), use_wandb=True)
+    f = tmp_path / "w.npz"
+    f.write_text("x")
+
+    fake.exc = ConnectionError("net down")
+    with pytest.warns(RuntimeWarning, match="ConnectionError"):
+        logger.save(str(f))
+    with _w.catch_warnings():  # same type again: silent
+        _w.simplefilter("error")
+        logger.save(str(f))
+    fake.exc = TypeError("unexpected keyword")  # new type: warns again
+    with pytest.warns(RuntimeWarning, match="TypeError"):
+        logger.save(str(f))
+    # the local audit trail recorded every attempt regardless
+    lines = (tmp_path / "logs" / "artifacts.jsonl").read_text().splitlines()
+    assert len(lines) == 3
+
+
 def test_logger_save_mirrors_artifacts(tmp_path, monkeypatch):
     """logger.save uploads checkpoint artifacts to wandb like the
     reference's wandb.save (optimized_train.py:317,340) — directories
