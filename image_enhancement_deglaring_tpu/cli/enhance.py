@@ -20,6 +20,18 @@ def parse_args(argv=None):
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--mode", type=str, default="resize", choices=["resize", "tile"])
+    p.add_argument("--tile_overlap", type=int, default=32,
+                   help="tile-mode overlap in pixels (must be < the tile "
+                        "size, i.e. < --image_size); same flag as "
+                        "cli.serve — previously unexposed here, which made "
+                        "tile mode unusable at --image_size <= 32")
+    p.add_argument("--data_parallel", type=int, nargs="?", const=0,
+                   default=None, metavar="N",
+                   help="shard work across N local chips (omit N = every "
+                        "local device): resize mode shards image batches "
+                        "(--batch_size rounds up to a mesh multiple), tile "
+                        "mode shards each image's tile batches — same "
+                        "resolver as cli.serve --data_parallel")
     return p.parse_args(argv)
 
 
@@ -40,17 +52,25 @@ def main(argv=None):
 
     print(f"Model loaded successfully - Size: {get_model_size_mb(params):.2f} MB")
 
-    batch_size = max(1, args.batch_size)
+    from .serve import build_serving_mesh
+
+    mesh, batch_size = build_serving_mesh(args.data_parallel,
+                                          max(1, args.batch_size))
+    if mesh is not None:
+        print(f"batch inference data-parallel over {mesh.devices.size} "
+              f"chips (batch {batch_size})")
     if args.mode == "tile":
         tiler = TiledInference(apply_fn, params, tile=args.image_size,
-                               compute_dtype=jnp.float32)
+                               overlap=args.tile_overlap,
+                               compute_dtype=jnp.float32, mesh=mesh)
         if args.batch_size > 1:
             print("Note: tile mode batches each image's tiles internally; "
                   "--batch_size is ignored")
     else:
         engine = InferenceEngine(apply_fn, params, image_size=args.image_size,
                                  max_batch_size=batch_size,
-                                 compute_dtype=jnp.float32, warmup=False)
+                                 compute_dtype=jnp.float32, warmup=False,
+                                 mesh=mesh)
 
     if os.path.isfile(args.input):
         files = [args.input]

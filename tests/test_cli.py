@@ -355,6 +355,51 @@ def test_enhance_batch_size_matches_single(tmp_path, monkeypatch):
         np.testing.assert_array_equal(a, b)
 
 
+def test_enhance_data_parallel_matches_single_device(tmp_path, monkeypatch):
+    """--data_parallel shards the enhance batches across the 8-device CPU
+    mesh (same resolver as cli.serve): outputs must match the single-chip
+    run within the ±1-uint8 padded-batch GroupNorm tolerance, in BOTH
+    resize and tile modes."""
+    import numpy as np
+    from PIL import Image
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray((rng.random((48, 48)) * 255).astype(np.uint8)).save(
+            indir / f"img{i}.png")
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_enhancement_deglaring_tpu.cli import enhance
+    from image_enhancement_deglaring_tpu.models import LightweightUNet
+
+    model = LightweightUNet()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 32, 32, 1)))["params"]
+    monkeypatch.setattr(
+        "image_enhancement_deglaring_tpu.eval.load_model_for_eval",
+        lambda *a, **k: (model.apply, params))
+
+    for mode in ("resize", "tile"):
+        solo = tmp_path / f"solo_{mode}"
+        dp = tmp_path / f"dp_{mode}"
+        common = ["--input", str(indir), "--model_path", "ignored",
+                  "--image_size", "32", "--mode", mode,
+                  "--tile_overlap", "8"]
+        enhance.main(common + ["--output_dir", str(solo)])
+        enhance.main(common + ["--output_dir", str(dp), "--batch_size", "2",
+                               "--data_parallel"])
+        names = sorted(p.name for p in solo.iterdir())
+        assert names == sorted(p.name for p in dp.iterdir())
+        for name in names:
+            a = np.asarray(Image.open(solo / name)).astype(np.int16)
+            b = np.asarray(Image.open(dp / name)).astype(np.int16)
+            assert np.abs(a - b).max() <= 1, (mode, name)
+
+
 def test_enhance_batch_corrupt_file_keeps_earlier_outputs(tmp_path,
                                                           monkeypatch):
     """A corrupt file mid-chunk must not discard the outputs of earlier
