@@ -117,6 +117,44 @@ def test_preempted_sweep_resumes_to_identical_result(tmp_path, toy):
     assert (out / "best_trial_params.npz").exists()
 
 
+def test_double_preemption_resume_chain(tmp_path, toy):
+    """Preempt -> resume -> preempt AGAIN -> resume: groups restored from
+    the journal are never re-appended, groups finished during a resume leg
+    append after them, so the journal accumulates exactly one record per
+    finished group across any number of preemptions and the final result
+    still equals the uninterrupted run."""
+    x, y = toy
+
+    def loader_factory(bs):
+        return (ArrayLoader(x, y, bs, min_one_batch=True),
+                ArrayLoader(x[:8], y[:8], bs, min_one_batch=True))
+
+    kw = _kwargs(tmp_path, "chain")
+    journal = tmp_path / "chain" / "sweep_journal.jsonl"
+    a = run_sweep(_CountingFactory(), loader_factory,
+                  **_kwargs(tmp_path, "full"))
+
+    # leg 1: trips inside group 2 -> journal holds group 1
+    b = run_sweep(_CountingFactory(), loader_factory,
+                  preempt_guard=_TriggerAfter(4), **kw)
+    assert b["preempted"] and len(b["trials"]) == 1
+
+    # leg 2 (resume): group 1 restores with NO guard checks consumed;
+    # group 2 runs live (checks 1-3), group 3 trips at its first epoch
+    # boundary (check 5) -> journal now holds groups 1 and 2
+    c = run_sweep(_CountingFactory(), loader_factory, resume=True,
+                  preempt_guard=_TriggerAfter(4), **kw)
+    assert c["preempted"] and len(c["trials"]) == 2
+    n_groups = sum(1 for ln in journal.read_text().splitlines()
+                   if "group" in json.loads(ln))
+    assert n_groups == 2  # one record per finished group, no duplicates
+
+    # leg 3: finishes; trial-for-trial identical to the uninterrupted run
+    d = run_sweep(_CountingFactory(), loader_factory, resume=True, **kw)
+    assert d["preempted"] is False
+    assert d["trials"] == a["trials"] and d["best"] == a["best"]
+
+
 def test_tpe_resume_mid_second_wave_identical(tmp_path, toy):
     """The hardest resume case: TPE's wave-2 proposals are a function of
     the wave-1 HISTORY. A resume that restored wave 1 even slightly
