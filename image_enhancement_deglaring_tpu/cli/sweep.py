@@ -32,7 +32,20 @@ def parse_args(argv=None):
                         "keep computing) — prefer mask when compiles "
                         "dominate (remote compile, short rungs)")
     p.add_argument("--image_size", type=int, default=512)
-    p.add_argument("--method", type=str, default="tpe", choices=["tpe", "random"])
+    p.add_argument("--method", type=str, default="tpe",
+                   choices=["tpe", "random", "wandb"],
+                   help="tpe/random: local proposals, trials vmapped "
+                        "lock-step across chips, works air-gapped, "
+                        "journal+--resume for preemption. wandb: the W&B "
+                        "SERVER proposes every trial (wandb.agent, "
+                        "reference sweep semantics) — sequential trials, "
+                        "requires network + auth; rejoin a crashed sweep "
+                        "with --wandb_sweep_id")
+    p.add_argument("--wandb_sweep_id", type=str, default=None,
+                   help="with --method wandb: attach to this existing "
+                        "server-side sweep instead of registering a new "
+                        "one (the reference's agent-rejoin story, "
+                        "sweep.py:241)")
     # the reference's train_sweep builds any of the three families from the
     # sweep config (reference: sweep.py:135-143; fixed to 'basic' at :86)
     p.add_argument("--model", type=str, default="basic",
@@ -220,6 +233,50 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     ctor = {"basic": LightweightUNet, "enhanced": EnhancedUNet,
             "optimized": OptimizedUNet}[args.model]
+
+    if args.method == "wandb":
+        # online controller: the W&B server proposes each trial and owns
+        # early termination (reference semantics; sequential trials —
+        # see docs/PARITY.md for the tradeoff vs local lock-step groups)
+        if args.distributed:
+            raise SystemExit("--method wandb runs trials sequentially from "
+                             "server proposals; it does not compose with "
+                             "--distributed (use --method tpe for "
+                             "multi-host lock-step sweeps)")
+        if args.resume:
+            raise SystemExit("--method wandb sweeps resume SERVER-side: "
+                             "rerun with --wandb_sweep_id <id> instead of "
+                             "--resume")
+        from ..parallel.sweep import run_wandb_agent_sweep
+
+        try:
+            result = run_wandb_agent_sweep(
+                lambda: ctor(dtype=dtype), loader_factory,
+                n_trials=args.sweep_count, max_epochs=args.max_epochs,
+                min_iter=args.early_stop_min_iter, eta=args.eta,
+                seed=args.seed, mesh=mesh, output_dir=args.output_dir,
+                space=space, logger=logger,
+                project=args.wandb_project, entity=args.wandb_entity,
+                early_stop_patience=args.early_stop_patience,
+                prefetch=args.prefetch_factor,
+                sweep_id=args.wandb_sweep_id,
+            )
+        except Exception as e:
+            raise SystemExit(
+                f"--method wandb needs a reachable, authenticated W&B "
+                f"server ({type(e).__name__}: {e}). Air-gapped or "
+                f"offline, use --method tpe — same Bayesian family, "
+                f"local proposals, trials vmapped across chips.")
+        best = result["best"]
+        print(f"Sweep {result['sweep_id']} completed (server-driven). "
+              + ("No trial reached a finite validation loss"
+                 if best is None else
+                 f"Best trial: id={best['trial_id']} "
+                 f"batch_size={best['batch_size']} lr={best['lr']:.6g} "
+                 f"wd={best['wd']:.6g} "
+                 f"val_loss={best['best_val_loss']:.4f}"))
+        return
+
     from ..train.preempt import PreemptionGuard
 
     guard = PreemptionGuard()

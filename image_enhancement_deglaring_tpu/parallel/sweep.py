@@ -601,21 +601,7 @@ class WandbSweepMirror:
         afterwards attach to the returned sweep id. Best-effort: offline or
         API failure leaves ``sweep_id`` None and the grouped-runs fallback
         carries the same telemetry."""
-        config = {
-            # W&B only knows bayes/grid/random; our TPE is a Bayesian
-            # method, so it maps to 'bayes' like the reference's (:44)
-            "method": "bayes" if method == "tpe" else method,
-            "metric": {"name": "val_loss", "goal": "minimize"},
-            "early_terminate": {"type": "hyperband", "min_iter": min_iter,
-                                "eta": eta},
-            "parameters": {
-                "batch_size": {"values": list(space.batch_sizes)},
-                "learning_rate": {"distribution": "log_uniform_values",
-                                  "min": space.lr_min, "max": space.lr_max},
-                "weight_decay": {"distribution": "log_uniform_values",
-                                 "min": space.wd_min, "max": space.wd_max},
-            },
-        }
+        config = sweep_server_config(method, min_iter, eta, space)
         if extra_config:
             config.update(extra_config)
         try:
@@ -1180,6 +1166,139 @@ def run_sweep_from_config(model_factory, loader_factory, cfg, *, mesh=None,
         early_stop_patience=cfg.early_stop_patience,
         preempt_guard=preempt_guard, resume=resume, fingerprint=fingerprint,
     )
+
+
+def sweep_server_config(method: str, min_iter: int, eta: int,
+                        space: SearchSpace) -> dict:
+    """The W&B sweep-server config both the mirror (offline-first mode)
+    and the online agent mode register — one builder so the server always
+    sees the same search space as the local samplers (reference:
+    sweep.py:41-94)."""
+    return {
+        # W&B only knows bayes/grid/random; our TPE is a Bayesian method,
+        # so it maps to 'bayes' like the reference's (:44)
+        "method": "bayes" if method in ("tpe", "wandb") else method,
+        "metric": {"name": "val_loss", "goal": "minimize"},
+        "early_terminate": {"type": "hyperband", "min_iter": min_iter,
+                            "eta": eta},
+        "parameters": {
+            "batch_size": {"values": list(space.batch_sizes)},
+            "learning_rate": {"distribution": "log_uniform_values",
+                              "min": space.lr_min, "max": space.lr_max},
+            "weight_decay": {"distribution": "log_uniform_values",
+                             "min": space.wd_min, "max": space.wd_max},
+        },
+    }
+
+
+def run_wandb_agent_sweep(model_factory, loader_factory, *,
+                          n_trials: int = 20, max_epochs: int = 50,
+                          min_iter: int = 10, eta: int = 3, seed: int = 42,
+                          mesh=None, output_dir: str = "./sweep_out",
+                          space: SearchSpace | None = None, logger=None,
+                          project: str | None = None,
+                          entity: str | None = None,
+                          early_stop_patience: int = 0, prefetch: int = 2,
+                          sweep_id: str | None = None,
+                          wandb_module=None) -> dict:
+    """ONLINE controller mode: the W&B *server* proposes every trial's
+    hyperparameters and owns early termination — the reference's exact
+    sweep semantics (reference: sweep.py:94-241: ``wandb.agent`` pulls
+    server-side Bayes proposals, Hyperband stops runs server-side, state
+    persists on the server so agents can rejoin by sweep id).
+
+    Tradeoffs vs the default local TPE mode (documented in
+    docs/PARITY.md): server proposals arrive ONE AT A TIME, so trials run
+    sequentially — no vmapped lock-step trial groups, no mesh-sharded
+    trial axis (a mesh still accelerates each trial's data parallelism).
+    Offline or unauthenticated, ``wandb.sweep``/``wandb.agent`` raise and
+    the CLI falls back with a pointer at ``--method tpe``.
+
+    ``sweep_id``: attach to an EXISTING server-side sweep instead of
+    registering a new one — the reference's crash-recovery story
+    (reference: sweep.py:241 comment: rerun the agent with the sweep id).
+    ``wandb_module``: injection point for tests; default imports wandb.
+    """
+    wandb = wandb_module
+    if wandb is None:
+        import wandb  # noqa: F811 — ImportError surfaces to the CLI
+    space = space or SearchSpace()
+    os.makedirs(output_dir, exist_ok=True)
+    if sweep_id is None:
+        sweep_id = wandb.sweep(
+            sweep_server_config("wandb", min_iter, eta, space),
+            project=project, entity=entity)
+
+    from ..utils.pytree import flatten_tree
+
+    trials: list[Trial] = []
+    best: Trial | None = None
+
+    def train_one():
+        nonlocal best
+        run = wandb.init()
+        c = run.config  # the SERVER's proposal for this trial
+        t = Trial(trial_id=len(trials),
+                  batch_size=int(c["batch_size"]),
+                  lr=float(c["learning_rate"]),
+                  wd=float(c["weight_decay"]))
+        train_loader, val_loader = loader_factory(t.batch_size)
+        group = VmappedTrialGroup(model_factory(), [t], mesh=mesh,
+                                  seed=seed, prefetch=prefetch)
+        best_snap = None
+        stale, fin_best = 0, float("inf")
+        for epoch in range(max_epochs):
+            group.train_epoch(train_loader, epoch)
+            v = float(group.val_epoch(val_loader)[0])
+            group.step_schedulers(np.asarray([v]))
+            if np.isfinite(v) and v < t.best_val_loss:
+                best_snap = group.snapshot_of(0)
+            t.val_losses.append(v)
+            run.log({"val_loss": v}, step=epoch)
+            if logger is not None:
+                logger.log({f"trial_{t.trial_id}/val_loss": v,
+                            f"trial_{t.trial_id}/lr": group.schedulers[0].lr},
+                           step=epoch)
+            # server-side Hyperband: in function mode the agent exposes the
+            # stop decision on the run (best-effort — older SDKs lack it,
+            # in which case only the local patience below terminates early)
+            should_stop = getattr(run, "should_stop", None)
+            if callable(should_stop) and should_stop():
+                t.stopped_at = epoch + 1
+                t.stop_reason = "server"
+                break
+            if early_stop_patience > 0:
+                if np.isfinite(v) and v < fin_best:
+                    fin_best, stale = v, 0
+                else:
+                    stale += 1
+                if stale >= early_stop_patience:
+                    t.stopped_at = epoch + 1
+                    t.stop_reason = "patience"
+                    break
+        run.summary["best_val_loss"] = t.best_val_loss
+        if t.stopped_at is not None:
+            run.summary["stopped_at_epoch"] = t.stopped_at
+            run.summary["stop_reason"] = t.stop_reason
+        run.finish()
+        trials.append(t)
+        if best_snap is not None and (
+                best is None or t.best_val_loss < best.best_val_loss):
+            best = t
+            np.savez(os.path.join(output_dir, "best_trial_params.npz"),
+                     **flatten_tree(best_snap))
+
+    wandb.agent(sweep_id, function=train_one, count=n_trials)
+
+    result = {
+        "best": _trial_dict(best),
+        "trials": [_trial_dict(t) for t in trials],
+        "preempted": False,
+        "sweep_id": sweep_id,
+    }
+    with open(os.path.join(output_dir, "sweep_results.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    return result
 
 
 def _trial_dict(t: Trial | None) -> dict | None:
