@@ -1243,6 +1243,13 @@ def run_wandb_agent_sweep(model_factory, loader_factory, *,
                   lr=float(c["learning_rate"]),
                   wd=float(c["weight_decay"]))
         train_loader, val_loader = loader_factory(t.batch_size)
+        if not int(getattr(val_loader, "num_samples", len(val_loader)) or 0):
+            # same refusal as run_sweep: the server would rank every run
+            # on a constant 0.0 val loss
+            raise ValueError(
+                "run_wandb_agent_sweep: the validation set is empty — "
+                "trials would be ranked on a constant 0.0 val loss. "
+                "Lower val_split or provide more data.")
         group = VmappedTrialGroup(model_factory(), [t], mesh=mesh,
                                   seed=seed, prefetch=prefetch)
         best_snap = None

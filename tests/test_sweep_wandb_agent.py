@@ -165,3 +165,20 @@ def test_rejoin_attaches_to_existing_sweep_id(tmp_path, toy):
     assert fake.sweep_configs == []  # attached, not re-registered
     assert fake.agent_calls == [("sw-existing", 1)]
     assert result["sweep_id"] == "sw-existing"
+
+
+def test_empty_validation_set_refused(tmp_path, toy):
+    """Same contract as run_sweep: an empty val set would rank every
+    server run on a constant 0.0 — refuse loudly."""
+    x, y = toy
+
+    def loader_factory(bs):
+        return (ArrayLoader(x, y, bs, min_one_batch=True),
+                ArrayLoader(x[:0], y[:0], bs))
+
+    fake = _FakeWandbServer(PROPOSALS[:1])
+    with pytest.raises(ValueError, match="validation set is empty"):
+        run_wandb_agent_sweep(
+            _tiny, loader_factory, n_trials=1, max_epochs=1, min_iter=1,
+            eta=2, seed=0, output_dir=str(tmp_path),
+            space=SearchSpace(batch_sizes=(8,)), wandb_module=fake)
